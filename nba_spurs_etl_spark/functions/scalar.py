@@ -1,0 +1,121 @@
+"""Scalar / aggregate expression helpers.
+
+Two design constraints shape these helpers:
+
+1. **Oracle determinism.** The driver compares every query against a
+   DuckDB oracle by value hash. Floating-point SUM/AVG over doubles is
+   order-dependent, so all money/metric aggregates go through exact
+   decimal arithmetic (``dsum``/``davg``) and are cast to double only at
+   the very end — both engines then produce bit-identical doubles.
+
+2. **Cross-engine hashing.** Spark's ``xxhash64`` and DuckDB's ``hash``
+   disagree, so content hashes use md5 (identical hex in both engines)
+   parsed to a 60-bit integer: Spark ``conv(substr(md5(x),1,15),16,10)``
+   == DuckDB ``('0x'||substr(md5(x),1,15))::UBIGINT``.
+
+Reference parity notes: ``season_norm`` reproduces the repeated
+``CASE WHEN season LIKE '2024' THEN '2024-25' ELSE season END``
+(reference ``dbt/models/spurs_analysis/summary_by_season.sql:13-14`` and
+4 sibling models); ``opponent_from_matchup`` reproduces the
+``SPLIT_PART(matchup,'vs. ',2)`` / ``'@ '`` extraction
+(``streaks_and_rivals.sql:63-67``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact-arithmetic aggregates (oracle-deterministic)
+# ---------------------------------------------------------------------------
+
+DEC = "decimal(18,2)"
+
+
+def dsum(col: Column | str, scale: int = 2) -> Column:
+    """Exact SUM: cast to decimal first, return double.
+
+    Decimal addition is associative → the result is independent of
+    partitioning / shuffle order, unlike a double sum. The final
+    double cast is correctly rounded in both Spark and DuckDB.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def davg(col: Column | str, scale: int = 2) -> Column:
+    """Exact-numerator AVG: decimal SUM cast to double, / COUNT.
+
+    One IEEE division of two exact operands → bit-identical across
+    engines regardless of row order.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c)
+
+
+def davg_sql(expr: str, scale: int = 2) -> str:
+    """DuckDB-side rendering of :func:`davg` (kept adjacent for parity)."""
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr})"
+    )
+
+
+def dsum_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# cross-engine stable hash
+# ---------------------------------------------------------------------------
+
+
+def md5_long(col: Column | str) -> Column:
+    """Deterministic 60-bit non-negative integer hash of a string.
+
+    Matches DuckDB ``('0x' || substr(md5(x),1,15))::UBIGINT`` exactly.
+    Used by dedup/minhash/simhash operators so their DuckDB oracles can
+    recompute identical hashes in pure SQL.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+MD5_LONG_SQL = "CAST(('0x' || substr(md5({x}), 1, 15)) AS UBIGINT)::BIGINT"
+
+
+def md5_long_sql(expr: str) -> str:
+    return MD5_LONG_SQL.format(x=expr)
+
+
+# ---------------------------------------------------------------------------
+# reference-parity scalar expressions
+# ---------------------------------------------------------------------------
+
+
+def season_norm(col: Column | str) -> Column:
+    """``CASE WHEN season LIKE '2024' THEN '2024-25' ELSE season END``.
+
+    The reference's LIKE has no wildcard, so it is equality in disguise;
+    we preserve the exact semantics (summary_by_season.sql:13-14).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.like("2024"), F.lit("2024-25")).otherwise(c)
+
+
+SEASON_NORM_SQL = "CASE WHEN {c} LIKE '2024' THEN '2024-25' ELSE {c} END"
+
+
+def opponent_from_matchup(col: Column | str) -> Column:
+    """Extract the opponent from ``'SAS vs. LAL'`` / ``'SAS @ LAL'``.
+
+    3-way CASE as in streaks_and_rivals.sql:63-67; ``split_part``
+    returns '' when the delimiter is absent (Postgres-compatible).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(c.like("%vs.%"), F.split_part(c, F.lit("vs. "), F.lit(2)))
+        .when(c.like("%@%"), F.split_part(c, F.lit("@ "), F.lit(2)))
+        .otherwise(F.lit(None).cast("string"))
+    )

@@ -1,0 +1,36 @@
+"""Facade aggregating every registered catalog query.
+
+Importing this module imports all query-definition modules (each
+registers into ``plans.registry``); ``__spark_entry__`` re-exports
+``queries()`` / ``oracles()`` from here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import tpch_core  # noqa: F401  (registers queries on import)
+
+try:  # registered incrementally as modules land
+    from . import tpch_classic  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from . import gold_fixture  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from . import pipeline_ext  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+
+from .registry import oracles, queries, registry  # noqa: E402
+
+__all__ = ["entry_query", "oracles", "queries", "registry"]
+
+ENTRY_QUERY = "summary_rank"
+
+
+def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query (driver smoke check)."""
+    return queries()[ENTRY_QUERY](spark, sf_dir)

@@ -1,0 +1,61 @@
+"""Query registry backing ``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+Every operator the engine claims (SURVEY.md §2 + extensions) registers
+here as a named query over the driver testdata tables, optionally paired
+with a DuckDB oracle SQL string. The driver (and ``tests/test_parity.py``)
+runs both sides at sf0.01 and compares row-count + schema + value hash.
+
+Determinism contract for registered queries:
+- numeric aggregates go through exact decimal arithmetic, surfacing as
+  DOUBLE (see ``functions.scalar``); integer aggregates are BIGINT in
+  both engines (DuckDB ``SUM(int)`` yields HUGEINT — always wrap in
+  ``CAST(... AS BIGINT)`` in oracles);
+- any ORDER BY ... LIMIT or window ranking carries a unique tiebreak key
+  in BOTH implementations (SURVEY.md §7.4.5);
+- dates/timestamps surface as strings (identical text form in both).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class CatalogQuery:
+    name: str
+    builder: QueryFn
+    oracle: str | None  # DuckDB SQL over the pre-registered testdata views
+    group: str  # SURVEY §2 section tag, e.g. "2.4-A1" or "ext-dedup"
+    doc: str = ""
+
+
+_REGISTRY: dict[str, CatalogQuery] = {}
+
+
+def register(name: str, group: str, oracle: str | None, doc: str = ""):
+    """Decorator: register a (spark, sf_dir) -> DataFrame query builder."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate catalog query {name!r}")
+        _REGISTRY[name] = CatalogQuery(name, fn, oracle, group, doc)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, CatalogQuery]:
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {n: q.builder for n, q in _REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {n: q.oracle for n, q in _REGISTRY.items() if q.oracle is not None}
