@@ -1,0 +1,397 @@
+"""The six gold models, re-expressed as idiomatic DataFrame pipelines.
+
+Each function takes the dict of silver DataFrames (all-string columns,
+``synth.build_silver`` or the real silver loader) and returns the gold
+DataFrame. Semantics follow the reference dbt models line-for-line
+(cited per function); deliberate, documented deviations:
+
+- **Deterministic tiebreaks** added to every ORDER BY..LIMIT and
+  ROW_NUMBER that the reference leaves ambiguous (SURVEY §7.4.5) —
+  required for the value-hash oracle and for stable results at any
+  parallelism.
+- **Streak windows partition by season** (the reference's bare
+  ``OVER (ORDER BY game_date)`` serializes onto one task;
+  single-season data makes the two identical, and streaks crossing
+  season boundaries would be a modeling bug anyway).
+- **Exact decimal aggregation** (``davg``) instead of engine-native
+  double AVG so results are bit-identical across engines
+  (SURVEY §7.4.6).
+
+Reference quirks preserved on purpose:
+
+- ``plus_minus``/``salary_usd`` are compared as VARCHAR (lexicographic
+  MAX/MIN!) exactly like the all-VARCHAR silver of the reference
+  (streaks_and_rivals.sql:70,86; players_recommendations.sql:51).
+- The season-normalization CASE is applied per-model and reused as a
+  join key (SURVEY §7.4.3).
+- Spanish output literals are byte-exact (SURVEY §7.4.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import davg, season_norm
+
+# metric metadata shared by team_weaknesses + players_recommendations:
+# (label, stat column, weakness polarity, best-team agg)
+WEAKNESS_METRICS = [
+    ("Porcentaje de tiro de campo", "fg_pct", "lt", "max"),
+    ("Porcentaje de tres", "fg3_pct", "lt", "max"),
+    ("Pérdidas de balón", "tov", "gt", "min"),  # fewer turnovers is better
+    ("Rebotes", "reb", "lt", "max"),
+    ("Robos", "stl", "lt", "max"),
+    ("Bloqueos", "blk", "lt", "max"),
+    ("Diferencial Puntos", "plus_minus", "lt", "max"),
+]
+
+
+def summary_by_season(silver: dict[str, DataFrame]) -> DataFrame:
+    """League table: wins/losses/avg points + dense_rank per season.
+
+    Reference: dbt/models/spurs_analysis/summary_by_season.sql:3-42.
+    """
+    games, teams = silver["games"], silver["teams"]
+    nba = games.join(F.broadcast(teams), games.team_id == teams.id)
+    base = nba.select(
+        season_norm("season").alias("season"),
+        "team_name",
+        "wl",
+        F.col("pts").cast("int").alias("pts"),
+    )
+    summarized = base.groupBy("season", "team_name").agg(
+        F.count(F.lit(1)).alias("total_games"),
+        F.sum(F.when(F.col("wl") == "W", 1).otherwise(0)).alias("wins"),
+        F.sum(F.when(F.col("wl") == "L", 1).otherwise(0)).alias("losses"),
+        F.round(davg("pts", scale=0), 2).alias("avg_points"),
+    )
+    w = Window.partitionBy("season").orderBy(
+        F.desc("wins"), F.asc("losses"), F.desc("avg_points")
+    )
+    return summarized.select(
+        "season",
+        "team_name",
+        "wins",
+        "losses",
+        "total_games",
+        "avg_points",
+        F.dense_rank().over(w).cast("int").alias("team_ranking"),
+    )
+
+
+def home_vs_away(silver: dict[str, DataFrame]) -> DataFrame:
+    """Per-venue split (Home/Away from the matchup LIKE pattern).
+
+    Reference: dbt/models/spurs_analysis/home_vs_away.sql.
+    Note the model uses teams.full_name (not games.team_name).
+    """
+    games, teams = silver["games"], silver["teams"]
+    nba = games.join(F.broadcast(teams), games.team_id == teams.id)
+    base = nba.select(
+        season_norm("season").alias("season"),
+        F.col("full_name").alias("team_name"),
+        F.when(F.col("matchup").like("%@%"), F.lit("Away"))
+        .otherwise(F.lit("Home"))
+        .alias("location"),
+        "wl",
+        F.col("pts").cast("int").alias("pts"),
+    )
+    return base.groupBy("season", "team_name", "location").agg(
+        F.count(F.lit(1)).alias("games"),
+        F.sum(F.when(F.col("wl") == "W", 1).otherwise(0)).alias("wins"),
+        F.sum(F.when(F.col("wl") == "L", 1).otherwise(0)).alias("losses"),
+        F.round(davg("pts", scale=0), 2).alias("avg_points"),
+    )
+
+
+def _seven_avgs(df: DataFrame, prefix: str = "avg_") -> list:
+    return [
+        davg(col, scale=3).alias(f"{prefix}{col}") for _, col, _, _ in WEAKNESS_METRICS
+    ]
+
+
+def team_weaknesses_unpivoted(silver: dict[str, DataFrame]) -> DataFrame:
+    """Spurs vs league average vs best team, one row per metric.
+
+    Reference: dbt/models/spurs_analysis/team_weaknesses_unpivoted.sql.
+    The 7-branch UNION ALL (which re-joins the same 3 CTEs seven times,
+    :67-156) collapses to ONE 3-way join + a stack() unpivot — same
+    rows, one pass.
+    """
+    games, teams = silver["games"], silver["teams"]
+    spurs = (
+        games.filter(F.col("team_name") == "San Antonio Spurs")
+        .groupBy(season_norm("season").alias("season2"))
+        .agg(*_seven_avgs(games))
+    )
+    joined = games.join(F.broadcast(teams), games.team_id == teams.id)
+    league = joined.groupBy(season_norm("season").alias("season2")).agg(
+        *[
+            davg(col, scale=3).alias(f"avg_league_{col}")
+            for _, col, _, _ in WEAKNESS_METRICS
+        ]
+    )
+    per_team = joined.groupBy(
+        season_norm("season").alias("season2"), "team_name"
+    ).agg(*_seven_avgs(games))
+    best = per_team.groupBy("season2").agg(
+        *[
+            (F.min if agg == "min" else F.max)(f"avg_{col}").alias(f"best_{col}")
+            for _, col, _, agg in WEAKNESS_METRICS
+        ]
+    )
+    wide = spurs.join(league, "season2").join(best, "season2")
+
+    stack_args = []
+    for label, col, polarity, _ in WEAKNESS_METRICS:
+        op = "<" if polarity == "lt" else ">"
+        lbl = label.replace("'", "''")
+        stack_args.append(
+            f"'{lbl}', avg_{col}, avg_league_{col}, best_{col}, "
+            f"CASE WHEN avg_{col} {op} avg_league_{col} "
+            f"THEN 'Debilidad' ELSE 'Fortaleza' END"
+        )
+    stack = F.expr(f"stack({len(WEAKNESS_METRICS)}, {', '.join(stack_args)})")
+    return wide.select(
+        "season2",
+        stack.alias(
+            "weakness_type", "valor_equipo", "valor_liga", "valor_mejor_equipo",
+            "resultado",
+        ),
+    )
+
+
+def spurs_player_contributions_unpivoted(silver: dict[str, DataFrame]) -> DataFrame:
+    """Per-Spurs-player averages, long format.
+
+    Reference: dbt/models/spurs_analysis/spurs_player_contributions_unpivoted.sql.
+    """
+    ps = silver["player_stats"]
+    src = (
+        ps.filter(F.col("team_abbreviation") == "SAS")
+        .groupBy("player_id", "player_name", "team_abbreviation")
+        .agg(*_seven_avgs(ps))
+    )
+    stack_args = []
+    for label, col, _, _ in WEAKNESS_METRICS:
+        lbl = label.replace("'", "''")
+        stack_args.append(f"'{lbl}', avg_{col}")
+    stack = F.expr(f"stack({len(WEAKNESS_METRICS)}, {', '.join(stack_args)})")
+    return src.select(
+        "player_id", "player_name", stack.alias("rubro", "valor")
+    )
+
+
+def streaks_and_rivals(silver: dict[str, DataFrame]) -> DataFrame:
+    """Longest win/loss streaks + biggest win/loss margins — one row.
+
+    Reference: dbt/models/spurs_analysis/streaks_and_rivals.sql.
+    Preserved quirk: plus_minus is compared as VARCHAR (lexicographic
+    MAX/MIN, :70,:86). Deviations: streak windows partition by season;
+    deterministic tiebreaks on (streak group) and (opponent).
+    """
+    games = silver["games"]
+    spurs = games.filter(F.col("team_abbreviation") == "SAS").select(
+        season_norm("season").alias("season"),
+        "game_date",
+        "matchup",
+        "plus_minus",
+        F.when(F.col("wl") == "W", 1).otherwise(0).alias("is_win"),
+        F.when(F.col("wl") == "L", 1).otherwise(0).alias("is_loss"),
+    )
+    w = (
+        Window.partitionBy("season")
+        .orderBy("game_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def best_streak(flag: str, brk: str) -> DataFrame:
+        grouped = (
+            spurs.withColumn("grp", F.sum(brk).over(w))
+            .filter(F.col(flag) == 1)
+            .groupBy("season", "grp")
+            .agg(F.count(F.lit(1)).alias("streak_length"))
+        )
+        return grouped.orderBy(
+            F.desc("streak_length"), F.asc("grp")
+        ).limit(1).select("season", "streak_length")
+
+    bws = best_streak("is_win", "is_loss")
+    wls = best_streak("is_loss", "is_win")
+
+    opponent = (
+        F.when(
+            F.col("matchup").like("%vs.%"),
+            F.split_part(F.col("matchup"), F.lit("vs. "), F.lit(2)),
+        )
+        .when(
+            F.col("matchup").like("%@%"),
+            F.split_part(F.col("matchup"), F.lit("@ "), F.lit(2)),
+        )
+        .otherwise(F.col("matchup"))
+    )
+
+    def extreme_game(agg, order) -> DataFrame:
+        ext = spurs.agg(agg(F.col("plus_minus")).alias("ext"))  # VARCHAR max/min!
+        return (
+            spurs.join(F.broadcast(ext), spurs.plus_minus == ext.ext)
+            .select("season", opponent.alias("opponent"),
+                    F.col("plus_minus").alias("point_differential"))
+            .orderBy(order("point_differential"), F.asc("opponent"))
+            .limit(1)
+        )
+
+    bw = extreme_game(F.max, F.desc)
+    bl = extreme_game(F.min, F.asc)
+
+    return (
+        bws.select(
+            F.col("season").alias("best_winning_streak_season"),
+            F.col("streak_length").alias("best_winning_streak_length"),
+        )
+        .crossJoin(
+            wls.select(
+                F.col("season").alias("worst_losing_streak_season"),
+                F.col("streak_length").alias("worst_losing_streak_length"),
+            )
+        )
+        .crossJoin(
+            bw.select(
+                F.col("season").alias("biggest_win_season"),
+                F.col("opponent").alias("team_beat_by_most"),
+                F.col("point_differential").alias("biggest_win_margin"),
+            )
+        )
+        .crossJoin(
+            bl.select(
+                F.col("season").alias("biggest_loss_season"),
+                F.col("opponent").alias("team_lost_to_by_most"),
+                F.col("point_differential").alias("biggest_loss_margin"),
+            )
+        )
+    )
+
+
+# players_recommendations branch metadata — labels/positions/reasons are
+# the reference's output contract (players_recommendations.sql:54-147)
+RECOMMENDATION_BRANCHES = [
+    ("Porcentaje de tiro de campo", "fg_pct", False, ("G", "F"),
+     "Contratar un tirador de élite para mejorar la eficiencia del tiro."),
+    ("Porcentaje de tres", "fg3_pct", False, ("G", "G-F", "F"),
+     "Contratar un tirador de élite para abrir el campo."),
+    ("Rebotes", "reb", False, ("F", "F-C", "C"),
+     "Adquirir un rebotador consistente para controlar los tableros."),
+    ("Pérdidas de balón", "tov", True, ("G",),
+     "Incorporar un base que reduzca las pérdidas de balón."),
+    ("Robos", "stl", False, ("G", "F"),
+     "Firmar un defensor perimetral para mejorar la defensa en el robo de balones."),
+    ("Bloqueos", "blk", False, ("F-C", "C"),
+     "Contratar un defensor interior para proteger el aro y aumentar los bloqueos."),
+    ("Diferencial Puntos", "plus_minus", False, None,
+     "Contratar a un jugador con impacto positivo en el diferencial de puntos."),
+]
+
+
+def players_recommendations(
+    silver: dict[str, DataFrame], weaknesses: DataFrame | None = None
+) -> DataFrame:
+    """Top-5 signing candidates per detected weakness.
+
+    Reference: dbt/models/spurs_analysis/players_recommendations.sql.
+    The one model->model edge: consumes team_weaknesses_unpivoted
+    (ref() at :7). Deviation: ROW_NUMBER tiebreak on player_id.
+    Preserved quirk: MAX(salary_usd) over VARCHAR (:51).
+    """
+    if weaknesses is None:
+        weaknesses = team_weaknesses_unpivoted(silver)
+
+    players, ps = silver["players"], silver["player_stats"]
+    p = players.select("player_id", "player", "position").distinct()
+    pgs = ps.groupBy("player_id", "player_name").agg(*_seven_avgs(ps))
+    fa = silver["free_agents"].select(F.col("player_id").alias("fa_pid"))
+    inj = silver["injuries"].select(F.col("player_id").alias("inj_pid")).distinct()
+    sal = (
+        silver["salaries"]
+        .groupBy("player_id")
+        .agg(F.max("salary_usd").alias("salary_usd"))  # VARCHAR max, as reference
+        .select(F.col("player_id").alias("sal_pid"), "salary_usd")
+    )
+
+    ranked = (
+        p.join(pgs, "player_id")
+        .join(F.broadcast(fa), p.player_id == fa.fa_pid, "left")
+        .join(F.broadcast(inj), p.player_id == inj.inj_pid, "left")
+        .join(sal, p.player_id == sal.sal_pid, "left")
+        .select(
+            "player_id",
+            F.col("player").alias("player_name"),
+            "position",
+            F.col("fa_pid").isNotNull().alias("is_free_agent"),
+            F.col("inj_pid").isNotNull().alias("is_injured"),
+            F.col("salary_usd").cast("double").alias("salary"),
+            *[F.col(f"avg_{c}") for _, c, _, _ in WEAKNESS_METRICS],
+        )
+    )
+    for _, col, asc, _, _ in RECOMMENDATION_BRANCHES:
+        order = (
+            [F.asc(f"avg_{col}"), F.asc("player_id")]
+            if asc
+            else [F.desc(f"avg_{col}"), F.asc("player_id")]
+        )
+        ranked = ranked.withColumn(
+            f"rank_{col}", F.row_number().over(Window.orderBy(*order))
+        )
+
+    branches = []
+    for label, col, _, positions, reason in RECOMMENDATION_BRANCHES:
+        cond = F.col(f"rank_{col}") <= 5
+        if positions is not None:
+            cond = cond & F.col("position").isin(*positions)
+        branches.append(
+            ranked.filter(cond).select(
+                F.lit(label).alias("weakness_type"),
+                "player_id",
+                "is_free_agent",
+                "is_injured",
+                "player_name",
+                F.col(f"avg_{col}").alias("metric_value"),
+                "position",
+                "salary",
+                F.lit(reason).alias("reason"),
+            )
+        )
+    top_targets = branches[0]
+    for b in branches[1:]:
+        top_targets = top_targets.unionByName(b)
+
+    weak = weaknesses.filter(F.col("resultado") == "Debilidad").select(
+        "season2", "weakness_type"
+    )
+    return weak.join(top_targets, "weakness_type").select(
+        "season2",
+        "weakness_type",
+        F.col("player_name").alias("recommended_player"),
+        "position",
+        "metric_value",
+        "salary",
+        "reason",
+        "player_id",
+        "is_free_agent",
+        "is_injured",
+    )
+
+
+def build_all(silver: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """All six gold models in dependency order (the dbt DAG)."""
+    weaknesses = team_weaknesses_unpivoted(silver)
+    return {
+        "summary_by_season": summary_by_season(silver),
+        "home_vs_away": home_vs_away(silver),
+        "team_weaknesses_unpivoted": weaknesses,
+        "spurs_player_contributions_unpivoted": spurs_player_contributions_unpivoted(
+            silver
+        ),
+        "streaks_and_rivals": streaks_and_rivals(silver),
+        "players_recommendations": players_recommendations(silver, weaknesses),
+    }

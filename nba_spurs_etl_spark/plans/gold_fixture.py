@@ -1,0 +1,338 @@
+"""Catalog registration: silver fixtures + the six gold models.
+
+Every entry pairs the Spark implementation (synth.py / gold.py) with a
+self-contained DuckDB oracle: the oracle regenerates the identical
+silver fixture in SQL (fixture_sql.SILVER_CTES) and re-derives the gold
+model — end-to-end reference parity, driver-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import synth
+from ..functions.scalar import davg_sql
+from . import gold
+from .fixture_sql import SILVER_CTES
+from .gold import RECOMMENDATION_BRANCHES, WEAKNESS_METRICS
+from .registry import register
+
+_SEASON2 = "CASE WHEN season LIKE '2024' THEN '2024-25' ELSE season END"
+
+
+def _silver(spark: SparkSession):
+    return synth.build_silver(spark)
+
+
+# ---------------------------------------------------------------------------
+# silver fixture parity (generators S5-S7 + scan/normalize semantics)
+# ---------------------------------------------------------------------------
+
+for _tbl in ("games", "teams", "players", "player_stats", "salaries",
+             "free_agents", "injuries"):
+
+    def _mk(tbl: str):
+        def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _silver(spark)[tbl]
+
+        return q
+
+    register(
+        f"silver_{_tbl}",
+        group="2.1-S5/S6/S7/S10/S11",
+        oracle=f"WITH {SILVER_CTES} SELECT * FROM {_tbl}",
+        doc=f"Deterministic hash-derived silver.{_tbl} fixture "
+        "(reference generators dags:50-285, seeded per SURVEY §7.5).",
+    )(_mk(_tbl))
+
+
+# ---------------------------------------------------------------------------
+# gold model oracles (mirror plans/gold.py exactly)
+# ---------------------------------------------------------------------------
+
+
+def _davg(col: str, scale: int = 3) -> str:
+    return davg_sql(col, scale=scale)
+
+
+_SUMMARY_TAIL = f"""
+, base AS (
+  SELECT {_SEASON2} AS season, team_name, wl, CAST(pts AS INT) AS pts
+  FROM games g JOIN teams t ON g.team_id = t.id
+),
+summarized AS (
+  SELECT season, team_name,
+    CAST(COUNT(*) AS BIGINT) AS total_games,
+    CAST(SUM(CASE WHEN wl = 'W' THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+    CAST(SUM(CASE WHEN wl = 'L' THEN 1 ELSE 0 END) AS BIGINT) AS losses,
+    ROUND({_davg("pts", 0)}, 2) AS avg_points
+  FROM base GROUP BY season, team_name
+)
+SELECT season, team_name, wins, losses, total_games, avg_points,
+  CAST(DENSE_RANK() OVER (
+    PARTITION BY season ORDER BY wins DESC, losses ASC, avg_points DESC
+  ) AS INT) AS team_ranking
+FROM summarized
+"""
+
+
+@register(
+    "gold_summary_by_season",
+    group="gold 2.3-J1 2.4-A1 2.5-W1",
+    oracle=f"WITH {SILVER_CTES}{_SUMMARY_TAIL}",
+    doc="summary_by_season.sql end-to-end on the fixture.",
+)
+def gold_summary_by_season(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.summary_by_season(_silver(spark))
+
+
+_HVA_TAIL = f"""
+, base AS (
+  SELECT {_SEASON2} AS season, t.full_name AS team_name,
+    CASE WHEN matchup LIKE '%@%' THEN 'Away' ELSE 'Home' END AS location,
+    wl, CAST(pts AS INT) AS pts
+  FROM games g JOIN teams t ON g.team_id = t.id
+)
+SELECT season, team_name, location,
+  CAST(COUNT(*) AS BIGINT) AS games,
+  CAST(SUM(CASE WHEN wl = 'W' THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+  CAST(SUM(CASE WHEN wl = 'L' THEN 1 ELSE 0 END) AS BIGINT) AS losses,
+  ROUND({_davg("pts", 0)}, 2) AS avg_points
+FROM base GROUP BY season, team_name, location
+"""
+
+
+@register(
+    "gold_home_vs_away",
+    group="gold 2.2-P5/P8 2.4-A2",
+    oracle=f"WITH {SILVER_CTES}{_HVA_TAIL}",
+    doc="home_vs_away.sql end-to-end on the fixture.",
+)
+def gold_home_vs_away(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.home_vs_away(_silver(spark))
+
+
+def _weakness_ctes() -> str:
+    """CTE chain shared by the weaknesses + recommendations oracles."""
+    spurs_avgs = ", ".join(
+        f"{_davg(c)} AS avg_{c}" for _, c, _, _ in WEAKNESS_METRICS
+    )
+    league_avgs = ", ".join(
+        f"{_davg(c)} AS avg_league_{c}" for _, c, _, _ in WEAKNESS_METRICS
+    )
+    best_aggs = ", ".join(
+        f"{'MIN' if agg == 'min' else 'MAX'}(avg_{c}) AS best_{c}"
+        for _, c, _, agg in WEAKNESS_METRICS
+    )
+    branches = []
+    for label, c, pol, _ in WEAKNESS_METRICS:
+        op = "<" if pol == "lt" else ">"
+        lbl = label.replace("'", "''")
+        branches.append(
+            f"SELECT season2, '{lbl}' AS weakness_type, avg_{c} AS valor_equipo, "
+            f"avg_league_{c} AS valor_liga, best_{c} AS valor_mejor_equipo, "
+            f"CASE WHEN avg_{c} {op} avg_league_{c} THEN 'Debilidad' "
+            f"ELSE 'Fortaleza' END AS resultado FROM wide"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+, spurs_stats AS (
+  SELECT {_SEASON2} AS season2, {spurs_avgs}
+  FROM games WHERE team_name = 'San Antonio Spurs' GROUP BY 1
+),
+league AS (
+  SELECT {_SEASON2} AS season2, {league_avgs}
+  FROM games g JOIN teams t ON g.team_id = t.id GROUP BY 1
+),
+per_team AS (
+  SELECT {_SEASON2} AS season2, team_name,
+    {", ".join(f"{_davg(c)} AS avg_{c}" for _, c, _, _ in WEAKNESS_METRICS)}
+  FROM games g JOIN teams t ON g.team_id = t.id GROUP BY 1, 2
+),
+best AS (SELECT season2, {best_aggs} FROM per_team GROUP BY season2),
+wide AS (
+  SELECT ss.*,
+    {", ".join(f"l.avg_league_{c}" for _, c, _, _ in WEAKNESS_METRICS)},
+    {", ".join(f"b.best_{c}" for _, c, _, _ in WEAKNESS_METRICS)}
+  FROM spurs_stats ss
+  JOIN league l ON ss.season2 = l.season2
+  JOIN best b ON ss.season2 = b.season2
+),
+weaknesses AS ({union})"""
+
+
+@register(
+    "gold_team_weaknesses_unpivoted",
+    group="gold 2.4-A3/A4 2.7-U1",
+    oracle=f"WITH {SILVER_CTES}{_weakness_ctes()} SELECT * FROM weaknesses",
+    doc="team_weaknesses_unpivoted.sql end-to-end: one 3-way join + "
+    "stack() vs the reference's 7x repeated join (SURVEY §4).",
+)
+def gold_team_weaknesses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.team_weaknesses_unpivoted(_silver(spark))
+
+
+def _contrib_tail() -> str:
+    avgs = ", ".join(f"{_davg(c)} AS avg_{c}" for _, c, _, _ in WEAKNESS_METRICS)
+    branches = "\nUNION ALL\n".join(
+        f"SELECT player_id, player_name, '{label.replace(chr(39), chr(39) * 2)}' "
+        f"AS rubro, avg_{c} AS valor FROM src"
+        for label, c, _, _ in WEAKNESS_METRICS
+    )
+    return f"""
+, src AS (
+  SELECT player_id, player_name, {avgs}
+  FROM player_stats WHERE team_abbreviation = 'SAS'
+  GROUP BY player_id, player_name, team_abbreviation
+)
+{branches}"""
+
+
+@register(
+    "gold_spurs_player_contributions",
+    group="gold 2.4-A3 2.7-U2",
+    oracle=f"WITH {SILVER_CTES}{_contrib_tail()}",
+    doc="spurs_player_contributions_unpivoted.sql end-to-end.",
+)
+def gold_spurs_player_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.spurs_player_contributions_unpivoted(_silver(spark))
+
+
+_OPP = (
+    "CASE WHEN matchup LIKE '%vs.%' THEN split_part(matchup, 'vs. ', 2) "
+    "WHEN matchup LIKE '%@%' THEN split_part(matchup, '@ ', 2) "
+    "ELSE matchup END"
+)
+
+_STREAKS_TAIL = f"""
+, spurs AS (
+  SELECT {_SEASON2} AS season, game_date, matchup, plus_minus,
+    CASE WHEN wl = 'W' THEN 1 ELSE 0 END AS is_win,
+    CASE WHEN wl = 'L' THEN 1 ELSE 0 END AS is_loss
+  FROM games WHERE team_abbreviation = 'SAS'
+),
+win_seq AS (
+  SELECT season, is_win, SUM(is_loss) OVER (
+    PARTITION BY season ORDER BY game_date
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM spurs
+),
+loss_seq AS (
+  SELECT season, is_loss, SUM(is_win) OVER (
+    PARTITION BY season ORDER BY game_date
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM spurs
+),
+bws AS (
+  SELECT season, CAST(COUNT(*) AS BIGINT) AS streak_length
+  FROM win_seq WHERE is_win = 1 GROUP BY season, grp
+  ORDER BY streak_length DESC, grp ASC LIMIT 1
+),
+wls AS (
+  SELECT season, CAST(COUNT(*) AS BIGINT) AS streak_length
+  FROM loss_seq WHERE is_loss = 1 GROUP BY season, grp
+  ORDER BY streak_length DESC, grp ASC LIMIT 1
+),
+bw AS (
+  SELECT season, {_OPP} AS opponent, plus_minus AS point_differential
+  FROM spurs WHERE plus_minus = (SELECT MAX(plus_minus) FROM spurs)
+  ORDER BY point_differential DESC, opponent ASC LIMIT 1
+),
+bl AS (
+  SELECT season, {_OPP} AS opponent, plus_minus AS point_differential
+  FROM spurs WHERE plus_minus = (SELECT MIN(plus_minus) FROM spurs)
+  ORDER BY point_differential ASC, opponent ASC LIMIT 1
+)
+SELECT
+  bws.season AS best_winning_streak_season,
+  bws.streak_length AS best_winning_streak_length,
+  wls.season AS worst_losing_streak_season,
+  wls.streak_length AS worst_losing_streak_length,
+  bw.season AS biggest_win_season,
+  bw.opponent AS team_beat_by_most,
+  bw.point_differential AS biggest_win_margin,
+  bl.season AS biggest_loss_season,
+  bl.opponent AS team_lost_to_by_most,
+  bl.point_differential AS biggest_loss_margin
+FROM bws CROSS JOIN wls CROSS JOIN bw CROSS JOIN bl
+"""
+
+
+@register(
+    "gold_streaks_and_rivals",
+    group="gold 2.5-W4 2.4-A8/A9 2.6-O1 2.8-F1",
+    oracle=f"WITH {SILVER_CTES}{_STREAKS_TAIL}",
+    doc="streaks_and_rivals.sql end-to-end (VARCHAR plus_minus "
+    "comparison quirk preserved; see plans/gold.py docstring).",
+)
+def gold_streaks_and_rivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.streaks_and_rivals(_silver(spark))
+
+
+def _recommendations_tail() -> str:
+    avgs = ", ".join(f"{_davg(c)} AS avg_{c}" for _, c, _, _ in WEAKNESS_METRICS)
+    ranks = []
+    for _, c, asc, _, _ in RECOMMENDATION_BRANCHES:
+        direction = "ASC" if asc else "DESC"
+        ranks.append(
+            f"ROW_NUMBER() OVER (ORDER BY avg_{c} {direction}, p.player_id ASC)"
+            f" AS rank_{c}"
+        )
+    branches = []
+    for label, c, _, positions, reason in RECOMMENDATION_BRANCHES:
+        lbl = label.replace("'", "''")
+        rsn = reason.replace("'", "''")
+        pos_filter = (
+            ""
+            if positions is None
+            else " AND position IN (" + ", ".join(f"'{p}'" for p in positions) + ")"
+        )
+        branches.append(
+            f"SELECT '{lbl}' AS weakness_type, player_id, is_free_agent, "
+            f"is_injured, player_name, avg_{c} AS metric_value, position, salary, "
+            f"'{rsn}' AS reason FROM ranked WHERE rank_{c} <= 5{pos_filter}"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+, p AS (SELECT DISTINCT player_id, player, position FROM players),
+pgs AS (
+  SELECT player_id, player_name, {avgs}
+  FROM player_stats GROUP BY player_id, player_name
+),
+inj AS (SELECT player_id FROM injuries GROUP BY player_id),
+sal AS (
+  SELECT player_id, MAX(salary_usd) AS salary_usd FROM salaries GROUP BY player_id
+),
+ranked AS (
+  SELECT p.player_id, p.player AS player_name, p.position,
+    fa.player_id IS NOT NULL AS is_free_agent,
+    i.player_id IS NOT NULL AS is_injured,
+    CAST(s.salary_usd AS DOUBLE) AS salary,
+    {", ".join(f"pgs.avg_{c}" for _, c, _, _ in WEAKNESS_METRICS)},
+    {", ".join(ranks)}
+  FROM p
+  JOIN pgs ON p.player_id = pgs.player_id
+  LEFT JOIN free_agents fa ON p.player_id = fa.player_id
+  LEFT JOIN inj i ON p.player_id = i.player_id
+  LEFT JOIN sal s ON p.player_id = s.player_id
+),
+top_targets AS ({union})
+SELECT w.season2, w.weakness_type, t.player_name AS recommended_player,
+  t.position, t.metric_value, t.salary, t.reason, t.player_id,
+  t.is_free_agent, t.is_injured
+FROM (SELECT season2, weakness_type FROM weaknesses
+      WHERE resultado = 'Debilidad') w
+JOIN top_targets t ON w.weakness_type = t.weakness_type
+"""
+
+
+@register(
+    "gold_players_recommendations",
+    group="gold 2.3-J2/J3/J4/J5/J7 2.5-W2 2.7-U3",
+    oracle=f"WITH {SILVER_CTES}{_weakness_ctes()}{_recommendations_tail()}",
+    doc="players_recommendations.sql end-to-end incl. the model->model "
+    "edge onto team_weaknesses (dbt ref()). VARCHAR MAX(salary) quirk "
+    "preserved; ROW_NUMBER tiebreak on player_id both sides.",
+)
+def gold_players_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.players_recommendations(_silver(spark))
