@@ -1,0 +1,318 @@
+"""Deduplication operators for large-scale document corpora.
+
+The reference has only a driver-side dict dedup
+(``/root/reference/dags/spurs_historic_games.py:226-229``, free agents
+by player_id); these operators generalize deduplication to the shapes a
+100 TB training-data pipeline needs. All of them are pure DataFrame
+compositions (no UDFs), and all hashing goes through the cross-engine
+md5 scheme (``functions.scalar.md5_long``) so every operator has a full
+DuckDB oracle.
+
+Scale design (100 TB):
+- **Exact**: hash-groupBy on a 60-bit content hash — one shuffle keyed
+  by hash, perfectly partitionable; no skew (hashes are uniform).
+- **Shingle-based ops** (jaccard / minhash): the classic failure mode
+  is hot shingles (stop-phrases shared by millions of docs) exploding
+  the inverted-index self-join. ``max_shingle_freq`` drops shingles
+  occurring in more than N docs *before* the join — the standard
+  frequency-cap used by production near-dup pipelines; the cap is a
+  groupBy+filter, so it runs map-side-combined and removes skew
+  deterministically.
+- **MinHash+LSH**: signature computation is a single explode +
+  groupBy-min (partial-aggregated map-side); banding turns the O(n^2)
+  pair space into per-band buckets; only same-bucket pairs are joined.
+- **SimHash**: signature is one groupBy over token hashes; candidate
+  pairing here is an all-pairs join within hamming radius — at scale,
+  block on bit-bands of the signature first (same LSH trick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import md5_long
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a space-tokenized text column.
+
+    Guarded for short docs: Spark's sequence(1, 0) yields a DESCENDING
+    [1, 0], so texts with < n tokens must short-circuit to [].
+    """
+    w = tokens(col)
+    # idx i in [1 .. len-n+1]; slice(w, i, n) is the i-th n-gram
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(w) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """(id, shingle) pairs; optionally drop shingles hotter than
+    ``max_shingle_freq`` docs (skew + noise control at scale)."""
+    pairs = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+    if max_shingle_freq is not None:
+        hot = (
+            pairs.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_cnt"))
+            .filter(F.col("df_cnt") <= max_shingle_freq)
+            .select("shingle")
+        )
+        pairs = pairs.join(hot, "shingle")
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical content by 60-bit md5 hash; keep the min id.
+
+    Returns (content_hash, keep_id, dup_cnt). One uniform-keyed shuffle;
+    at 100 TB hash the *content*, never sort the text itself.
+    """
+    return (
+        df.select(
+            md5_long(text_col).alias("content_hash"), F.col(id_col).alias("doc")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard near-dup
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All (a < b) pairs with shingle-set Jaccard >= threshold.
+
+    Inverted-index self-join: |common| per pair from one groupBy over
+    the shingle join; set sizes joined back in; jaccard = c/(na+nb-c).
+    """
+    pairs = exploded_shingles(df, id_col, text_col, n, max_shingle_freq)
+    sizes = pairs.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """(doc, mh_0..mh_{k-1}): per-doc minimum of k salted shingle hashes.
+
+    One explode + one groupBy with k MIN aggregates — partial-aggregated
+    map-side, so the shuffle carries k longs per doc, not the shingles.
+    """
+    pairs = exploded_shingles(df, id_col, text_col, n, max_shingle_freq)
+    hashed = pairs.select(
+        "doc",
+        *[
+            md5_long(F.concat(F.lit(f"mh{i}_"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("doc").agg(
+        *[F.min(f"h{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding of minhash signatures.
+
+    Bands of ``band_size`` rows are hashed to a bucket key; docs sharing
+    any band bucket become a candidate pair. With k=16, r=4: pairs at
+    jaccard s collide with prob 1-(1-s^4)^4 (~0.5 at s~0.55).
+    Returns distinct (doc_a < doc_b) candidates.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, max_shingle_freq)
+    n_bands = num_hashes // band_size
+    band_rows = []
+    for b in range(n_bands):
+        cols = [f"mh_{b * band_size + j}" for j in range(band_size)]
+        key = md5_long(
+            F.concat_ws("_", F.lit(str(b)), *[F.col(c).cast("string") for c in cols])
+        )
+        band_rows.append(sig.select("doc", F.lit(b).alias("band"), key.alias("bkey")))
+    bands = band_rows[0]
+    for r in band_rows[1:]:
+        bands = bands.unionByName(r)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """(doc, simhash): per-doc ``bits``-wide simhash over distinct tokens.
+
+    Bit b is set when more token hashes have bit b set than not —
+    expressed as one groupBy with ``bits`` conditional sums (all
+    JVM-side, map-combined).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+    ).select("doc", md5_long(F.concat(F.lit("sh_"), F.col("token"))).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc").agg(*bit_sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc", sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_a < doc_b, hamming) within a hamming radius.
+
+    All-pairs here (correct + oracle-checkable); the scale path blocks
+    on signature bit-bands first, identical to minhash banding.
+    """
+    sig = simhash_signatures(df, id_col, text_col, bits)
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).alias("hamming")
+    return (
+        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"), ham)
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double — deterministic and
+    reproducible by DuckDB's list_reduce (same fold order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def embedding_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.99
+) -> DataFrame:
+    """(a < b) pairs with cosine >= threshold.
+
+    All-pairs (exact); at scale pre-bucket with the sign-LSH of
+    ``similarity.lsh_bucket`` and only join within buckets.
+    """
+    base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

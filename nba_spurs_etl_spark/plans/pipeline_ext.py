@@ -1,0 +1,508 @@
+"""Catalog registration: large-scale pipeline extension operators.
+
+Dedup family / similarity search / text analysis / multimodal plumbing
+over the ``documents`` and ``embeddings`` testdata tables, each paired
+with a full DuckDB oracle (the operators were designed around
+cross-engine-deterministic primitives precisely so these oracles
+exist — md5-derived hashing, sequential-fold dot products, exact
+integer ratios).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import md5_long_sql
+from ..operators import dedup, multimodal, similarity, textops
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# shared DuckDB fragments
+# ---------------------------------------------------------------------------
+
+# distinct 3-gram shingles of documents.text (mirror of dedup.shingles)
+_SHINGLES_CTE = """
+shingle_pairs AS (
+  SELECT doc_id AS doc, unnest(
+    CASE WHEN len(w) >= 3 THEN
+      list_distinct(list_transform(
+        generate_series(1, len(w) - 2),
+        i -> array_to_string(w[i:i+2], ' ')))
+    ELSE [] END) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Sequential left-fold dot product (matches F.aggregate order)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _cos_sql(av: str, bv: str) -> str:
+    return (
+        f"{_dot_sql(av, bv)} / "
+        f"(sqrt({_dot_sql(av, av)}) * sqrt({_dot_sql(bv, bv)}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    group="ext-dedup",
+    oracle=f"""
+SELECT {md5_long_sql("text")} AS content_hash,
+  CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+  CAST(COUNT(*) AS BIGINT) AS dup_cnt
+FROM documents GROUP BY 1
+""",
+    doc="Exact dedup via 60-bit content hash groupBy; uniform keys, "
+    "one shuffle, no skew at any scale.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# dedup: n-gram jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    group="ext-dedup",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc, COUNT(*) AS n FROM shingle_pairs GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS c
+  FROM shingle_pairs a JOIN shingle_pairs b
+    ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc
+JOIN sizes sb ON doc_b = sb.doc
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+""",
+    doc="Near-dup pairs by 3-gram shingle Jaccard >= 0.5 via inverted-"
+    "index self-join; hot-shingle frequency cap available for skew.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: minhash LSH
+# ---------------------------------------------------------------------------
+
+_NUM_HASHES, _BAND_SIZE = 16, 4
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(
+        "MIN({h}) AS mh_{i}".format(
+            h=md5_long_sql("'mh{i}_' || shingle".format(i=i)), i=i
+        )
+        for i in range(_NUM_HASHES)
+    )
+    band_selects = []
+    for b in range(_NUM_HASHES // _BAND_SIZE):
+        cols = " || '_' || ".join(
+            f"CAST(mh_{b * _BAND_SIZE + j} AS VARCHAR)" for j in range(_BAND_SIZE)
+        )
+        key = md5_long_sql(f"'{b}' || '_' || {cols}")
+        band_selects.append(
+            f"SELECT doc, {b} AS band, {key} AS bkey FROM sig"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc, {mins} FROM shingle_pairs GROUP BY doc),
+bands AS ({bands})
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    group="ext-dedup",
+    oracle=_minhash_oracle(),
+    doc="MinHash(16)+LSH(4x4) candidate pairs: explode->groupBy-min "
+    "signature (map-side combined), band bucket join — O(n^2) pair "
+    "space never materializes.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=_NUM_HASHES,
+        band_size=_BAND_SIZE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: simhash
+# ---------------------------------------------------------------------------
+
+_SIM_BITS, _MAX_HAMMING = 16, 3
+
+
+def _simhash_oracle() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIM_BITS)
+    )
+    simexpr = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(_SIM_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS doc, {md5_long_sql("'sh_' || token")} AS h
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents)
+),
+sums AS (SELECT doc, {sums} FROM tok GROUP BY doc),
+sig AS (SELECT doc, CAST({simexpr} AS BIGINT) AS simhash FROM sums)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
+"""
+
+
+@register(
+    "dedup_simhash",
+    group="ext-dedup",
+    oracle=_simhash_oracle(),
+    doc="SimHash(16-bit) near-dup pairs within hamming<=3; signature is "
+    "one conditional-sum groupBy. Scale path: band-block signatures "
+    "before pairing (same trick as minhash LSH).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        bits=_SIM_BITS,
+        max_hamming=_MAX_HAMMING,
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: embedding cosine
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    group="ext-dedup ext-similarity",
+    oracle=f"""
+WITH e AS (SELECT vec_id AS doc, embedding AS v FROM embeddings)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+  {_cos_sql("a.v", "b.v")} AS cos_sim
+FROM e a JOIN e b ON a.doc < b.doc
+WHERE {_cos_sql("a.v", "b.v")} >= 0.4
+""",
+    doc="Embedding near-dup pairs (cosine >= 0.4). Exact all-pairs; at "
+    "scale pre-bucket via similarity.lsh_bucket and join per bucket.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_TOPK = 5
+# 2^planes buckets; planes must scale DOWN with corpus sparsity (recall)
+# and UP with corpus size (candidate-set cost): 4 -> 16 buckets suits the
+# 500-5k-vector testdata; a 1B-vector corpus wants 12-16 planes.
+_LSH_PLANES = 4
+
+
+def _topk_oracle(bucketed: bool) -> str:
+    bucket_expr = " + ".join(
+        f"CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+        for i in range(_LSH_PLANES)
+    )
+    join = (
+        "c.bucket = q.bucket AND c.cand_id != q.query_id"
+        if bucketed
+        else "c.cand_id != q.query_id"
+    )
+    bucket_col = f", CAST({bucket_expr} AS INT) AS bucket" if bucketed else ""
+    return f"""
+WITH base AS (SELECT vec_id, embedding AS v{bucket_col} FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv{', bucket' if bucketed else ''}
+      FROM base WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS cand_id, v AS cv{', bucket' if bucketed else ''} FROM base),
+scored AS (
+  SELECT query_id, cand_id, {_cos_sql("qv", "cv")} AS cos_sim
+  FROM c JOIN q ON {join}
+)
+SELECT query_id, cand_id, cos_sim, CAST(rn AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rn
+  FROM scored
+) t WHERE rn <= {_TOPK}
+"""
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") % 100 == 0)
+
+
+@register(
+    "similarity_topk_bruteforce",
+    group="ext-similarity",
+    oracle=_topk_oracle(bucketed=False),
+    doc="Exact cosine top-5 per query (queries = vec_id%100==0, "
+    "broadcast); per-query window top-k, no global sort.",
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb, _queries_df(spark, sf_dir), "vec_id", "embedding", k=_TOPK
+    )
+
+
+@register(
+    "similarity_topk_lsh",
+    group="ext-similarity",
+    oracle=_topk_oracle(bucketed=True),
+    doc="LSH-bucketed (sign-pattern, 2^planes buckets) approximate "
+    "top-5: each query scores only its bucket.",
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb, _queries_df(spark, sf_dir), "vec_id", "embedding", k=_TOPK,
+        planes=_LSH_PLANES
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _lang_hits_sql(lang: str) -> str:
+    sw = ", ".join(f"'{s}'" for s in textops.LANG_STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"t -> list_contains([{sw}], t))) AS BIGINT)"
+    )
+
+
+def _lang_case_sql() -> str:
+    langs = list(textops.LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    whens = " ".join(
+        f"WHEN hits_{l} > 0 AND hits_{l} = {best} THEN '{l}'" for l in langs
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+@register(
+    "text_profile",
+    group="ext-text",
+    oracle=f"""
+WITH hits AS (
+  SELECT doc_id, text,
+    {", ".join(f"{_lang_hits_sql(lang)} AS hits_{lang}" for lang in textops.LANG_STOPWORDS)}
+  FROM documents
+)
+SELECT doc_id AS doc,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{textops.TOKEN_REGEX}')) AS BIGINT) AS re_tokens,
+  {_lang_case_sql()} AS lang_guess,
+  {md5_long_sql("array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')")} AS fingerprint
+FROM hits
+""",
+    doc="Per-doc text profile: whitespace + BPE-ish regex token counts, "
+    "stopword-vote language ID, order-insensitive content fingerprint. "
+    "Pure per-row expressions — zero shuffle.",
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.text_profile(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@register(
+    "text_quality",
+    group="ext-text",
+    oracle="""
+SELECT doc_id AS doc,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+    / len(string_split(text, ' ')) AS distinct_ratio,
+  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+    / len(string_split(text, ' ')) AS mean_word_len,
+  CAST(len(list_filter(string_split(text, ' '),
+    t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))
+    AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+    / length(text) AS alpha_ratio,
+  0.25 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+  + 0.25 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')))
+  + 0.25 * least(2 * CAST(len(list_filter(string_split(text, ' '),
+      t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))
+      AS DOUBLE) / len(string_split(text, ' ')), 1.0)
+  + 0.25 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+            / length(text)) AS quality_score
+FROM documents
+""",
+    doc="Corpus-filtering quality features + composite score; exact "
+    "integer ratios -> bit-identical doubles.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_features(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (real mapInPandas path vs SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    group="ext-multimodal",
+    oracle=f"""
+SELECT doc_id AS doc,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  {md5_long_sql("text")} AS byte_hash,
+  CAST(160 + {md5_long_sql("text")} % 1760 AS INT) AS fake_width,
+  CAST(90 + {md5_long_sql("text")} % 997 AS INT) AS fake_height
+FROM documents
+""",
+    doc="Opaque-binary featurization through a REAL Arrow mapInPandas "
+    "pass (python md5 == SQL md5 on the same bytes); decode stubs "
+    "gate the codec-dependent steps.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.with_binary_payload(
+        load_table(spark, sf_dir, "documents"), "text"
+    )
+    return multimodal.featurize_binary(docs, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregation + sessionization (batch forms)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_agg",
+    group="ext-stream 2.9",
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR) AS window_start,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="5-minute tumbling window aggregate (batch form; the streaming "
+    "twin in streaming/events.py computes the identical frame).",
+)
+def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    group="ext-stream 2.9 2.5-W4",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+      OR lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+    THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, value, us,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM seq
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(MIN(us) AS BIGINT) AS session_start_us,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sess
+GROUP BY user_id, session_no
+""",
+    doc="Batch sessionization (30-min gap) via lag + running-sum "
+    "gaps-and-islands, partitioned per user — the batch-equivalent of "
+    "the streaming session_window (tested against it).",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.withColumn(
+        "is_new",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > 1_800_000_000)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = seq.withColumn("session_no", F.sum("is_new").over(run))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("session_start_us"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "session_value"
+        ),
+    )

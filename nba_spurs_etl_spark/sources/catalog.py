@@ -53,9 +53,8 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer div — ns magnitudes (~1.7e18) overflow double precision
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,0 +1,17 @@
+from .events import (
+    read_events_stream,
+    run_stream_to_table,
+    stream_dedup,
+    stream_session_agg,
+    stream_sliding_agg,
+    stream_tumbling_agg,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_stream_to_table",
+    "stream_dedup",
+    "stream_session_agg",
+    "stream_sliding_agg",
+    "stream_tumbling_agg",
+]

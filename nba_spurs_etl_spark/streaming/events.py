@@ -1,0 +1,151 @@
+"""Structured Streaming surface over the events table.
+
+The reference is strictly batch (weekly full refresh, SURVEY §2.9);
+this module is the engine's streaming extension: the same windowed
+aggregations the batch catalog runs (``plans.pipeline_ext``), expressed
+as streaming plans with watermarks, plus streaming dedup and session
+windows. Batch-equivalence is the correctness strategy: every streaming
+query has a batch twin, and ``tests/test_streaming.py`` runs both over
+the same parquet input.
+
+Scale notes:
+- watermark (10 min) bounds state: windows/sessions older than the
+  watermark are finalized and evicted — mandatory for unbounded runs;
+- ``dropDuplicates`` keyed on event_id with a watermark keeps the
+  dedup state window-bounded (exactly the exact-dedup operator's
+  semantics, incrementalized);
+- parquet source here stands in for Kafka/object-store feeds; the
+  transformations are source-agnostic.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# raw parquet schema: ts read as raw ns longs (see sources.catalog._load_events)
+_EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_name_counter = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of <sf_dir>/events.parquet.
+
+    Same ns->us timestamp normalization as the batch loader, with an
+    explicit schema (streams cannot infer)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_agg(events: DataFrame) -> DataFrame:
+    """5-minute tumbling counts/sums per event_type (batch twin:
+    plans.pipeline_ext.events_tumbling_agg)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "events",
+            "total_value",
+        )
+    )
+
+
+def stream_sliding_agg(events: DataFrame) -> DataFrame:
+    """10-minute windows sliding every 5 minutes: rolling event rate."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "events",
+            "total_value",
+        )
+    )
+
+
+def stream_session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (30-min inactivity gap) — the native
+    stateful session operator; batch twin is the gaps-and-islands
+    sessionization (plans.pipeline_ext.events_sessionize)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame) -> DataFrame:
+    """Streaming exact-dedup on event_id with watermark-bounded state."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+
+
+def run_stream_to_table(
+    df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a streaming DataFrame into a memory sink (availableNow)
+    and return the materialized batch result.
+
+    complete mode is used for windowed aggregations so windows still
+    open at end-of-input are emitted too (append mode would hold them
+    back behind the watermark — correct for unbounded streams, wrong
+    for drain-and-compare tests)."""
+    name = f"stream_sink_{next(_name_counter)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
