@@ -1,0 +1,78 @@
+"""End-to-end pipeline: bronze JSON -> silver -> gold -> quality.
+
+The JSON round-trip must be lossless (all-string columns), silver PK
+validation must behave like the reference's INSERT (raise on dup), and
+the pipeline's gold must equal gold computed directly on synth silver.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from nba_spurs_etl_spark import quality, synth
+from nba_spurs_etl_spark.normalize import normalize_columns, project_to_schema
+from nba_spurs_etl_spark.pipeline import run_pipeline
+from nba_spurs_etl_spark.plans import gold
+from nba_spurs_etl_spark.sources.silver import PrimaryKeyViolation, validate_pk
+
+
+def _ms(df):
+    return Counter(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def gold_tables(spark):
+    with tempfile.TemporaryDirectory() as work:
+        yield run_pipeline(spark, work, materialize_gold=False)
+
+
+def test_pipeline_gold_matches_direct(spark, gold_tables):
+    direct = gold.build_all(synth.build_silver(spark))
+    for name in direct:
+        assert _ms(gold_tables[name]) == _ms(direct[name]), name
+
+
+def test_pipeline_quality_green(gold_tables):
+    results = quality.run_checks(gold_tables)
+    assert len(results) == 12
+    assert all(v == 0 for v in results.values())
+
+
+def test_quality_catches_bad_values(spark, gold_tables):
+    broken = dict(gold_tables)
+    broken["home_vs_away"] = gold_tables["home_vs_away"].withColumn(
+        "location", F.lit("Neutral")
+    )
+    with pytest.raises(quality.QualityError, match="home_vs_away.location"):
+        quality.run_checks(broken)
+
+
+def test_pk_validation_raises_on_duplicates(spark):
+    teams = synth.build_teams(spark)
+    assert validate_pk(teams, ("id",)) == 0
+    dup = teams.unionByName(teams.limit(1))
+    assert validate_pk(dup, ("id",)) == 1
+    with pytest.raises(PrimaryKeyViolation):
+        from nba_spurs_etl_spark.sources import silver as silver_mod
+
+        with tempfile.TemporaryDirectory() as d:
+            dup.write.mode("overwrite").json(f"{d}/teams")
+            silver_mod.load_silver_table(spark, d, "teams")
+
+
+def test_normalize_first_wins_and_projection(spark):
+    df = spark.createDataFrame(
+        [("x", "y", "z", "2024")], ["PLAYER_ID", "Player_Id", "Name", "SEASON_YEAR"]
+    )
+    norm = normalize_columns(df)
+    # lowercase fold collides PLAYER_ID/Player_Id -> first kept;
+    # season_year renamed via the one live COLUMN_MAPPINGS entry
+    assert norm.columns == ["player_id", "name", "season"]
+    proj = project_to_schema(norm, ["player_id", "season", "missing_col"])
+    row = proj.collect()[0]
+    assert row.player_id == "x" and row.season == "2024"
+    assert row.missing_col is None
