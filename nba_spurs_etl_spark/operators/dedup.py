@@ -298,21 +298,45 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def embedding_dup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.99
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.99,
+    lsh_planes: int | None = None,
 ) -> DataFrame:
     """(a < b) pairs with cosine >= threshold.
 
-    All-pairs (exact); at scale pre-bucket with the sign-LSH of
-    ``similarity.lsh_bucket`` and only join within buckets.
+    Norms are hoisted (computed once per vector, not once per pair —
+    bit-identical result, 3x less fold work). ``lsh_planes=None`` is
+    the exact all-pairs form; with planes set, pairs are restricted to
+    the same sign-LSH bucket (2^planes buckets) — the scale path: the
+    O(n^2) pair space shrinks by ~2^planes while true near-dups
+    (cosine ~ 1) almost always share sign patterns.
     """
-    base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
+    from .similarity import lsh_bucket  # local import, avoids cycle
+
+    v = F.col(vec_col)
+    cols = [
+        F.col(id_col).alias("doc"),
+        v.alias("v"),
+        F.sqrt(_dot(v, v)).alias("nrm"),
+    ]
+    if lsh_planes is not None:
+        cols.append(lsh_bucket(v, lsh_planes).alias("bucket"))
+    base = df.select(*cols)
     a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.doc") < F.col("b.doc")
+    if lsh_planes is not None:
+        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
     return (
-        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        a.join(b, cond)
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            (
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -209,22 +209,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_DUP_PLANES = 6  # 64 sign-LSH buckets: ~2^6 reduction of the pair space
+
+_DUP_BUCKET = " + ".join(
+    f"CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+    for i in range(_DUP_PLANES)
+)
+
+
 @register(
     "dedup_embedding_cosine",
     group="ext-dedup ext-similarity",
     oracle=f"""
-WITH e AS (SELECT vec_id AS doc, embedding AS v FROM embeddings)
-SELECT a.doc AS doc_a, b.doc AS doc_b,
-  {_cos_sql("a.v", "b.v")} AS cos_sim
-FROM e a JOIN e b ON a.doc < b.doc
-WHERE {_cos_sql("a.v", "b.v")} >= 0.4
+WITH e AS (
+  SELECT vec_id AS doc, v, sqrt({_dot_sql("v", "v")}) AS nrm,
+    CAST({_DUP_BUCKET} AS INT) AS bucket
+  FROM (SELECT vec_id, embedding AS v FROM embeddings)
+)
+SELECT doc_a, doc_b, cos_sim FROM (
+  SELECT a.doc AS doc_a, b.doc AS doc_b,
+    {_dot_sql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos_sim
+  FROM e a JOIN e b ON a.doc < b.doc AND a.bucket = b.bucket
+) t WHERE cos_sim >= 0.4
 """,
-    doc="Embedding near-dup pairs (cosine >= 0.4). Exact all-pairs; at "
-    "scale pre-bucket via similarity.lsh_bucket and join per bucket.",
+    doc="Embedding near-dup pairs (cosine >= 0.4) within sign-LSH "
+    "buckets (64) — the scale form: pair space / 2^planes, hoisted "
+    "norms. Single-table LSH is a candidate PRUNER: recall is high "
+    "only in the true near-dup regime (cos ~ 1, where sign patterns "
+    "agree); production recall comes from band-OR over multiple plane "
+    "sets, exactly like minhash banding. Exact all-pairs form: "
+    "lsh_planes=None (observed on this corpus at threshold 0.4: "
+    "59 exact pairs, 7 bucketed — the 0.4 regime is far from "
+    "near-dup, so prune loss is expected and documented).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+        lsh_planes=_DUP_PLANES,
     )
 
 
