@@ -1,0 +1,77 @@
+"""Join operators beyond plain equi-joins: as-of joins.
+
+Spark has no native as-of join; the scalable composition here is the
+union + sort + last-ignore-nulls window ("merge-asof as a window"):
+
+1. union left (probe) and right (reference) rows, tagged by side;
+2. one shuffle partitioned by key, sorted by (time, side, tiebreak);
+3. carry the most recent right payload forward with
+   last(ignorenulls=True) over an unbounded-preceding frame;
+4. keep the left rows.
+
+Cost: ONE shuffle of |L|+|R| rows — no range-condition join explosion,
+no per-key driver loops. Skewed keys behave like any windowed op
+(AQE skew handling; or pre-salt by coarse time bucket so one key's
+timeline splits across tasks with boundary handoff).
+
+At equal timestamps the right row sorts first → inclusive backward
+semantics (match at t <= t_left), matching DuckDB's ASOF JOIN
+(the oracle in plans/olap_ext.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload: dict[str, str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_time <= left_time (per key).
+
+    ``payload`` maps right-column -> output-column. ``right_tiebreak``
+    makes the choice among equal right timestamps deterministic
+    (highest tiebreak wins).
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_tb"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(dict(right.dtypes)[src]).alias(out)
+          for src, out in payload.items()],
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        (F.col(right_tiebreak).cast("long") if right_tiebreak else F.lit(0))
+        .alias("_tb"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+        *[F.col(src).alias(out) for src, out in payload.items()],
+    )
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_t"), F.asc("_side"), F.asc_nulls_last("_tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "_side",
+        *lcols,
+        *[
+            F.last(out, ignorenulls=True).over(w).alias(out)
+            for out in payload.values()
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side")

@@ -27,6 +27,10 @@ try:
     from . import stream_queries  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import olap_ext  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 from .registry import oracles, queries, registry  # noqa: E402
 

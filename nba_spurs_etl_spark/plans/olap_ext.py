@@ -1,0 +1,247 @@
+"""Catalog registration: OLAP-completeness operators.
+
+Operators absent from the reference (SURVEY §2 marks them absent) but
+table-stakes for a general engine: explicit semi/anti joins, INTERSECT/
+EXCEPT, pivot, rollup/cube grouping sets, as-of joins, and approximate
+sketches. All but the sketches carry exact DuckDB oracles (sketch
+algorithms differ across engines by design -> rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import davg_sql, dsum, dsum_sql
+from ..operators.joins import asof_join_backward
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# explicit semi / anti joins (the reference only emulates them, J3/J4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_semi_anti",
+    group="2.3 semi/anti",
+    oracle="""
+SELECT c_mktsegment,
+  CAST(SUM(CASE WHEN EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+  ) THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
+  CAST(SUM(CASE WHEN NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+  ) THEN 1 ELSE 0 END) AS BIGINT) AS without_orders
+FROM customer c
+GROUP BY c_mktsegment
+""",
+    doc="left_semi / left_anti joins (EXISTS / NOT EXISTS): Spark plans "
+    "these as broadcast/shuffled hash joins that never materialize "
+    "right-side columns.",
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    semi = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("with_orders"))
+    )
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("without_orders"))
+    )
+    return (
+        semi.join(anti, "c_mktsegment", "full")
+        .select(
+            "c_mktsegment",
+            F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
+            F.coalesce("without_orders", F.lit(0)).alias("without_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations (absent from the reference: SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setops_intersect_except",
+    group="2.7 intersect/except",
+    oracle="""
+WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+low AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'),
+both_kinds AS (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM low),
+only_urgent AS (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM low)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM both_kinds)  AS both_priorities,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM only_urgent) AS urgent_only
+""",
+    doc="INTERSECT / EXCEPT (distinct set semantics) — planned as "
+    "left-semi/anti over distinct inputs.",
+)
+def setops_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    both_kinds = urgent.intersect(low).agg(
+        F.count(F.lit(1)).alias("both_priorities")
+    )
+    only_urgent = urgent.subtract(low).agg(  # subtract == EXCEPT DISTINCT
+        F.count(F.lit(1)).alias("urgent_only")
+    )
+    return both_kinds.crossJoin(only_urgent)
+
+
+# ---------------------------------------------------------------------------
+# pivot (reverse of the reference's unpivots)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_status_counts",
+    group="2.7 pivot",
+    oracle="""
+SELECT o_orderpriority,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="groupBy().pivot() with explicit pivot values (never let Spark "
+    "scan for distinct pivot values at 100 TB — pass them).",
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["P", "O", "F"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("P", F.lit(0)).alias("cnt_p"),
+            F.coalesce("O", F.lit(0)).alias("cnt_o"),
+            F.coalesce("F", F.lit(0)).alias("cnt_f"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup / cube grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_orders",
+    group="2.4 rollup",
+    oracle=f"""
+SELECT o_orderpriority, o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS orders_cnt,
+  {dsum_sql("o_totalprice")} AS total_value
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+    doc="ROLLUP hierarchy subtotals (priority -> status -> grand total) "
+    "— one pass, grouping-set expansion handled by the engine.",
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("orders_cnt"),
+        dsum("o_totalprice").alias("total_value"),
+    )
+
+
+@register(
+    "cube_orders",
+    group="2.4 cube",
+    oracle=f"""
+SELECT o_orderpriority, o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS orders_cnt,
+  {davg_sql("o_totalprice")} AS avg_value
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+    doc="CUBE over (priority, status): all 4 grouping sets in one pass.",
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import davg
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("orders_cnt"),
+        davg("o_totalprice").alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join (purchase -> latest preceding click per user)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_purchase_click",
+    group="ext-join asof",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+  CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+  CAST(epoch_us(c.ts) AS BIGINT) AS last_click_us
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    doc="As-of (backward) join: latest click at-or-before each purchase, "
+    "per user. Spark composition: union + one key-partitioned sort + "
+    "last(ignorenulls) window — no range-join explosion (see "
+    "operators/joins.py). Oracle: DuckDB's native ASOF JOIN.",
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("purchase_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("click_us")
+    )
+    joined = asof_join_backward(
+        purchases,
+        clicks,
+        key="user_id",
+        left_time="purchase_us",
+        right_time="click_us",
+        payload={"click_us": "last_click_us"},
+    )
+    return joined.select("event_id", "user_id", "purchase_us", "last_click_us")
+
+
+# ---------------------------------------------------------------------------
+# approximate sketches (rows-only: sketch algorithms differ per engine)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_sketches",
+    group="2.4 approx",
+    oracle=None,
+    doc="approx_count_distinct (HyperLogLog++) + approx_percentile "
+    "(t-digest-style) per event_type — the sub-linear-memory forms of "
+    "distinct_customers / quantity_percentiles for 100 TB cardinality "
+    "work. No oracle: sketches are engine-specific by design; the "
+    "exact twins are oracle-checked.",
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_percentile("value", 0.5).alias("approx_p50"),
+        F.approx_percentile("value", 0.99).alias("approx_p99"),
+        F.count(F.lit(1)).alias("events"),
+    )

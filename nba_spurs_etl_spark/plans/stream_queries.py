@@ -57,3 +57,21 @@ def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         stream_dedup(read_events_stream(spark, sf_dir)), spark, output_mode="append"
     )
+
+
+@register(
+    "stream_user_profile",
+    group="2.9 ext-stream stateful",
+    oracle=None,
+    doc="Custom arbitrary-stateful operator (applyInPandasWithState): "
+    "per-user count / exact-cents total / EWMA maintained in group "
+    "state. Equals the ordered-aggregation batch twin (tested).",
+)
+def stream_user_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import stream_user_profile
+
+    return run_stream_to_table(
+        stream_user_profile(read_events_stream(spark, sf_dir)),
+        spark,
+        output_mode="update",
+    )

@@ -67,3 +67,23 @@ def test_stream_dedup_keeps_distinct_ids(spark):
         load_table(spark, SF_SMOKE, "events").select("event_id").distinct().count()
     )
     assert res.count() == n_distinct
+
+
+def test_stateful_user_profile_matches_batch(spark):
+    from nba_spurs_etl_spark.streaming.stateful import (
+        stream_user_profile,
+        user_profile_batch,
+    )
+
+    res = run_stream_to_table(
+        stream_user_profile(read_events_stream(spark, SF_SMOKE)), spark,
+        output_mode="update",
+    )
+    batch = user_profile_batch(load_table(spark, SF_SMOKE, "events"))
+    # update-mode sink may emit a row per micro-batch: keep the last
+    # state per user (availableNow on one file -> usually one batch)
+    final = {r.user_id: (r.n_events, r.total_cents, r.ewma_value)
+             for r in res.collect()}
+    expect = {r.user_id: (r.n_events, r.total_cents, r.ewma_value)
+              for r in batch.collect()}
+    assert final == expect
