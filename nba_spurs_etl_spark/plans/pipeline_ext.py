@@ -530,3 +530,44 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value"
         ),
     )
+
+
+@register(
+    "events_sliding_agg",
+    group="ext-stream 2.9",
+    oracle="""
+WITH expanded AS (
+  SELECT CAST(unnest([
+      time_bucket(INTERVAL '5 minutes', ts),
+      time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+    ]) AS VARCHAR) AS window_start,
+    event_type, value
+  FROM events
+)
+SELECT window_start, event_type,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM expanded
+GROUP BY window_start, event_type
+""",
+    doc="10-min windows sliding every 5 (batch form of the streaming "
+    "twin): every event expands to exactly 2 windows; the oracle "
+    "unnests the two bucket starts explicitly.",
+)
+def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "events",
+            "total_value",
+        )
+    )
