@@ -58,6 +58,12 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local"):
+        # testdata is a handful of small files: split them finer so all
+        # cores scan in parallel (measured ~30% on the bench suite).
+        # Cluster deployments keep the 128 MiB default — at 100 TB a
+        # 16 MiB split would mean millions of tasks for no benefit.
+        builder = builder.config("spark.sql.files.maxPartitionBytes", "16m")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
