@@ -340,3 +340,63 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-group clustering (connected components over dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """(doc, component) for every doc appearing in the pair list, where
+    component = min doc id of its connected component.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds — dup clusters from LSH are near-
+    cliques, so 2-3 rounds in practice. This is the one iterative
+    algorithm in the engine; per-round lineage is truncated with
+    localCheckpoint (on a cluster: set a checkpoint dir, or switch to
+    the large-star/small-star variant for graphs with long chains).
+
+    Deterministic output (min over a set), so the DuckDB oracle is a
+    recursive-CTE transitive closure + MIN.
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc)
+            .groupBy(F.col("dst").alias("doc"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("label").alias("component"))

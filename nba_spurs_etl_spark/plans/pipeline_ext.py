@@ -111,7 +111,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NUM_HASHES, _BAND_SIZE = 16, 4
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_ctes() -> str:
+    """WITH-clause body ending in a ``cand`` CTE of candidate pairs
+    (shared by the pairs query and the components query)."""
     mins = ", ".join(
         "MIN({h}) AS mh_{i}".format(
             h=md5_long_sql("'mh{i}_' || shingle".format(i=i)), i=i
@@ -128,14 +130,18 @@ def _minhash_oracle() -> str:
             f"SELECT doc, {b} AS band, {key} AS bkey FROM sig"
         )
     bands = "\nUNION ALL\n".join(band_selects)
-    return f"""
-WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
 sig AS (SELECT doc, {mins} FROM shingle_pairs GROUP BY doc),
-bands AS ({bands})
-SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
-"""
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_pairs_ctes()}\nSELECT doc_a, doc_b FROM cand"
 
 
 @register(
@@ -571,3 +577,39 @@ def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "dedup_minhash_components",
+    group="ext-dedup iterative",
+    oracle=f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+walk(doc, label) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.doc = e.src
+)
+SELECT doc, CAST(MIN(label) AS BIGINT) AS component
+FROM walk GROUP BY doc
+""",
+    doc="Duplicate GROUPS: connected components over the minhash-LSH "
+    "candidate pairs via iterative min-label propagation (the engine's "
+    "iterative-algorithm path; converges in O(cluster diameter) "
+    "rounds, lineage checkpointed per round). Oracle: recursive-CTE "
+    "transitive closure + MIN.",
+)
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=_NUM_HASHES,
+        band_size=_BAND_SIZE,
+    )
+    return dedup.connected_components(pairs)

@@ -1,0 +1,165 @@
+"""Unit/property tests for operator primitives.
+
+Parity tests cover the happy path at corpus scale; these cover edge
+cases and algebraic properties with adversarial small inputs
+(hypothesis generates the graphs/strings, a pure-python model checks
+the Spark answer).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nba_spurs_etl_spark.normalize import normalize_columns, normalized_name
+from nba_spurs_etl_spark.operators.dedup import (
+    connected_components,
+    shingles,
+)
+from nba_spurs_etl_spark.operators.joins import asof_join_backward
+
+
+# ---------------------------------------------------------------------------
+# shingles: short-document guard
+# ---------------------------------------------------------------------------
+
+
+def test_shingles_short_docs(spark):
+    df = spark.createDataFrame(
+        [("",), ("one",), ("one two",), ("one two three",), ("a b c d",)],
+        ["text"],
+    )
+    rows = df.select(F.size(shingles("text", 3)).alias("n")).collect()
+    assert [r.n for r in rows] == [0, 0, 0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# connected components vs union-find model
+# ---------------------------------------------------------------------------
+
+
+def _model_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min node of the set
+    labels: dict[int, int] = {}
+    for node in parent:
+        root = find(node)
+        labels[node] = min(labels.get(root, root), root)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], ["doc_a", "doc_b"]
+    )
+    got = {r.doc: r.component for r in connected_components(pairs).collect()}
+    want = _model_components(edges)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# as-of join vs brute-force model
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(  # (key, time) probes
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(  # (key, time, value) references
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 999)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, probes, refs):
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(probes)], ["pid", "k", "t"]
+    )
+    right = spark.createDataFrame(
+        [(i, k, t, v) for i, (k, t, v) in enumerate(refs)],
+        "rid long, k long, rt long, v long",
+    )
+    got = {
+        r.pid: r.matched_rt
+        for r in asof_join_backward(
+            left,
+            right,
+            key="k",
+            left_time="t",
+            right_time="rt",
+            payload={"rt": "matched_rt"},
+            right_tiebreak="rid",
+        ).collect()
+    }
+    for i, (k, t) in enumerate(probes):
+        eligible = [rt for (rk, rt, _) in refs if rk == k and rt <= t]
+        want = max(eligible) if eligible else None
+        assert got[i] == want, (i, k, t, eligible)
+
+
+# ---------------------------------------------------------------------------
+# normalization properties
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(st.text(alphabet="aAbB_", min_size=1, max_size=8),
+                min_size=1, max_size=6, unique_by=lambda s: s.lower()))
+@settings(max_examples=10, deadline=None)
+def test_normalized_name_idempotent(cols):
+    for c in cols:
+        once = normalized_name(c)
+        assert normalized_name(once) == once
+
+
+def test_normalize_columns_no_active_rename_for_season_upper(spark):
+    # the reference's 'SEASON' mapping entry is dead code (SURVEY §1.2):
+    # SEASON folds to 'season' untouched, SEASON_YEAR renames to season
+    df1 = spark.createDataFrame([("x",)], ["SEASON"])
+    assert normalize_columns(df1).columns == ["season"]
+    df2 = spark.createDataFrame([("x",)], ["SEASON_YEAR"])
+    assert normalize_columns(df2).columns == ["season"]
+
+
+# ---------------------------------------------------------------------------
+# partition pruning proof (silver warehouse layout)
+# ---------------------------------------------------------------------------
+
+
+def test_silver_games_partition_pruning(spark, tmp_path):
+    from nba_spurs_etl_spark import synth
+    from nba_spurs_etl_spark.sources.silver import save_warehouse
+
+    games = synth.build_games(spark)
+    save_warehouse({"games": games}, str(tmp_path))
+    scan = spark.read.parquet(str(tmp_path / "games")).filter(
+        F.col("season") == "2024-25"
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "season" in plan
