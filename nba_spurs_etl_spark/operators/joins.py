@@ -75,3 +75,50 @@ def asof_join_backward(
         ],
     )
     return carried.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join_buckets(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_time: str,
+    start: str,
+    end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Point-in-interval (range) join via time bucketing.
+
+    Spark has no native range join; the naive key-only equi-join +
+    filter degenerates when one key has many intervals/points. The
+    scalable composition: explode each interval into the fixed-width
+    buckets it covers, bucket each point once, equi-join on
+    (key, bucket), then apply the exact containment predicate. Each
+    point matches an interval in exactly one bucket (its own), so no
+    dedup pass is needed. Cost scales with |points| + |intervals| x
+    (span/bucket_width), and the join key (key, bucket) spreads a hot
+    key's timeline across tasks.
+
+    ``point_time``/``start``/``end`` are integer (e.g. epoch-us)
+    columns; ``end`` is exclusive.
+    """
+    # integer `div`, not `/`: epoch-us magnitudes overflow double
+    # precision and a boundary-adjacent point would mis-bucket
+    ivals = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start} div {bucket_width}"),
+                F.expr(f"({end} - 1) div {bucket_width}"),
+            )
+        ),
+    )
+    pts = points.withColumn(
+        "_bucket", F.expr(f"{point_time} div {bucket_width}")
+    )
+    cond = (
+        (pts[key] == ivals[key])
+        & (pts["_bucket"] == ivals["_bucket"])
+        & (pts[point_time] >= ivals[start])
+        & (pts[point_time] < ivals[end])
+    )
+    return pts.join(ivals, cond).drop(ivals[key]).drop("_bucket")

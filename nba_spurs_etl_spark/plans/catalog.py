@@ -9,28 +9,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import tpch_core  # noqa: F401  (registers queries on import)
-
-try:  # registered incrementally as modules land
-    from . import tpch_classic  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from . import gold_fixture  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from . import pipeline_ext  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from . import stream_queries  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from . import olap_ext  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
+# Unconditional imports: a broken module must fail loudly here, not
+# silently shrink the driver-visible query surface.
+from . import gold_fixture  # noqa: F401
+from . import olap_ext  # noqa: F401
+from . import pipeline_ext  # noqa: F401
+from . import stream_queries  # noqa: F401
+from . import tpch_classic  # noqa: F401
+from . import tpch_core  # noqa: F401
 
 from .registry import oracles, queries, registry  # noqa: E402
 

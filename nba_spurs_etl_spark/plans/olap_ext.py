@@ -245,3 +245,75 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("value", 0.99).alias("approx_p99"),
         F.count(F.lit(1)).alias("events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# range join (point-in-interval) via bucketing
+# ---------------------------------------------------------------------------
+
+_SIX_H = 6 * 3600 * 1_000_000
+_TWELVE_H = 2 * _SIX_H
+_EIGHTEEN_H = 3 * _SIX_H
+
+
+@register(
+    "range_join_user_windows",
+    group="ext-join range",
+    oracle=f"""
+WITH firsts AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS f FROM events GROUP BY user_id
+),
+intervals AS (
+  SELECT user_id, user_id * 10 AS interval_id,
+         f AS start_us, f + {_SIX_H} AS end_us
+  FROM firsts
+  UNION ALL
+  SELECT user_id, user_id * 10 + 1,
+         f + {_TWELVE_H}, f + {_EIGHTEEN_H}
+  FROM firsts
+)
+SELECT i.interval_id, i.user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM intervals i
+JOIN events e ON e.user_id = i.user_id
+  AND epoch_us(e.ts) >= i.start_us AND epoch_us(e.ts) < i.end_us
+GROUP BY i.interval_id, i.user_id
+""",
+    doc="Range (point-in-interval) join: per-user activity inside two "
+    "6-hour windows anchored at the user's first event. Spark "
+    "composition: interval -> covering-hour-bucket explosion + "
+    "(key, bucket) equi-join + exact containment filter (see "
+    "operators/joins.range_join_buckets). Oracle: plain inequality "
+    "join in DuckDB.",
+)
+def range_join_user_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import range_join_buckets
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("us").alias("f"))
+    iv1 = firsts.select(
+        "user_id",
+        (F.col("user_id") * 10).alias("interval_id"),
+        F.col("f").alias("start_us"),
+        (F.col("f") + _SIX_H).alias("end_us"),
+    )
+    iv2 = firsts.select(
+        "user_id",
+        (F.col("user_id") * 10 + 1).alias("interval_id"),
+        (F.col("f") + _TWELVE_H).alias("start_us"),
+        (F.col("f") + _EIGHTEEN_H).alias("end_us"),
+    )
+    intervals = iv1.unionByName(iv2)
+    joined = range_join_buckets(
+        ev, intervals, key="user_id", point_time="us",
+        start="start_us", end="end_us", bucket_width=3600 * 1_000_000,
+    )
+    return joined.groupBy("interval_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "total_value"
+        ),
+    )
