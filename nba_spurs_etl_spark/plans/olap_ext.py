@@ -317,3 +317,62 @@ def range_join_user_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# hypertable-style cascade rollup + skew-safe aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hypertable_rollup_1h",
+    group="ext-rollup hypertable",
+    oracle="""
+SELECT
+  CAST(make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS VARCHAR)
+    AS bucket_start,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Hypertable cascade rollup: raw -> 1-min partials -> 5-min -> "
+    "1-hour, each level derived from the previous (raw data scanned "
+    "ONCE); avg carried as sum+count and finalized last. The oracle "
+    "aggregates raw directly — proving the cascade re-aggregation is "
+    "lossless.",
+)
+def hypertable_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rollups
+
+    ev = load_table(spark, sf_dir, "events")
+    m1 = rollups.rollup_finest(ev, "ts", ["event_type"], "value", 60)
+    m5 = rollups.rollup_coarser(m1, ["event_type"], 300)
+    h1 = rollups.rollup_coarser(m5, ["event_type"], 3600)
+    return rollups.finalize_rollup(h1, ["event_type"])
+
+
+@register(
+    "salted_two_phase_agg",
+    group="ext-skew 2.4",
+    oracle="""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS cnt,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events
+GROUP BY event_type
+""",
+    doc="Skew-safe two-phase aggregation: salt (16 buckets) -> partial "
+    "agg on (key, salt) -> merge per key. Identical result to the "
+    "direct groupBy (the oracle), which is the point — the salt only "
+    "changes the shuffle layout, spreading a hot key over 16 tasks.",
+)
+def salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rollups
+
+    ev = load_table(spark, sf_dir, "events")
+    return rollups.two_phase_agg(ev, ["event_type"], "value", salt_buckets=16)
