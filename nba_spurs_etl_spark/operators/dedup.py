@@ -367,11 +367,16 @@ def connected_components(
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
+    # Seed with round 0 already applied: label = min(self, neighbors) —
+    # one groupBy instead of a distinct + a full propagation round.
     labels = (
-        edges.select(F.col("src").alias("doc"))
-        .distinct()
-        .withColumn("label", F.col("doc"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nbr_min"))
+        .select(
+            F.col("src").alias("doc"),
+            F.least("src", "nbr_min").alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
@@ -380,6 +385,8 @@ def connected_components(
             .groupBy(F.col("dst").alias("doc"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # `moved` rides along in the checkpointed frame, so convergence
+        # detection is an isEmpty on materialized rows — no re-join.
         new_labels = (
             labels.join(nbr_min, "doc", "left")
             .select(
@@ -387,16 +394,14 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                F.coalesce(
+                    F.col("nbr_label") < F.col("label"), F.lit(False)
+                ).alias("moved"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        converged = new_labels.filter("moved").isEmpty()
+        labels = new_labels.drop("moved")
+        if converged:
             break
     return labels.select("doc", F.col("label").alias("component"))

@@ -333,37 +333,67 @@ def players_recommendations(
             *[F.col(f"avg_{c}") for _, c, _, _ in WEAKNESS_METRICS],
         )
     )
-    for _, col, asc, _, _ in RECOMMENDATION_BRANCHES:
-        order = (
-            [F.asc(f"avg_{col}"), F.asc("player_id")]
-            if asc
-            else [F.desc(f"avg_{col}"), F.asc("player_id")]
-        )
-        ranked = ranked.withColumn(
-            f"rank_{col}", F.row_number().over(Window.orderBy(*order))
-        )
-
-    branches = []
+    # The reference computes 7 un-partitioned ROW_NUMBER windows (each a
+    # single-partition global sort) and then filters the same subtree 7x
+    # in a UNION ALL (players_recommendations.sql:26-32,54-147). Melting
+    # the 7 metrics to long form turns that into ONE pass: one stack(),
+    # one window partitioned by metric (7 parallel rank partitions), one
+    # filter. Same rows; scales out instead of serializing.
+    stack_args = ", ".join(
+        f"'{col}', avg_{col}" for _, col, _, _, _ in RECOMMENDATION_BRANCHES
+    )
+    long = ranked.select(
+        "player_id",
+        "player_name",
+        "position",
+        "is_free_agent",
+        "is_injured",
+        "salary",
+        F.expr(f"stack({len(RECOMMENDATION_BRANCHES)}, {stack_args})").alias(
+            "metric", "metric_value"
+        ),
+    )
+    asc_metrics = [c for _, c, asc, _, _ in RECOMMENDATION_BRANCHES if asc]
+    is_asc = F.col("metric").isin(asc_metrics)
+    # Replicate per-branch null placement (ASC = nulls first, DESC =
+    # nulls last) since the sign-flip below maps null -> null either way.
+    null_rank = F.when(
+        F.col("metric_value").isNull(), F.when(is_asc, 0).otherwise(2)
+    ).otherwise(1)
+    sort_val = F.when(is_asc, F.col("metric_value")).otherwise(
+        -F.col("metric_value")
+    )
+    rank_w = Window.partitionBy("metric").orderBy(
+        null_rank.asc(), sort_val.asc(), F.asc("player_id")
+    )
+    # Rank over ALL players first, position-filter after — exactly the
+    # reference's order of operations (rank_* <= 5 AND position IN ...).
+    pos_ok = F.lit(False)
+    label_col = F.lit(None).cast("string")
+    reason_col = F.lit(None).cast("string")
     for label, col, _, positions, reason in RECOMMENDATION_BRANCHES:
-        cond = F.col(f"rank_{col}") <= 5
-        if positions is not None:
-            cond = cond & F.col("position").isin(*positions)
-        branches.append(
-            ranked.filter(cond).select(
-                F.lit(label).alias("weakness_type"),
-                "player_id",
-                "is_free_agent",
-                "is_injured",
-                "player_name",
-                F.col(f"avg_{col}").alias("metric_value"),
-                "position",
-                "salary",
-                F.lit(reason).alias("reason"),
-            )
+        here = F.col("metric") == col
+        allowed = (
+            here if positions is None else here & F.col("position").isin(*positions)
         )
-    top_targets = branches[0]
-    for b in branches[1:]:
-        top_targets = top_targets.unionByName(b)
+        pos_ok = pos_ok | allowed
+        label_col = F.when(here, F.lit(label)).otherwise(label_col)
+        reason_col = F.when(here, F.lit(reason)).otherwise(reason_col)
+    top_targets = (
+        long.withColumn("rank", F.row_number().over(rank_w))
+        .filter((F.col("rank") <= 5) & pos_ok)
+        .select(
+            label_col.alias("weakness_type"),
+            "player_id",
+            "is_free_agent",
+            "is_injured",
+            "player_name",
+            "metric_value",
+            "position",
+            "salary",
+            reason_col.alias("reason"),
+        )
+    )
 
     weak = weaknesses.filter(F.col("resultado") == "Debilidad").select(
         "season2", "weakness_type"
