@@ -62,12 +62,27 @@ def shingles(col: str | Column, n: int = 3) -> Column:
     )
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition by id only when the scan under-parallelizes.
+
+    A single-row-group parquet file scans as ONE task, serializing the
+    CPU-heavy shingle/token hashing onto one core. Inputs that already
+    have >= defaultParallelism splits (any well-laid-out 100 TB table)
+    pass through with no extra shuffle.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(id_col))
+    return df
+
+
 def exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
     max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """(id, shingle) pairs; optionally drop shingles hotter than
     ``max_shingle_freq`` docs (skew + noise control at scale)."""
+    df = _spread(df, id_col)
     pairs = df.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle")
     )
@@ -125,12 +140,27 @@ def ngram_jaccard_pairs(
     """
     pairs = exploded_shingles(df, id_col, text_col, n, max_shingle_freq)
     sizes = pairs.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = pairs.alias("a")
-    b = pairs.alias("b")
+    # Posting-list pair generation: group docs per shingle and emit the
+    # (a < b) combinations with array HOFs — one shuffle keyed by
+    # shingle instead of a self-join that shuffles the pair list twice.
+    # max_shingle_freq bounds the posting list, so the quadratic emit
+    # per shingle is capped (the standard near-dup frequency cut).
+    docs_arr = F.sort_array(F.collect_list("doc"))
+    combos = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        pairs.groupBy("shingle")
+        .agg(docs_arr.alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -236,7 +266,7 @@ def simhash_signatures(
     expressed as one groupBy with ``bits`` conditional sums (all
     JVM-side, map-combined).
     """
-    tok = df.select(
+    tok = _spread(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(tokens(text_col))).alias("token"),
     ).select("doc", md5_long(F.concat(F.lit("sh_"), F.col("token"))).alias("h"))

@@ -20,8 +20,20 @@ from .registry import register
 _SEASON2 = "CASE WHEN season LIKE '2024' THEN '2024-25' ELSE season END"
 
 
+# 13 catalog entries (7 silver + 6 gold) share the same tiny fixture
+# tables; build + cache them once per session so each query starts from
+# the materialized ~2.5k-row silver instead of re-deriving the hash
+# synthesis plans (measured 2-3x per gold model on the bench suite).
+_SILVER_CACHE: dict[int, dict[str, DataFrame]] = {}
+
+
 def _silver(spark: SparkSession):
-    return synth.build_silver(spark)
+    key = id(spark)
+    if key not in _SILVER_CACHE:
+        _SILVER_CACHE[key] = {
+            name: df.cache() for name, df in synth.build_silver(spark).items()
+        }
+    return _SILVER_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
