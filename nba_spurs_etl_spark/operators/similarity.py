@@ -102,6 +102,117 @@ def brute_force_topk(
     return _rank_topk(scored, k)
 
 
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Coarse quantizer: ``n_cells`` corpus vectors chosen by smallest
+    md5(id) — a seeded random sample in disguise, so the DuckDB oracle
+    can re-derive the identical centroid set (production swaps in
+    k-means centroids; the plan shape below is unchanged). The
+    centroids are collected once (n_cells x dim floats — index
+    metadata, exactly what a real ANN index stores beside the data) and
+    inlined as literals, which makes corpus->cell assignment a PURE
+    NARROW MAP: an ``aggregate`` argmax fold over the literal centroid
+    array, zero shuffle over the corpus at any scale. Each query probes
+    its ``nprobe`` nearest cells and scores only those cells' vectors
+    (~nprobe/n_cells of the corpus), joined cell-to-cell with the
+    probe side broadcast.
+    """
+    from ..functions.scalar import md5_long
+
+    v = F.col(vec_col)
+    corpus = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        v.alias("candv"),
+        F.sqrt(_dot(v, v)).alias("candn"),
+    )
+    cent_rows = (
+        candidates.select(
+            F.col(id_col).alias("cid"),
+            v.alias("cv"),
+            F.sqrt(_dot(v, v)).alias("cn"),
+        )
+        .orderBy(md5_long(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(r["cid"]).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["cv"]])
+                .cast("array<double>")
+                .alias("cv"),
+                F.lit(r["cn"]).alias("cn"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def _cell_cos(c, vec_c: str, nrm_c: str):
+        return _dot(c["cv"], F.col(vec_c)) / (c["cn"] * F.col(nrm_c))
+
+    init = F.struct(
+        F.lit(-2.0).alias("cos"), F.lit(None).cast("long").alias("cid")
+    )
+    best = F.aggregate(
+        cents,
+        init,
+        lambda acc, c: F.when(
+            (_cell_cos(c, "candv", "candn") > acc["cos"])
+            | (
+                (_cell_cos(c, "candv", "candn") == acc["cos"])
+                & (c["cid"] < acc["cid"])
+            ),
+            F.struct(
+                _cell_cos(c, "candv", "candn").alias("cos"), c["cid"].alias("cid")
+            ),
+        ).otherwise(acc),
+    )
+    assigned = corpus.withColumn("cell", best["cid"])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        v.alias("queryv"),
+        F.sqrt(_dot(v, v)).alias("queryn"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = (
+        q.select("*", F.explode(cents).alias("c"))
+        .select(
+            "query_id",
+            "queryv",
+            "queryn",
+            F.col("c.cid").alias("cell"),
+            _cell_cos(F.col("c"), "queryv", "queryn").alias("ccos"),
+        )
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", "queryv", "queryn", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                _dot(F.col("queryv"), F.col("candv"))
+                / (F.col("queryn") * F.col("candn"))
+            ).alias("cos_sim"),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
 def lsh_topk(
     candidates: DataFrame,
     queries: DataFrame,

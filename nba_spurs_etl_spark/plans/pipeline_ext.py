@@ -332,6 +332,70 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CELLS, _IVF_NPROBE = 16, 4
+
+
+def _ivf_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding AS v, sqrt({_dot_sql("embedding", "embedding")}) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM base
+  ORDER BY {md5_long_sql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT {_IVF_CELLS}
+),
+assigned AS (
+  SELECT cand_id, candv, candn, cell FROM (
+    SELECT b.vec_id AS cand_id, b.v AS candv, b.nrm AS candn, c.cid AS cell,
+      ROW_NUMBER() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY {_dot_sql("c.cv", "b.v")} / (c.cn * b.nrm) DESC, c.cid ASC
+      ) AS rn
+    FROM base b CROSS JOIN cents c
+  ) t WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, qn, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, c.cid AS cell,
+      ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_dot_sql("c.cv", "q.v")} / (c.cn * q.nrm) DESC, c.cid ASC
+      ) AS rn
+    FROM base q CROSS JOIN cents c WHERE q.vec_id % 100 = 0
+  ) t WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.cand_id,
+    {_dot_sql("p.qv", "a.candv")} / (p.qn * a.candn) AS cos_sim
+  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.cand_id != p.query_id
+)
+SELECT query_id, cand_id, cos_sim, CAST(rn AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rn
+  FROM scored
+) t WHERE rn <= {_TOPK}
+"""
+
+
+@register(
+    "similarity_topk_ivf",
+    group="ext-similarity",
+    oracle=_ivf_oracle(),
+    doc="IVF approximate top-5: 16 deterministic md5-sampled centroids "
+    "(k-means stand-in), corpus->cell assignment as a zero-shuffle "
+    "literal-centroid argmax fold, queries probe their 4 nearest cells "
+    "and score ~nprobe/n_cells of the corpus via a broadcast cell join.",
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, _queries_df(spark, sf_dir), "vec_id", "embedding", k=_TOPK,
+        n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE,
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -1,0 +1,109 @@
+"""Physical-plan audits: the *shape* of the plan is part of the contract.
+
+Correctness tests prove the right rows come back at sf0.01; these prove
+the plan would still be the right plan at 100 TB — filters reach the
+parquet scan, projections prune the read schema, small dims broadcast,
+top-k never global-sorts, and nothing silently degenerates into a
+cartesian product. Each assertion is a property Catalyst preserves
+at any scale factor, so checking at sf0.001 is sufficient.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from nba_spurs_etl_spark.plans.catalog import queries
+
+from .conftest import SF_SMOKE
+
+
+def fmt_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    return queries()
+
+
+def test_q6_full_scan_pushdown(spark, catalog):
+    """Every Q6 predicate must reach the parquet scan, and the read
+    schema must not include untouched wide columns."""
+    plan = fmt_plan(catalog["q6_forecast_revenue"](spark, SF_SMOKE))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    line = pushed[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in line, f"{col} not pushed: {line}"
+    schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in schema, f"unpruned read: {schema}"
+
+
+def test_dim_join_broadcasts(spark, catalog):
+    plan = fmt_plan(catalog["join_dim_broadcast"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q3_topk_avoids_global_sort(spark, catalog):
+    plan = fmt_plan(catalog["q3_shipping_priority"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pricing_summary_partial_agg_single_shuffle(spark, catalog):
+    """Map-side partial agg + one exchange + final agg — the shape that
+    keeps a 100 TB groupBy's shuffle proportional to |groups|, not
+    |rows|. (WholeStageCodegen spans only appear in the post-execution
+    AQE plan, so codegen is not assertable from the static explain.)"""
+    plan = fmt_plan(catalog["pricing_summary"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate (") >= 2, plan  # partial + final
+    assert plan.count("Exchange (") == 1, plan  # tree lines only
+
+
+def test_salted_agg_two_phases(spark, catalog):
+    plan = fmt_plan(catalog["salted_two_phase_agg"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+# Queries whose semantics genuinely pair every row with every row of a
+# (broadcast) side: tiny scalar assemblies and the exact all-pairs
+# similarity baselines. Everything else must not cartesian.
+_NESTED_LOOP_OK = {
+    "similarity_topk_bruteforce",  # exact baseline: |Q| x |C| by design
+    "scalar_snapshot",             # 1-row x 1-row scalar assembly
+    "gold_streaks_and_rivals",     # 1-row scalar crossJoin assembly
+    "streaks_gaps_islands",
+    "dedup_simhash",               # documented all-pairs form
+    "approx_sketches",
+}
+
+
+def test_no_accidental_cartesian(spark, catalog):
+    offenders = []
+    for name, fn in catalog.items():
+        if name in _NESTED_LOOP_OK or name.startswith("stream_"):
+            continue
+        try:
+            plan = fmt_plan(fn(spark, SF_SMOKE))
+        except Exception as e:  # pragma: no cover - surface build errors
+            offenders.append(f"{name}: failed to build plan: {e}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(f"{name}: CartesianProduct")
+    assert not offenders, "\n".join(offenders)
+
+
+def test_ivf_assignment_is_narrow(spark, catalog):
+    """IVF corpus->cell assignment must not shuffle the corpus: the
+    only exchanges allowed before the probe join are for the tiny
+    probe/centroid side and the final per-query rank."""
+    plan = fmt_plan(catalog["similarity_topk_ivf"](spark, SF_SMOKE))
+    assert "aggregate(" in plan or "Project" in plan
+    # corpus scan (embeddings) must flow into the join without an
+    # Exchange keyed by cand_id — cell assignment happens in-line.
+    assert "hashpartitioning(cand_id" not in plan, plan
