@@ -376,3 +376,60 @@ def salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return rollups.two_phase_agg(ev, ["event_type"], "value", salt_buckets=16)
+
+
+# ---------------------------------------------------------------------------
+# analytic window functions (absent from the reference, SURVEY §2.5:
+# "Analytic functions (lag/lead/ntile) absent")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_analytics",
+    group="2.5 analytic",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  CAST(o_orderdate AS VARCHAR) AS orderdate,
+  o_totalprice,
+  LAG(o_totalprice) OVER w AS prev_price,
+  LEAD(o_totalprice) OVER w AS next_price,
+  o_totalprice - LAG(o_totalprice) OVER w AS price_delta,
+  CAST(NTILE(4) OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT
+  ) AS spend_quartile,
+  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+  LAST_VALUE(o_orderkey) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS latest_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    doc="Analytic window family over per-customer order history: "
+    "lag/lead deltas, ntile spend quartiles, first/last order. One "
+    "shuffle on o_custkey serves every function (same partitioning "
+    "reused across window specs); frames are explicit where the "
+    "default RANGE frame would truncate (last_value).",
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ntile_w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("orderdate"),
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias(
+            "price_delta"
+        ),
+        F.ntile(4).over(ntile_w).alias("spend_quartile"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("latest_order"),
+    )
