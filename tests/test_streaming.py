@@ -87,3 +87,64 @@ def test_stateful_user_profile_matches_batch(spark):
     expect = {r.user_id: (r.n_events, r.total_cents, r.ewma_value)
               for r in batch.collect()}
     assert final == expect
+
+
+def test_watermark_drops_late_data(spark, tmp_path_factory):
+    """True late-data semantics across restarts: an event older than the
+    checkpointed watermark must NOT be counted into its (finalized)
+    window. Two availableNow runs share a checkpoint — the second run
+    restores watermark state, drops the late row pre-state, and the
+    closed window's count stays at 2 everywhere it is ever emitted."""
+    from datetime import datetime
+
+    base = tmp_path_factory.mktemp("late")
+    src, cp, out = str(base / "src"), str(base / "cp"), str(base / "out")
+    schema = "event_id long, event_type string, ts timestamp, value double"
+
+    def run() -> set:
+        agg = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .count()
+            .select(
+                F.col("w.start").cast("string").alias("ws"),
+                "event_type",
+                F.col("count").alias("n"),
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    rows1 = [
+        (1, "c", datetime(2024, 1, 1, 10, 0, 30), 1.0),
+        (2, "c", datetime(2024, 1, 1, 10, 1, 0), 1.0),
+        (3, "c", datetime(2024, 1, 1, 11, 0, 0), 1.0),  # watermark -> 10:50
+    ]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    out1 = run()
+
+    rows2 = [
+        (4, "c", datetime(2024, 1, 1, 10, 2, 0), 1.0),   # LATE: < 10:50
+        (5, "c", datetime(2024, 1, 1, 11, 30, 0), 1.0),  # watermark -> 11:20
+    ]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+    out2 = run()
+
+    combined = out1 | out2
+    # the 10:00 window closed at watermark 10:50 with events 1+2; the
+    # late event 4 must never bump it to 3 (emission timing may vary
+    # between the two runs, the count may not)
+    assert ("2024-01-01 10:00:00", "c", 2) in combined, combined
+    assert not any(ws == "2024-01-01 10:00:00" and n != 2 for ws, _, n in combined)
+    # event 3's window finalizes once event 5 pushes the watermark past 11:05
+    assert ("2024-01-01 11:00:00", "c", 1) in combined, combined
