@@ -285,3 +285,157 @@ def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", 0.9).alias("p90"),
         F.percentile("l_quantity", 0.99).alias("p99"),
     )
+
+
+@register(
+    "q4_late_shipments",
+    group="bench 2.3 semi non-equi",
+    oracle="""
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_cnt
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o.o_orderpriority
+""",
+    doc="TPC-H Q4 shape: EXISTS with an equi key PLUS a non-equi "
+    "row-vs-row predicate (shipdate > orderdate + 90d), planned as a "
+    "left-semi hash join with the extra condition evaluated on the "
+    "matched pair — no pre-aggregation or distinct needed.",
+)
+def q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_cnt")
+    )
+
+
+@register(
+    "q14_promo_share",
+    group="bench 2.4 conditional-agg",
+    oracle="""
+WITH rev AS (
+  SELECT p.p_type,
+    CAST(l.l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+)
+SELECT 100.0 * COALESCE(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN r END)
+                        AS DOUBLE), 0.0)
+     / CAST(SUM(r) AS DOUBLE) AS promo_share,
+  CAST(COUNT(*) AS BIGINT) AS line_cnt
+FROM rev
+""",
+    doc="TPC-H Q14 shape: part dim broadcast into a one-month lineitem "
+    "slice, promo share via null-skipping conditional sum over the "
+    "same decimal revenue expression — one scan, one scalar.",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_type", (_ep() * (_one() - _disc())).alias("r")
+    )
+    return rev.agg(
+        (
+            F.lit(100.0)
+            * F.coalesce(
+                F.sum(F.when(F.col("p_type").like("PROMO%"), F.col("r"))).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            )
+            / F.sum("r").cast("double")
+        ).alias("promo_share"),
+        F.count(F.lit(1)).alias("line_cnt"),
+    )
+
+
+@register(
+    "q2_min_price_supplier",
+    group="bench 2.3 correlated-subquery",
+    oracle="""
+SELECT p.p_partkey, p.p_name, s.s_name, l.l_extendedprice AS min_price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size = 15
+  AND l.l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey)
+""",
+    doc="TPC-H Q2 shape: correlated scalar subquery (min price per "
+    "part) re-expressed as a window MIN partitioned by partkey — one "
+    "pass over lineitem instead of a per-row rescan; ties kept, "
+    "matching the correlated-equality semantics exactly.",
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_name"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.partitionBy("l_partkey")
+    cheapest = (
+        li.withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .select("l_partkey", "l_suppkey", F.col("l_extendedprice").alias("min_price"))
+    )
+    return (
+        cheapest.join(F.broadcast(p), cheapest.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), cheapest.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "min_price")
+    )
+
+
+@register(
+    "q16_supplier_breadth",
+    group="bench 2.3 anti 2.4 count-distinct",
+    oracle="""
+SELECT p.p_brand, p.p_size,
+  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_size
+""",
+    doc="TPC-H Q16 shape: NOT IN over a filtered dim planned as a "
+    "broadcast anti join (no null keys in testdata, so anti == NOT IN "
+    "here), then exact COUNT(DISTINCT suppkey) per brand x size — the "
+    "two-shuffle expanded distinct aggregate.",
+)
+def q16_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != "Brand#45"
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
