@@ -163,3 +163,49 @@ def test_silver_games_partition_pruning(spark, tmp_path):
     )
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "season" in plan
+
+
+# ---------------------------------------------------------------------------
+# hot-shingle frequency cap (the skew control for shingle ops at scale)
+# ---------------------------------------------------------------------------
+
+
+def test_max_shingle_freq_drops_hot_shingles(spark):
+    """A stop-phrase shared by every doc must not connect them once the
+    cap excludes it; genuinely shared rare shingles still pair."""
+    from nba_spurs_etl_spark.operators.dedup import (
+        exploded_shingles,
+        ngram_jaccard_pairs,
+    )
+
+    hot = "the quick brown"  # one 3-gram shared by ALL docs
+    docs = [
+        (1, hot + " alpha beta gamma delta"),
+        (2, hot + " epsilon zeta eta theta"),
+        (3, hot + " alpha beta gamma delta"),  # near-dup of 1 beyond the hot gram
+        (4, hot + " iota kappa lambda mu"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    capped = exploded_shingles(df, "doc_id", "text", n=3, max_shingle_freq=2)
+    kept = {r.shingle for r in capped.select("shingle").distinct().collect()}
+    assert hot not in kept  # appears in 4 docs > cap 2
+    assert any("alpha beta gamma" in s for s in kept)  # 2 docs <= cap
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=2
+        ).collect()
+    }
+    # docs 1 and 3 share their entire capped shingle set -> jaccard 1;
+    # every other pair only shared the hot gram, now dropped
+    assert pairs == {(1, 3)}
+
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.0
+        ).collect()
+    }
+    assert (1, 2) in uncapped  # sanity: without the cap the hot gram pairs all
