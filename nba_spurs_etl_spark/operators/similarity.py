@@ -102,6 +102,74 @@ def brute_force_topk(
     return _rank_topk(scored, k)
 
 
+def brute_force_topk_arrow(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow ``mapInPandas`` + numpy.
+
+    The scale path for WIDE embeddings (dim >= ~256), where a
+    vectorized batch product beats the per-row JVM fold: the query
+    matrix ships to every task once (driver-collected — queries are
+    small by contract), each Arrow batch of candidates scores against
+    all queries in one numpy pass, and only scored pairs leave Python.
+
+    Bit-identical to :func:`brute_force_topk` (and its DuckDB oracle)
+    because the accumulation is vectorized ACROSS the batch but
+    SEQUENTIAL across dims — the same left-to-right float64 add order
+    as the ``aggregate`` fold, just SIMD over rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["qv"] for r in q_rows], dtype=np.float32).astype(np.float64)
+
+    def _seq_dot(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+        # rows x rows fold: acc_d+1 = acc_d + a[:,d]*b[:,d] — the exact
+        # order F.aggregate / list_reduce use, vectorized over axis 0
+        acc = np.zeros((a.shape[0], b.shape[0]))
+        for d in range(a.shape[1]):
+            acc += np.multiply.outer(a[:, d], b[:, d])
+        return acc
+
+    def _seq_norm(m: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(m.shape[0])
+        for d in range(m.shape[1]):
+            acc += m[:, d] * m[:, d]
+        return np.sqrt(acc)
+
+    qn = _seq_norm(qm)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(list(pdf["cv"]), dtype=np.float32).astype(np.float64)
+            cos = _seq_dot(cm, qm) / np.multiply.outer(_seq_norm(cm), qn)
+            n, m = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, n),
+                    "cand_id": np.repeat(pdf["cid"].to_numpy(), m),
+                    "cos_sim": cos.ravel(),
+                }
+            )
+
+    scored = candidates.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    ).mapInPandas(score, "query_id long, cand_id long, cos_sim double")
+    return _rank_topk(
+        scored.filter(F.col("query_id") != F.col("cand_id")), k
+    )
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,

@@ -332,6 +332,23 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_topk_arrow",
+    group="ext-similarity",
+    oracle=_topk_oracle(bucketed=False),
+    doc="Exact cosine top-5 through the Arrow mapInPandas + numpy path "
+    "(the wide-embedding scale strategy): query matrix shipped once, "
+    "each candidate batch scored in one vectorized pass — accumulation "
+    "sequential across dims so the result is bit-identical to the JVM "
+    "fold and the same DuckDB oracle.",
+)
+def similarity_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk_arrow(
+        emb, _queries_df(spark, sf_dir), "vec_id", "embedding", k=_TOPK
+    )
+
+
 _IVF_CELLS, _IVF_NPROBE = 16, 4
 
 
