@@ -30,7 +30,8 @@ from .registry import register
 )
 def stream_tumbling_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
-        stream_tumbling_agg(read_events_stream(spark, sf_dir)), spark
+        stream_tumbling_agg(read_events_stream(spark, sf_dir)), spark,
+        state_partitions=8,  # |windows x types| keys: tiny state
     )
 
 
@@ -43,7 +44,8 @@ def stream_tumbling_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_session_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
-        stream_session_agg(read_events_stream(spark, sf_dir)), spark
+        stream_session_agg(read_events_stream(spark, sf_dir)), spark,
+        state_partitions=8,
     )
 
 
@@ -55,7 +57,8 @@ def stream_session_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
-        stream_dedup(read_events_stream(spark, sf_dir)), spark, output_mode="append"
+        stream_dedup(read_events_stream(spark, sf_dir)), spark,
+        output_mode="append", state_partitions=8,
     )
 
 
@@ -74,4 +77,5 @@ def stream_user_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_user_profile(read_events_stream(spark, sf_dir)),
         spark,
         output_mode="update",
+        state_partitions=8,
     )

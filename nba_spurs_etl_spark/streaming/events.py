@@ -130,7 +130,10 @@ def stream_dedup(events: DataFrame) -> DataFrame:
 
 
 def run_stream_to_table(
-    df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+    df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame into a memory sink (availableNow)
     and return the materialized batch result.
@@ -138,14 +141,30 @@ def run_stream_to_table(
     complete mode is used for windowed aggregations so windows still
     open at end-of-input are emitted too (append mode would hold them
     back behind the watermark — correct for unbounded streams, wrong
-    for drain-and-compare tests)."""
+    for drain-and-compare tests).
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    stream's first (state-layout-defining) run and restores it after.
+    State-store count should track STATE SIZE, not core count: a
+    stateful stream pays per-store open/commit every micro-batch, so
+    small-keyspace streams want few stores (measured 4x on the bench
+    drains), while a high-cardinality production stream raises it —
+    the one knob Structured Streaming cannot re-derive later without a
+    new checkpoint."""
     name = f"stream_sink_{next(_name_counter)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
