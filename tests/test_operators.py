@@ -209,3 +209,89 @@ def test_max_shingle_freq_drops_hot_shingles(spark):
         ).collect()
     }
     assert (1, 2) in uncapped  # sanity: without the cap the hot gram pairs all
+
+
+# ---------------------------------------------------------------------------
+# range join vs brute-force model
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    points=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 200)), min_size=0, max_size=25
+    ),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 180), st.integers(1, 60)),
+        min_size=0,
+        max_size=12,
+    ),
+    width=st.sampled_from([7, 16, 50]),
+)
+def test_range_join_matches_bruteforce(spark, points, intervals, width):
+    """Bucketed range join == nested-loop containment model for any
+    graph of points/intervals and any bucket width (width only changes
+    the plan, never the rows)."""
+    from nba_spurs_etl_spark.operators.joins import range_join_buckets
+
+    if not points or not intervals:
+        return
+    pts = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(points)], ["k", "t", "pid"]
+    )
+    ivs = spark.createDataFrame(
+        [(k, s, s + d, j) for j, (k, s, d) in enumerate(intervals)],
+        ["k", "s", "e", "iid"],
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join_buckets(pts, ivs, "k", "t", "s", "e", width).collect()
+    }
+    want = {
+        (i, j)
+        for i, (pk, t) in enumerate(points)
+        for j, (ik, s, d) in enumerate(intervals)
+        if pk == ik and s <= t < s + d
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# salted two-phase agg == direct groupBy (skewed inputs included)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["hot", "hot", "hot", "a", "b"]),  # skew toward 'hot'
+            st.decimals(
+                min_value=-1000, max_value=1000, places=2, allow_nan=False
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    buckets=st.sampled_from([1, 3, 16]),
+)
+def test_two_phase_agg_equals_direct_groupby(spark, rows, buckets):
+    from nba_spurs_etl_spark.operators.rollups import two_phase_agg
+
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in rows], ["event_type", "value"]
+    )
+    got = {
+        tuple(r)
+        for r in two_phase_agg(df, ["event_type"], "value", buckets).collect()
+    }
+    want = {
+        tuple(r)
+        for r in df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
