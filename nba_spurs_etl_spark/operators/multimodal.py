@@ -83,6 +83,60 @@ def featurize_binary(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     return src.mapInPandas(feats, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "doc bigint, frame_idx int, frame_hash bigint"
+
+
+def sample_frames(
+    df: DataFrame, id_col: str, bin_col: str, max_frames: int = 8
+) -> DataFrame:
+    """Video frame-sampling plumbing: ONE media row -> N frame rows.
+
+    The shape that matters for video at scale: mapInPandas with output
+    cardinality != input cardinality (a container parse emits a row per
+    sampled frame), still one pass, no shuffle, frames written as rows
+    so downstream ops (dedup, embed, filter) treat them like any other
+    corpus. Codec-free stand-ins: frame count = 1 + md5(blob) %
+    max_frames (container parse), frame_hash = md5(blob || ':' || idx)
+    (decoded-frame content hash) — both reproduced verbatim by the
+    DuckDB oracle.
+    """
+    src = df.select(F.col(id_col).alias("doc"), F.col(bin_col).alias("data"))
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs, idxs, hashes = [], [], []
+            for doc, blob in zip(pdf["doc"], pdf["data"]):
+                b = bytes(blob)
+                n = 1 + _hash60(b) % max_frames
+                for i in range(n):
+                    docs.append(doc)
+                    idxs.append(i)
+                    hashes.append(_hash60(b + f":{i}".encode()))
+            yield pd.DataFrame(
+                {
+                    "doc": pd.Series(docs, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_hash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def resize_fit(w_col: str, h_col: str, box: int = 224):
+    """Aspect-preserving fit-to-box target dims as JVM expressions.
+
+    The resize *plan* is pure arithmetic (floor(short_side * box /
+    long_side) — exact for any realistic pixel dims, identical in
+    DuckDB); only the pixel resample itself needs a codec, and that
+    step slots into featurize_binary's pandas pass.
+    """
+    w, h = F.col(w_col), F.col(h_col)
+    t_w = F.when(w >= h, F.lit(box)).otherwise(F.floor(w * box / h)).cast("int")
+    t_h = F.when(w >= h, F.floor(h * box / w)).otherwise(F.lit(box)).cast("int")
+    return t_w, t_h
+
+
 def with_binary_payload(df: DataFrame, text_col: str) -> DataFrame:
     """Test adapter: treat utf-8 text bytes as the opaque media blob
     (the testdata has no real media; the bytes are equally opaque to

@@ -523,6 +523,68 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.featurize_binary(docs, "doc_id", "payload")
 
 
+@register(
+    "multimodal_frame_sample",
+    group="ext-multimodal",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id AS doc, text, 1 + {md5_long_sql("text")} % 8 AS n_frames
+  FROM documents
+),
+expanded AS (
+  SELECT doc, text, unnest(range(0, n_frames)) AS i FROM media
+)
+SELECT doc, CAST(i AS INT) AS frame_idx,
+  {md5_long_sql("text || ':' || CAST(i AS VARCHAR)")} AS frame_hash
+FROM expanded
+""",
+    doc="Video frame-sampling plumbing: one media row expands to N "
+    "frame rows inside a single mapInPandas pass (output cardinality "
+    "!= input — the container-parse shape); frame count and per-frame "
+    "content hash are md5-derived codec stand-ins the oracle "
+    "regenerates with a lateral generate_series.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.with_binary_payload(
+        load_table(spark, sf_dir, "documents"), "text"
+    )
+    return multimodal.sample_frames(docs, "doc_id", "payload", max_frames=8)
+
+
+@register(
+    "multimodal_resize_plan",
+    group="ext-multimodal",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id AS doc,
+    CAST(160 + {md5_long_sql("text")} % 1760 AS INT) AS fake_width,
+    CAST(90 + {md5_long_sql("text")} % 997 AS INT) AS fake_height
+  FROM documents
+)
+SELECT doc, fake_width, fake_height,
+  CAST(CASE WHEN fake_width >= fake_height THEN 224
+       ELSE FLOOR(fake_width * 224 / fake_height) END AS INT) AS target_w,
+  CAST(CASE WHEN fake_width >= fake_height
+       THEN FLOOR(fake_height * 224 / fake_width) ELSE 224 END AS INT) AS target_h
+FROM feats
+""",
+    doc="Aspect-preserving resize planning over decoded dims: the "
+    "arithmetic half of resize as exact JVM expressions on top of the "
+    "mapInPandas feature pass; the pixel resample slots into the same "
+    "pandas batch when a codec is present.",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.with_binary_payload(
+        load_table(spark, sf_dir, "documents"), "text"
+    )
+    feats = multimodal.featurize_binary(docs, "doc_id", "payload")
+    t_w, t_h = multimodal.resize_fit("fake_width", "fake_height", box=224)
+    return feats.select(
+        "doc", "fake_width", "fake_height",
+        t_w.alias("target_w"), t_h.alias("target_h"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # events: windowed aggregation + sessionization (batch forms)
 # ---------------------------------------------------------------------------
