@@ -28,6 +28,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -102,6 +104,25 @@ def exploded_shingles(
 # ---------------------------------------------------------------------------
 
 
+def pair_combos(docs: Column) -> Column:
+    """All (doc_a < doc_b) combinations of a sorted id array, as structs.
+
+    Array-HOF pair emission over a posting list — the shared kernel of
+    the inverted-index (jaccard) and LSH-bucket (minhash) pair
+    generators: one shuffle keyed by the grouping key, never a
+    self-join that shuffles the exploded list twice.
+    """
+    return F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Group identical content by 60-bit md5 hash; keep the min id.
 
@@ -145,21 +166,11 @@ def ngram_jaccard_pairs(
     # shingle instead of a self-join that shuffles the pair list twice.
     # max_shingle_freq bounds the posting list, so the quadratic emit
     # per shingle is capped (the standard near-dup frequency cut).
-    docs_arr = F.sort_array(F.collect_list("doc"))
-    combos = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     common = (
         pairs.groupBy("shingle")
-        .agg(docs_arr.alias("docs"))
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
         .filter(F.size("docs") >= 2)
-        .select(F.explode(combos).alias("p"))
+        .select(F.explode(pair_combos(F.col("docs"))).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
@@ -185,6 +196,25 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+#: Prime modulus for the affine minhash family (same one Spark MLlib's
+#: MinHashLSH uses); < 2^31 so coeff * base stays well inside int64.
+MH_PRIME = 2038074743
+
+
+def mh_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for h_i(x) = (a*x + b) % P.
+
+    md5-derived so the DuckDB oracle can inline the identical integer
+    literals; a in [1, P-1], b in [0, P-1].
+    """
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"mh_a_{i}".encode()).hexdigest()[:15], 16)
+        b = int(hashlib.md5(f"mh_b_{i}".encode()).hexdigest()[:15], 16)
+        out.append((a % (MH_PRIME - 1) + 1, b % MH_PRIME))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -193,21 +223,22 @@ def minhash_signatures(
     n: int = 3,
     max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """(doc, mh_0..mh_{k-1}): per-doc minimum of k salted shingle hashes.
+    """(doc, mh_0..mh_{k-1}): per-doc minimum of k affine shingle hashes.
 
-    One explode + one groupBy with k MIN aggregates — partial-aggregated
-    map-side, so the shuffle carries k longs per doc, not the shingles.
+    ONE md5 per shingle (the expensive part), then k cheap codegen-side
+    affine rehashes (a_i*base + b_i) % P — the classic universal-hash
+    construction, ~k× less hashing than k salted md5s. One explode +
+    one groupBy with k MIN aggregates — partial-aggregated map-side, so
+    the shuffle carries k longs per doc, not the shingles.
     """
     pairs = exploded_shingles(df, id_col, text_col, n, max_shingle_freq)
-    hashed = pairs.select(
-        "doc",
-        *[
-            md5_long(F.concat(F.lit(f"mh{i}_"), F.col("shingle"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
-    )
+    base = (md5_long(F.col("shingle")) % MH_PRIME).alias("base")
+    hashed = pairs.select("doc", base)
     return hashed.groupBy("doc").agg(
-        *[F.min(f"h{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+        *[
+            F.min((F.lit(a) * F.col("base") + F.lit(b)) % MH_PRIME).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(mh_coeffs(num_hashes))
+        ]
     )
 
 
@@ -226,28 +257,35 @@ def minhash_lsh_pairs(
     any band bucket become a candidate pair. With k=16, r=4: pairs at
     jaccard s collide with prob 1-(1-s^4)^4 (~0.5 at s~0.55).
     Returns distinct (doc_a < doc_b) candidates.
+
+    Scale/plan notes: the band rows are emitted by ONE explode over an
+    inline (band, bkey) struct array — not a per-band union, which would
+    re-evaluate the whole signature subtree once per band. Candidates
+    come from posting-list combination emission per bucket (one shuffle
+    keyed by bucket), not a bands-self-join, which would evaluate the
+    signature subtree twice more and shuffle the band rows twice.
+    Identical-doc mega-buckets are the only skew source; their quadratic
+    pair emission is inherent to the op's output contract.
     """
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n, max_shingle_freq)
-    n_bands = num_hashes // band_size
-    band_rows = []
-    for b in range(n_bands):
+    band_structs = []
+    for b in range(num_hashes // band_size):
         cols = [f"mh_{b * band_size + j}" for j in range(band_size)]
         key = md5_long(
             F.concat_ws("_", F.lit(str(b)), *[F.col(c).cast("string") for c in cols])
         )
-        band_rows.append(sig.select("doc", F.lit(b).alias("band"), key.alias("bkey")))
-    bands = band_rows[0]
-    for r in band_rows[1:]:
-        bands = bands.unionByName(r)
-    a, b_ = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc") < F.col("b.doc")),
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), key.alias("bkey"))
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+    bands = sig.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    return (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.explode(pair_combos(F.col("docs"))).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 

@@ -114,11 +114,11 @@ _NUM_HASHES, _BAND_SIZE = 16, 4
 def _minhash_pairs_ctes() -> str:
     """WITH-clause body ending in a ``cand`` CTE of candidate pairs
     (shared by the pairs query and the components query)."""
+    # affine rehash family over one md5 base hash (mirror of
+    # dedup.minhash_signatures: h_i = (a_i*base + b_i) % P)
     mins = ", ".join(
-        "MIN({h}) AS mh_{i}".format(
-            h=md5_long_sql("'mh{i}_' || shingle".format(i=i)), i=i
-        )
-        for i in range(_NUM_HASHES)
+        f"MIN(({a} * base + {b}) % {dedup.MH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(dedup.mh_coeffs(_NUM_HASHES))
     )
     band_selects = []
     for b in range(_NUM_HASHES // _BAND_SIZE):
@@ -131,7 +131,11 @@ def _minhash_pairs_ctes() -> str:
         )
     bands = "\nUNION ALL\n".join(band_selects)
     return f"""{_SHINGLES_CTE},
-sig AS (SELECT doc, {mins} FROM shingle_pairs GROUP BY doc),
+sig AS (
+  SELECT doc, {mins} FROM (
+    SELECT doc, {md5_long_sql("shingle")} % {dedup.MH_PRIME} AS base
+    FROM shingle_pairs
+  ) GROUP BY doc),
 bands AS ({bands}),
 cand AS (
   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
