@@ -1,0 +1,93 @@
+"""Deterministic sampling / split-assignment operators.
+
+A training-data pipeline needs reproducible splits and per-stratum
+downsampling that survive retries, re-partitioning, and incremental
+re-runs. Spark's ``randomSplit``/``sample`` are seed-deterministic only
+per-partitioning (they sample by partition+seed), so these operators
+hash ROW IDENTITY instead: a doc lands in the same split on every run,
+on any cluster layout, and the DuckDB oracle reproduces the decision
+bit-for-bit (same md5 scheme as the dedup family).
+
+Scale: split assignment is a pure row-local expression (zero shuffle).
+Stratified sampling joins a per-stratum rate table — broadcast, so it
+adds no shuffle either; the rate table is by construction tiny (one row
+per language/source/bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import md5_long
+
+
+def split_bucket(id_col: str, salt: str = "split", buckets: int = 100) -> F.Column:
+    """Stable bucket in [0, buckets) from the salted md5 of the row id."""
+    return (
+        md5_long(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string")))
+        % buckets
+    )
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 90,
+    valid_pct: int = 5,
+    salt: str = "split",
+) -> DataFrame:
+    """(id, bucket, split): hash-stable train/validation/test assignment.
+
+    The salt namespaces the hash so a later re-split (new salt) is
+    independent of the old one — re-rolling the split does not
+    correlate with the previous assignment.
+    """
+    b = split_bucket(id_col, salt)
+    split = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + valid_pct, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        b.cast("bigint").alias("bucket"),
+        split.alias("split"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates_permille: dict[str, int],
+    default_permille: int = 1000,
+    salt: str = "samp",
+) -> DataFrame:
+    """Deterministic per-stratum downsample (rates in permille).
+
+    Broadcast-joins a tiny stratum->rate table, keeps a row iff its
+    salted id hash mod 1000 falls under the stratum's rate — the usual
+    move to rebalance an over-represented language/source before
+    training. Returns the surviving (doc, stratum, keep_permille).
+    """
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        list(rates_permille.items()), f"{stratum_col} string, keep_permille int"
+    )
+    h = (
+        md5_long(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))) % 1000
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col, "left")
+        .select(
+            F.col(id_col).alias("doc"),
+            F.col(stratum_col).alias("stratum"),
+            F.coalesce("keep_permille", F.lit(default_permille)).alias(
+                "keep_permille"
+            ),
+            h.alias("h"),
+        )
+        .filter(F.col("h") < F.col("keep_permille"))
+        .drop("h")
+    )

@@ -121,3 +121,147 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lang_id(text_col).alias("lang_guess"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition metrics
+# ---------------------------------------------------------------------------
+
+
+def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc repetition metrics in the Gopher-rules style.
+
+    duplicate-word fraction, most-common-word fraction, duplicate-bigram
+    fraction — the signals that catch boilerplate/spam which exact and
+    near-dup hashing miss (repetition WITHIN a doc, not across docs).
+    All array HOFs, zero shuffle; fractions are one IEEE division of
+    exact integer counts so the DuckDB oracle is bit-identical. The
+    per-distinct-word count scan is O(words * distinct) per doc — fine
+    for document-sized inputs, and per-row-parallel at any corpus size.
+    """
+    w = words(text_col)
+    n = F.size(w)
+    nd = F.size(F.array_distinct(w))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda dw: F.size(F.filter(w, lambda x: x == dw)),
+        )
+    )
+    # guard: sequence(1, 0) is a DESCENDING [1, 0] in Spark, so 1-word
+    # docs must short-circuit (same trap as dedup.shingles)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    ndb = F.size(F.array_distinct(bigrams))
+    dup_word_frac = (n - nd).cast("double") / n
+    top_word_frac = top.cast("double") / n
+    dup_bigram_frac = F.when(n >= 2, (nb - ndb).cast("double") / nb).otherwise(
+        F.lit(0.0)
+    )
+    keep = (
+        (dup_word_frac <= 0.63) & (top_word_frac <= 0.12) & (dup_bigram_frac <= 0.2)
+    )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n.cast("bigint").alias("n_words"),
+        dup_word_frac.alias("dup_word_frac"),
+        top_word_frac.alias("top_word_frac"),
+        dup_bigram_frac.alias("dup_bigram_frac"),
+        keep.alias("gopher_keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style heuristic filters
+# ---------------------------------------------------------------------------
+
+
+def c4_filters(
+    df: DataFrame, id_col: str, text_col: str, lang_col: str
+) -> DataFrame:
+    """Per-doc C4-style boolean filter flags + the composite keep.
+
+    Rules (document-local, zero shuffle, exact integer logic):
+    - ``min_words_ok``: >= 20 words;
+    - ``word_len_ok``: mean word length in [2.5, 8] — compared as
+      ``2*sum_len >= 5*n`` and ``sum_len <= 8*n``, pure int64;
+    - ``max_word_ok``: longest word <= 15 chars (URL/blob smell);
+    - ``no_brace``: no '{' (code/JSON leakage);
+    - ``stopword_ok``: >= 1 distinct stopword of the doc's own language
+      (waived for languages without a stoplist, e.g. zh).
+    """
+    w = words(text_col)
+    n = F.size(w)
+    sum_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    max_len = F.array_max(F.transform(w, F.length))
+    lang = F.col(lang_col)
+    stop_ok = F.lit(True)
+    for lg, sw in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(s) for s in sw])
+        hits = F.size(
+            F.filter(F.array_distinct(w), lambda x: F.array_contains(arr, x))
+        )
+        stop_ok = F.when(lang == lg, hits >= 1).otherwise(stop_ok)
+    min_words_ok = n >= 20
+    word_len_ok = (sum_len * 2 >= n * 5) & (sum_len <= n * 8)
+    max_word_ok = max_len <= 15
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    no_brace = ~text.contains("{")
+    keep = min_words_ok & word_len_ok & max_word_ok & no_brace & stop_ok
+    return df.select(
+        F.col(id_col).alias("doc"),
+        min_words_ok.alias("min_words_ok"),
+        word_len_ok.alias("word_len_ok"),
+        max_word_ok.alias("max_word_ok"),
+        no_brace.alias("no_brace"),
+        stop_ok.alias("stopword_ok"),
+        keep.alias("c4_keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping word-window chunks: one doc row -> ceil(n/stride) rows.
+
+    The context-window prep step of a training pipeline: fixed-size
+    windows every ``stride`` words (overlap = size - stride). A single
+    generator expression (sequence -> transform -> posexplode), so the
+    expansion happens inside the scan stage with no shuffle and no
+    Python; chunk text is built by slice + concat_ws, never substring
+    arithmetic on the raw string.
+    """
+    w = words(text_col)
+    starts = F.sequence(F.lit(1), F.size(w), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("int").alias("start_word"),
+            F.concat_ws(" ", F.slice(w, s, size)).alias("chunk_text"),
+            F.least(F.lit(size), F.size(w) - s + 1).cast("int").alias("chunk_words"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc"), F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        "doc",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.start_word").alias("start_word"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.chunk_words").alias("chunk_words"),
+    )

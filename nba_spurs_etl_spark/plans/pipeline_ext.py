@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalar import md5_long_sql
-from ..operators import dedup, multimodal, similarity, textops
+from ..operators import dedup, multimodal, sampling, similarity, textops
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -497,6 +497,182 @@ FROM documents
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.quality_features(
         load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@register(
+    "text_repetition",
+    group="ext-text",
+    oracle="""
+WITH w AS (SELECT doc_id AS doc, string_split(text, ' ') AS w FROM documents),
+b AS (
+  SELECT doc, w,
+    CASE WHEN len(w) >= 2 THEN
+      list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+    ELSE [] END AS bg
+  FROM w
+)
+SELECT doc,
+  CAST(len(w) AS BIGINT) AS n_words,
+  CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_frac,
+  CAST(list_max(list_transform(list_distinct(w),
+    dw -> len(list_filter(w, x -> x = dw)))) AS DOUBLE) / len(w) AS top_word_frac,
+  CASE WHEN len(w) >= 2 THEN
+    CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+  ELSE 0.0 END AS dup_bigram_frac,
+  CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.63
+    AND CAST(list_max(list_transform(list_distinct(w),
+      dw -> len(list_filter(w, x -> x = dw)))) AS DOUBLE) / len(w) <= 0.12
+    AND (CASE WHEN len(w) >= 2 THEN
+      CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+    ELSE 0.0 END) <= 0.2 AS gopher_keep
+FROM b
+""",
+    doc="Gopher-style repetition metrics: duplicate-word / top-word / "
+    "duplicate-bigram fractions + composite keep. Catches in-document "
+    "boilerplate that cross-document dedup cannot; zero shuffle.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.repetition_features(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def _c4_stop_sql() -> str:
+    cases = []
+    for lg, sw in textops.LANG_STOPWORDS.items():
+        lst = "[" + ", ".join(f"'{s}'" for s in sw) + "]"
+        cases.append(
+            f"WHEN '{lg}' THEN len(list_filter(list_distinct(w), "
+            f"x -> list_contains({lst}, x))) >= 1"
+        )
+    return "CASE lang " + " ".join(cases) + " ELSE TRUE END"
+
+
+@register(
+    "text_c4_filters",
+    group="ext-text",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id AS doc, lang, text, string_split(text, ' ') AS w FROM documents
+),
+m AS (
+  SELECT doc, lang, text, w,
+    CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_len,
+    len(w) AS n
+  FROM w
+)
+SELECT doc,
+  n >= 20 AS min_words_ok,
+  (2 * sum_len >= 5 * n AND sum_len <= 8 * n) AS word_len_ok,
+  list_max(list_transform(w, x -> len(x))) <= 15 AS max_word_ok,
+  NOT contains(text, '{{') AS no_brace,
+  {_c4_stop_sql()} AS stopword_ok,
+  n >= 20 AND (2 * sum_len >= 5 * n AND sum_len <= 8 * n)
+    AND list_max(list_transform(w, x -> len(x))) <= 15
+    AND NOT contains(text, '{{')
+    AND ({_c4_stop_sql()}) AS c4_keep
+FROM m
+""",
+    doc="C4-style heuristic filter flags (word count, mean/max word "
+    "length as pure int64 comparisons, brace leakage, own-language "
+    "stopword presence) + composite keep; document-local, zero shuffle.",
+)
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.c4_filters(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", "lang"
+    )
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24
+
+
+@register(
+    "doc_chunks",
+    group="ext-text",
+    oracle=f"""
+WITH w AS (SELECT doc_id AS doc, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc, w, unnest(generate_series(1, len(w), {_CHUNK_STRIDE})) AS start_word
+  FROM w
+)
+SELECT doc,
+  CAST((start_word - 1) // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+  CAST(start_word AS INT) AS start_word,
+  array_to_string(w[start_word:start_word + {_CHUNK_SIZE - 1}], ' ') AS chunk_text,
+  CAST(LEAST({_CHUNK_SIZE}, len(w) - start_word + 1) AS INT) AS chunk_words
+FROM s
+""",
+    doc="Overlapping word-window chunking (size 32, stride 24): the "
+    "context-window prep expansion, one doc -> ceil(n/stride) chunk "
+    "rows via a single generator expression inside the scan stage — "
+    "no shuffle, no Python.",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        size=_CHUNK_SIZE,
+        stride=_CHUNK_STRIDE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic splits / stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_assign",
+    group="ext-sampling",
+    oracle=f"""
+SELECT doc, bucket,
+  CASE WHEN bucket < 90 THEN 'train'
+       WHEN bucket < 95 THEN 'validation'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id AS doc,
+    {md5_long_sql("'split_' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents
+)
+""",
+    doc="Hash-stable train/validation/test assignment (90/5/5) from the "
+    "salted md5 of row identity — reproducible across runs, retries and "
+    "partitionings, unlike partition-seeded randomSplit; zero shuffle.",
+)
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.assign_splits(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+
+
+_STRATA_RATES = {"en": 300}
+
+
+@register(
+    "stratified_sample",
+    group="ext-sampling",
+    oracle=f"""
+SELECT doc, stratum, keep_permille FROM (
+  SELECT doc_id AS doc, lang AS stratum,
+    CASE lang WHEN 'en' THEN 300 ELSE 1000 END AS keep_permille,
+    {md5_long_sql("'samp_' || CAST(doc_id AS VARCHAR)")} % 1000 AS h
+  FROM documents
+)
+WHERE h < keep_permille
+""",
+    doc="Deterministic per-language downsample (en -> 30%, rest kept): "
+    "broadcast-joined stratum rate table + salted-hash keep decision — "
+    "the majority-class rebalance step, no shuffle beyond the broadcast.",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.stratified_sample(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        _STRATA_RATES,
+        default_permille=1000,
     )
 
 

@@ -8,6 +8,7 @@ the Spark answer).
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -295,3 +296,131 @@ def test_two_phase_agg_equals_direct_groupby(spark, rows, buckets):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# chunking: coverage / overlap / reconstruction properties
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n_words=st.integers(min_value=1, max_value=120),
+    size=st.sampled_from([8, 32]),
+    stride=st.sampled_from([5, 8, 24]),
+)
+def test_chunking_covers_and_reconstructs(spark, n_words, size, stride):
+    from nba_spurs_etl_spark.operators.textops import chunk_documents
+
+    if stride > size:
+        return  # gaps by construction; not a supported config
+    text = " ".join(f"w{i}" for i in range(n_words))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    chunks = sorted(
+        chunk_documents(df, "doc_id", "text", size=size, stride=stride).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # starts follow the stride grid, idx is dense from 0
+    assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+    assert [c.start_word for c in chunks] == [
+        1 + i * stride for i in range(len(chunks))
+    ]
+    # every word index is covered by at least one chunk
+    covered = set()
+    for c in chunks:
+        got = c.chunk_text.split(" ") if c.chunk_text else []
+        assert got == [
+            f"w{i}" for i in range(c.start_word - 1, c.start_word - 1 + c.chunk_words)
+        ]
+        assert c.chunk_words == len(got)
+        covered |= set(range(c.start_word - 1, c.start_word - 1 + c.chunk_words))
+    assert covered == set(range(n_words))
+    # stride-prefix concatenation rebuilds the doc exactly
+    rebuilt = []
+    for c in chunks:
+        rebuilt.extend(c.chunk_text.split(" ")[:stride])
+    assert rebuilt[:n_words] == text.split(" ")
+
+
+# ---------------------------------------------------------------------------
+# splits: partitioning-invariance + disjoint-salt independence
+# ---------------------------------------------------------------------------
+
+
+def test_split_assignment_partitioning_invariant(spark):
+    from nba_spurs_etl_spark.operators.sampling import assign_splits
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r.doc: r.split for r in assign_splits(df, "doc_id").collect()}
+    b = {
+        r.doc: r.split
+        for r in assign_splits(df.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+    frac_train = sum(1 for s in a.values() if s == "train") / len(a)
+    assert 0.8 < frac_train < 0.97
+
+
+def test_stratified_sample_is_deterministic_subset(spark):
+    from nba_spurs_etl_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 3 == 0 else "fr") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept1 = stratified_sample(df, "doc_id", "lang", {"en": 200}).collect()
+    kept2 = stratified_sample(df.repartition(7), "doc_id", "lang", {"en": 200}).collect()
+    assert sorted(map(tuple, kept1)) == sorted(map(tuple, kept2))
+    by_stratum = {}
+    for r in kept1:
+        by_stratum.setdefault(r.stratum, 0)
+        by_stratum[r.stratum] += 1
+    # fr has no rate -> default 1000 permille keeps everything
+    assert by_stratum["fr"] == sum(1 for _, l in rows if l == "fr")
+    # en is downsampled hard (200 permille of 100 docs)
+    assert 0 < by_stratum["en"] < 50
+
+
+# ---------------------------------------------------------------------------
+# c4 / gopher filters: rule boundaries on hand-built docs
+# ---------------------------------------------------------------------------
+
+
+def test_c4_filter_rule_boundaries(spark):
+    from nba_spurs_etl_spark.operators.textops import c4_filters
+
+    good = " ".join(["the word lives here fine"] * 4)  # 20 words, en
+    rows = [
+        (1, good, "en"),                             # passes all
+        (2, "too short text", "en"),                 # min_words
+        (3, " ".join(["a"] * 25), "en"),             # mean word len < 2.5
+        (4, good.replace("word", "w" * 16), "en"),   # max word len
+        (5, good + " {", "en"),                      # brace
+        (6, " ".join(["palabra"] * 20), "en"),       # no en stopword
+        (7, " ".join(["某些词没有停用词"] * 20), "zh"),  # zh: stopword waived
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r.doc: r for r in c4_filters(df, "doc_id", "text", "lang").collect()}
+    assert got[1].c4_keep
+    assert not got[2].min_words_ok and not got[2].c4_keep
+    assert not got[3].word_len_ok and not got[3].c4_keep
+    assert not got[4].max_word_ok and not got[4].c4_keep
+    assert not got[5].no_brace and not got[5].c4_keep
+    assert not got[6].stopword_ok and not got[6].c4_keep
+    assert got[7].stopword_ok  # waived for zh (mean word len fails it anyway)
+
+
+def test_repetition_features_on_known_docs(spark):
+    from nba_spurs_etl_spark.operators.textops import repetition_features
+
+    rows = [
+        (1, "a b c d"),        # all distinct
+        (2, "a a a a"),        # maximal repetition
+        (3, "x"),              # single word: bigram frac must be 0, not crash
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc: r for r in repetition_features(df, "doc_id", "text").collect()}
+    assert got[1].dup_word_frac == 0.0 and got[1].top_word_frac == 0.25
+    assert got[1].dup_bigram_frac == 0.0
+    assert got[2].dup_word_frac == 0.75 and got[2].top_word_frac == 1.0
+    assert got[2].dup_bigram_frac == pytest.approx(2 / 3)
+    assert not got[2].gopher_keep
+    assert got[3].dup_bigram_frac == 0.0
