@@ -166,6 +166,10 @@ def ngram_jaccard_pairs(
     # shingle instead of a self-join that shuffles the pair list twice.
     # max_shingle_freq bounds the posting list, so the quadratic emit
     # per shingle is capped (the standard near-dup frequency cut).
+    # (Deriving sizes from the shingle-grouped buckets to reuse that
+    # exchange was measured SLOWER here — AQE does not line the two
+    # consumers up for ReusedExchange, and the re-exploded doc shuffle
+    # costs more than the second narrow scan it saves.)
     common = (
         pairs.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc")).alias("docs"))

@@ -231,18 +231,23 @@ def ivf_topk(
     init = F.struct(
         F.lit(-2.0).alias("cos"), F.lit(None).cast("long").alias("cid")
     )
-    best = F.aggregate(
+    # score each centroid ONCE (transform), then argmax-fold over the
+    # precomputed (cos, cid) structs — the naive fold re-evaluates the
+    # dot product in every comparison branch (3x the fold work and a
+    # 3x-wider codegen tree) for identical values
+    cell_scores = F.transform(
         cents,
+        lambda c: F.struct(
+            _cell_cos(c, "candv", "candn").alias("cos"), c["cid"].alias("cid")
+        ),
+    )
+    best = F.aggregate(
+        cell_scores,
         init,
-        lambda acc, c: F.when(
-            (_cell_cos(c, "candv", "candn") > acc["cos"])
-            | (
-                (_cell_cos(c, "candv", "candn") == acc["cos"])
-                & (c["cid"] < acc["cid"])
-            ),
-            F.struct(
-                _cell_cos(c, "candv", "candn").alias("cos"), c["cid"].alias("cid")
-            ),
+        lambda acc, s: F.when(
+            (s["cos"] > acc["cos"])
+            | ((s["cos"] == acc["cos"]) & (s["cid"] < acc["cid"])),
+            s,
         ).otherwise(acc),
     )
     assigned = corpus.withColumn("cell", best["cid"])
