@@ -226,6 +226,37 @@ def c4_filters(
 
 
 # ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# dialect-safe patterns (identical semantics in Java regex and RE2)
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_PHONE = "[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Scrub emails/phone-shaped tokens; count what was removed.
+
+    Emails are redacted FIRST so a digit run inside a local part is
+    never double-counted as a phone; the phone count runs over the
+    email-redacted text for the same reason. Pure regexp expressions,
+    zero shuffle; the patterns avoid constructs where Java regex and
+    RE2 diverge (no backrefs, no lookaround) so the oracle is exact.
+    """
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_emails = F.regexp_count(text, F.lit(PII_EMAIL)).cast("bigint")
+    no_email = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    n_phones = F.regexp_count(no_email, F.lit(PII_PHONE)).cast("bigint")
+    redacted = F.regexp_replace(no_email, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # document chunking
 # ---------------------------------------------------------------------------
 

@@ -433,3 +433,65 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_order"),
         F.last("o_orderkey").over(full).alias("latest_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC merge / upsert (lakehouse MERGE INTO expressed over bare parquet)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_cdc_orders",
+    group="ext-merge",
+    oracle="""
+WITH chg AS (
+  SELECT o_orderkey, 'U' AS op, 'X' AS o_orderstatus,
+    o_totalprice + 1000 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 'D', NULL, NULL
+  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'I', 'N', 1.5
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+  CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
+       ELSE b.o_orderstatus END AS o_orderstatus,
+  CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
+       ELSE b.o_totalprice END AS o_totalprice
+FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) b
+FULL OUTER JOIN chg c ON b.o_orderkey = c.o_orderkey
+WHERE c.op IS NULL OR c.op <> 'D'
+""",
+    doc="CDC merge: I/U/D changelog applied onto the orders snapshot "
+    "via one full-outer join on the merge key (operators/merge.py). "
+    "Full-outer can never broadcast, so the scale layout is bucketing "
+    "both sides by the key; changelog is one-winning-op-per-key.",
+)
+def merge_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_cdc
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    k = F.col("o_orderkey")
+    updates = o.filter(k % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+    )
+    deletes = o.filter((k % 7 != 0) & (k % 11 == 0)).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    inserts = o.filter(k % 13 == 0).select(
+        (k + 100000000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.5).alias("o_totalprice"),
+    )
+    changelog = updates.unionByName(deletes).unionByName(inserts)
+    return merge_cdc(base, changelog, ["o_orderkey"])

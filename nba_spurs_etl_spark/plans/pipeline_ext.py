@@ -584,6 +584,60 @@ def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_pii_redact",
+    group="ext-text",
+    oracle=f"""
+WITH inj AS (
+  SELECT doc_id AS doc, text
+    || CASE WHEN doc_id % 3 = 0
+       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+       ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+       THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       ELSE '' END AS t
+  FROM documents
+)
+SELECT doc,
+  CAST(len(regexp_extract_all(t, '{textops.PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(
+    regexp_replace(t, '{textops.PII_EMAIL}', '<EMAIL>', 'g'),
+    '{textops.PII_PHONE}')) AS BIGINT) AS n_phones,
+  regexp_replace(
+    regexp_replace(t, '{textops.PII_EMAIL}', '<EMAIL>', 'g'),
+    '{textops.PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM inj
+""",
+    doc="PII scrub (emails then phone-shaped tokens) + removal counts "
+    "over deterministically injected contact strings; dialect-safe "
+    "regexes so Java regex and RE2 agree; zero shuffle.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" tel 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textops.redact_pii(injected, "doc_id", "text")
+
+
 _CHUNK_SIZE, _CHUNK_STRIDE = 32, 24
 
 

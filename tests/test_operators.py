@@ -424,3 +424,59 @@ def test_repetition_features_on_known_docs(spark):
     assert got[2].dup_bigram_frac == pytest.approx(2 / 3)
     assert not got[2].gopher_keep
     assert got[3].dup_bigram_frac == 0.0
+
+
+# ---------------------------------------------------------------------------
+# CDC merge semantics
+# ---------------------------------------------------------------------------
+
+
+def test_merge_cdc_semantics(spark):
+    from nba_spurs_etl_spark.operators.merge import latest_by_key, merge_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    chg = spark.createDataFrame(
+        [
+            (2, "U", "b2", 21.0),   # update existing
+            (3, "D", None, None),   # delete existing
+            (4, "I", "d", 40.0),    # insert new
+            (5, "U", "e", 50.0),    # upsert: U on missing key inserts
+            (6, "D", None, None),   # delete of absent key: no-op
+        ],
+        ["k", "op", "s", "v"],
+    )
+    got = {r.k: (r.s, r.v) for r in merge_cdc(base, chg, ["k"]).collect()}
+    assert got == {
+        1: ("a", 10.0),
+        2: ("b2", 21.0),
+        4: ("d", 40.0),
+        5: ("e", 50.0),
+    }
+
+    log = spark.createDataFrame(
+        [(1, 1, "U", "x1"), (1, 3, "D", None), (1, 2, "U", "x2")],
+        ["k", "ts", "op", "s"],
+    )
+    win = latest_by_key(log, ["k"], "ts").collect()
+    assert len(win) == 1 and win[0].op == "D"  # highest ts wins
+
+
+def test_redact_pii_counts_and_ordering(spark):
+    from nba_spurs_etl_spark.operators.textops import redact_pii
+
+    rows = [
+        (1, "mail me at a.b+c@x-corp.io or 555-0199 thanks"),
+        (2, "digits 555-01 in an email p555-0123q@ex.org stay one email"),
+        (3, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc: r for r in redact_pii(df, "doc_id", "text").collect()}
+    assert got[1].n_emails == 1 and got[1].n_phones == 1
+    assert got[1].redacted == "mail me at <EMAIL> or <PHONE> thanks"
+    # the phone-shaped run inside the email local part must not be
+    # counted: emails are scrubbed first
+    assert got[2].n_emails == 1 and got[2].n_phones == 0
+    assert got[3].n_emails == 0 and got[3].n_phones == 0
+    assert got[3].redacted == "no pii here"
