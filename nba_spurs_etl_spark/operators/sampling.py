@@ -30,6 +30,22 @@ def split_bucket(id_col: str, salt: str = "split", buckets: int = 100) -> F.Colu
     )
 
 
+def split_label(
+    id_col: str,
+    train_pct: int = 90,
+    valid_pct: int = 5,
+    salt: str = "split",
+) -> F.Column:
+    """The train/validation/test label expression (column-level, for
+    composed pipelines that attach the split without a join)."""
+    b = split_bucket(id_col, salt)
+    return (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + valid_pct, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def assign_splits(
     df: DataFrame,
     id_col: str,
@@ -44,11 +60,7 @@ def assign_splits(
     correlate with the previous assignment.
     """
     b = split_bucket(id_col, salt)
-    split = (
-        F.when(b < train_pct, F.lit("train"))
-        .when(b < train_pct + valid_pct, F.lit("validation"))
-        .otherwise(F.lit("test"))
-    )
+    split = split_label(id_col, train_pct, valid_pct, salt)
     return df.select(
         F.col(id_col).alias("doc"),
         b.cast("bigint").alias("bucket"),

@@ -128,17 +128,10 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-doc repetition metrics in the Gopher-rules style.
-
-    duplicate-word fraction, most-common-word fraction, duplicate-bigram
-    fraction — the signals that catch boilerplate/spam which exact and
-    near-dup hashing miss (repetition WITHIN a doc, not across docs).
-    All array HOFs, zero shuffle; fractions are one IEEE division of
-    exact integer counts so the DuckDB oracle is bit-identical. The
-    per-distinct-word count scan is O(words * distinct) per doc — fine
-    for document-sized inputs, and per-row-parallel at any corpus size.
-    """
+def repetition_cols(text_col: str | Column) -> dict[str, Column]:
+    """The Gopher-rule repetition expressions, exposed column-level so
+    composed pipelines can filter without a join against the feature
+    frame (see ``corpus_pipeline``)."""
     w = words(text_col)
     n = F.size(w)
     nd = F.size(F.array_distinct(w))
@@ -167,13 +160,29 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     keep = (
         (dup_word_frac <= 0.63) & (top_word_frac <= 0.12) & (dup_bigram_frac <= 0.2)
     )
+    return {
+        "n_words": n.cast("bigint"),
+        "dup_word_frac": dup_word_frac,
+        "top_word_frac": top_word_frac,
+        "dup_bigram_frac": dup_bigram_frac,
+        "gopher_keep": keep,
+    }
+
+
+def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc repetition metrics in the Gopher-rules style.
+
+    duplicate-word fraction, most-common-word fraction, duplicate-bigram
+    fraction — the signals that catch boilerplate/spam which exact and
+    near-dup hashing miss (repetition WITHIN a doc, not across docs).
+    All array HOFs, zero shuffle; fractions are one IEEE division of
+    exact integer counts so the DuckDB oracle is bit-identical. The
+    per-distinct-word count scan is O(words * distinct) per doc — fine
+    for document-sized inputs, and per-row-parallel at any corpus size.
+    """
+    c = repetition_cols(text_col)
     return df.select(
-        F.col(id_col).alias("doc"),
-        n.cast("bigint").alias("n_words"),
-        dup_word_frac.alias("dup_word_frac"),
-        top_word_frac.alias("top_word_frac"),
-        dup_bigram_frac.alias("dup_bigram_frac"),
-        keep.alias("gopher_keep"),
+        F.col(id_col).alias("doc"), *[v.alias(k) for k, v in c.items()]
     )
 
 
@@ -182,20 +191,8 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def c4_filters(
-    df: DataFrame, id_col: str, text_col: str, lang_col: str
-) -> DataFrame:
-    """Per-doc C4-style boolean filter flags + the composite keep.
-
-    Rules (document-local, zero shuffle, exact integer logic):
-    - ``min_words_ok``: >= 20 words;
-    - ``word_len_ok``: mean word length in [2.5, 8] — compared as
-      ``2*sum_len >= 5*n`` and ``sum_len <= 8*n``, pure int64;
-    - ``max_word_ok``: longest word <= 15 chars (URL/blob smell);
-    - ``no_brace``: no '{' (code/JSON leakage);
-    - ``stopword_ok``: >= 1 distinct stopword of the doc's own language
-      (waived for languages without a stoplist, e.g. zh).
-    """
+def c4_cols(text_col: str | Column, lang_col: str) -> dict[str, Column]:
+    """The C4-rule flag expressions, column-level (see ``c4_filters``)."""
     w = words(text_col)
     n = F.size(w)
     sum_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
@@ -214,14 +211,33 @@ def c4_filters(
     text = F.col(text_col) if isinstance(text_col, str) else text_col
     no_brace = ~text.contains("{")
     keep = min_words_ok & word_len_ok & max_word_ok & no_brace & stop_ok
+    return {
+        "min_words_ok": min_words_ok,
+        "word_len_ok": word_len_ok,
+        "max_word_ok": max_word_ok,
+        "no_brace": no_brace,
+        "stopword_ok": stop_ok,
+        "c4_keep": keep,
+    }
+
+
+def c4_filters(
+    df: DataFrame, id_col: str, text_col: str, lang_col: str
+) -> DataFrame:
+    """Per-doc C4-style boolean filter flags + the composite keep.
+
+    Rules (document-local, zero shuffle, exact integer logic):
+    - ``min_words_ok``: >= 20 words;
+    - ``word_len_ok``: mean word length in [2.5, 8] — compared as
+      ``2*sum_len >= 5*n`` and ``sum_len <= 8*n``, pure int64;
+    - ``max_word_ok``: longest word <= 15 chars (URL/blob smell);
+    - ``no_brace``: no '{' (code/JSON leakage);
+    - ``stopword_ok``: >= 1 distinct stopword of the doc's own language
+      (waived for languages without a stoplist, e.g. zh).
+    """
+    c = c4_cols(text_col, lang_col)
     return df.select(
-        F.col(id_col).alias("doc"),
-        min_words_ok.alias("min_words_ok"),
-        word_len_ok.alias("word_len_ok"),
-        max_word_ok.alias("max_word_ok"),
-        no_brace.alias("no_brace"),
-        stop_ok.alias("stopword_ok"),
-        keep.alias("c4_keep"),
+        F.col(id_col).alias("doc"), *[v.alias(k) for k, v in c.items()]
     )
 
 

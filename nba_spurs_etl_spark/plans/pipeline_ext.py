@@ -13,10 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import md5_long_sql
+from ..functions.scalar import md5_long, md5_long_sql
 from ..operators import dedup, multimodal, sampling, similarity, textops
 from ..sources.catalog import load_table
-from .registry import register
+from .registry import register, registry
 
 # ---------------------------------------------------------------------------
 # shared DuckDB fragments
@@ -727,6 +727,90 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         _STRATA_RATES,
         default_permille=1000,
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus prep: filter -> dedup -> chunk -> split
+# ---------------------------------------------------------------------------
+
+
+def _corpus_pipeline_oracle() -> str:
+    """Composes the already-registered single-op oracles as subqueries
+    so the pipeline oracle can never drift from its stages."""
+    c4 = registry()["text_c4_filters"].oracle
+    rep = registry()["text_repetition"].oracle
+    return f"""
+WITH c4 AS (SELECT doc FROM ({c4}) WHERE c4_keep),
+rep AS (SELECT doc FROM ({rep}) WHERE gopher_keep),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN c4 ON d.doc_id = c4.doc
+  JOIN rep ON d.doc_id = rep.doc
+),
+dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      MIN(doc_id) OVER (PARTITION BY {md5_long_sql("text")}) AS keep_id
+    FROM kept
+  ) WHERE doc_id = keep_id
+),
+w AS (SELECT doc_id AS doc, string_split(text, ' ') AS w FROM dedup),
+s AS (
+  SELECT doc, w, unnest(generate_series(1, len(w), {_CHUNK_STRIDE})) AS start_word
+  FROM w
+)
+SELECT doc,
+  CAST((start_word - 1) // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+  array_to_string(w[start_word:start_word + {_CHUNK_SIZE - 1}], ' ') AS chunk_text,
+  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'validation'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc, start_word, w,
+    {md5_long_sql("'split_' || CAST(doc AS VARCHAR)")} % 100 AS b
+  FROM s
+)
+"""
+
+
+@register(
+    "corpus_pipeline",
+    group="ext-pipeline",
+    oracle=_corpus_pipeline_oracle(),
+    doc="The full training-data prep chain as ONE declarative plan: "
+    "C4 + Gopher quality filters (column-level expressions, fused into "
+    "the scan — no joins), exact-dedup keep-min over a content-hash "
+    "window (the single shuffle in the whole pipeline), overlapping "
+    "chunking (generator expression, map-side after the shuffle), and "
+    "doc-level hash-stable split labels (chunks of one doc never "
+    "straddle train/test). Oracle is composed from the single-stage "
+    "oracles so it cannot drift from them.",
+)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (
+        textops.c4_cols("text", "lang")["c4_keep"]
+        & textops.repetition_cols("text")["gopher_keep"]
+    )
+    filtered = docs.filter(keep)
+    kept = (
+        filtered.withColumn(
+            "_keep_id",
+            F.min("doc_id").over(Window.partitionBy(md5_long(F.col("text")))),
+        )
+        .filter(F.col("doc_id") == F.col("_keep_id"))
+        .select("doc_id", "text")
+    )
+    chunks = textops.chunk_documents(
+        kept, "doc_id", "text", size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+    return chunks.select(
+        "doc",
+        "chunk_idx",
+        "chunk_text",
+        sampling.split_label("doc").alias("split"),
     )
 
 

@@ -107,3 +107,20 @@ def test_ivf_assignment_is_narrow(spark, catalog):
     # corpus scan (embeddings) must flow into the join without an
     # Exchange keyed by cand_id — cell assignment happens in-line.
     assert "hashpartitioning(cand_id" not in plan, plan
+
+
+def test_corpus_pipeline_single_shuffle_single_scan(spark, catalog):
+    """The composed filter->dedup->chunk->split chain must fuse into one
+    parquet scan and exactly one exchange (the content-hash dedup
+    window); filters and chunk generation stay scan-side. More
+    exchanges would mean the stage composition introduced joins."""
+    plan = fmt_plan(catalog["corpus_pipeline"](spark, SF_SMOKE))
+    # "(n) <Node>" detail headers appear exactly once per physical node
+    # (the tree rendering repeats the names)
+    import re
+
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(scans) == 1, plan
+    assert len(exchanges) == 1, plan
+    assert "Generate" in plan, plan  # chunk explode is a generator, not a join
