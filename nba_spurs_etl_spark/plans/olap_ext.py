@@ -440,6 +440,35 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def orders_cdc_frames(o: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(base snapshot, I/U/D changelog) derived from orders — shared by
+    the batch merge query and its streaming foreachBatch twin (which
+    reuses the same oracle). Changelog keys are mutually disjoint, so
+    any micro-batch partitioning of it converges to the same state."""
+    base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    k = F.col("o_orderkey")
+    updates = o.filter(k % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+    )
+    deletes = o.filter((k % 7 != 0) & (k % 11 == 0)).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    inserts = o.filter(k % 13 == 0).select(
+        (k + 100000000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.5).alias("o_totalprice"),
+    )
+    changelog = updates.unionByName(deletes).unionByName(inserts)
+    return base, changelog
+
+
 @register(
     "merge_cdc_orders",
     group="ext-merge",
@@ -472,26 +501,5 @@ WHERE c.op IS NULL OR c.op <> 'D'
 def merge_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.merge import merge_cdc
 
-    o = load_table(spark, sf_dir, "orders")
-    base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
-    k = F.col("o_orderkey")
-    updates = o.filter(k % 7 == 0).select(
-        "o_orderkey",
-        F.lit("U").alias("op"),
-        F.lit("X").alias("o_orderstatus"),
-        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
-    )
-    deletes = o.filter((k % 7 != 0) & (k % 11 == 0)).select(
-        "o_orderkey",
-        F.lit("D").alias("op"),
-        F.lit(None).cast("string").alias("o_orderstatus"),
-        F.lit(None).cast("double").alias("o_totalprice"),
-    )
-    inserts = o.filter(k % 13 == 0).select(
-        (k + 100000000).alias("o_orderkey"),
-        F.lit("I").alias("op"),
-        F.lit("N").alias("o_orderstatus"),
-        F.lit(1.5).alias("o_totalprice"),
-    )
-    changelog = updates.unionByName(deletes).unionByName(inserts)
+    base, changelog = orders_cdc_frames(load_table(spark, sf_dir, "orders"))
     return merge_cdc(base, changelog, ["o_orderkey"])

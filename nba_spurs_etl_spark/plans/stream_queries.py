@@ -10,7 +10,9 @@ oracle-checked (events_tumbling_agg / events_sessionize).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..sources.catalog import load_table
 from ..streaming import (
     read_events_stream,
     run_stream_to_table,
@@ -18,7 +20,7 @@ from ..streaming import (
     stream_session_agg,
     stream_tumbling_agg,
 )
-from .registry import register
+from .registry import register, registry
 
 
 @register(
@@ -79,3 +81,43 @@ def stream_user_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
         state_partitions=8,
     )
+
+
+@register(
+    "stream_cdc_apply",
+    group="2.9 ext-stream ext-merge",
+    # the streaming apply converges to the batch merge's exact state
+    # (changelog keys are disjoint), so it shares merge_cdc_orders'
+    # FULL oracle instead of the weaker rows-only check
+    oracle=registry()["merge_cdc_orders"].oracle,
+    doc="Streaming CDC: the orders changelog drained as micro-batches "
+    "(maxFilesPerTrigger=1) through foreachBatch into a versioned "
+    "parquet snapshot (streaming/cdc.py CdcSnapshot); final snapshot "
+    "equals the one-shot batch merge, checked by the same oracle.",
+)
+def stream_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.cdc import CdcSnapshot
+    from .olap_ext import orders_cdc_frames
+
+    base, changelog = orders_cdc_frames(load_table(spark, sf_dir, "orders"))
+    work = tempfile.mkdtemp(prefix="spark_cdc_stream_")
+    logdir = os.path.join(work, "log")
+    # two appends -> two files -> (with maxFilesPerTrigger=1) the
+    # stream applies the changelog across >= 2 micro-batches
+    k = F.col("o_orderkey")
+    changelog.filter(k % 2 == 0).coalesce(1).write.mode("append").parquet(logdir)
+    changelog.filter(k % 2 != 0).coalesce(1).write.mode("append").parquet(logdir)
+
+    snap = CdcSnapshot(spark, os.path.join(work, "snap"), ["o_orderkey"])
+    snap.init(base)
+    stream = (
+        spark.readStream.schema(changelog.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(logdir)
+    )
+    q = snap.attach(stream, os.path.join(work, "ckpt"))
+    q.awaitTermination()
+    return snap.read()

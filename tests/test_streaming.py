@@ -148,3 +148,65 @@ def test_watermark_drops_late_data(spark, tmp_path_factory):
     assert not any(ws == "2024-01-01 10:00:00" and n != 2 for ws, _, n in combined)
     # event 3's window finalizes once event 5 pushes the watermark past 11:05
     assert ("2024-01-01 11:00:00", "c", 1) in combined, combined
+
+
+def test_stream_cdc_versions_and_compaction(spark, tmp_path_factory):
+    """CdcSnapshot: each micro-batch commits a NEW version (no
+    overwrite-in-place), in-batch multi-op keys compact to the highest
+    order_col, and the final state equals the sequential batch merges."""
+    import os
+
+    from nba_spurs_etl_spark.operators.merge import merge_cdc
+    from nba_spurs_etl_spark.streaming.cdc import CdcSnapshot
+
+    tmp = str(tmp_path_factory.mktemp("cdc_stream"))
+    base = spark.createDataFrame(
+        [(k, f"s{k}", float(k)) for k in range(1, 21)], ["k", "s", "v"]
+    )
+    # file 1: update 1-3, delete 10, insert 100; key 2 has TWO ops in
+    # the same file (U then D by ts) -> compaction must keep the D
+    c1 = spark.createDataFrame(
+        [
+            (1, 1, "U", "u1", 1.5),
+            (2, 1, "U", "u2", 2.5),
+            (2, 2, "D", None, None),
+            (3, 1, "U", "u3", 3.5),
+            (10, 1, "D", None, None),
+            (100, 1, "I", "new100", 100.0),
+        ],
+        "k long, ts long, op string, s string, v double",
+    )
+    # file 2: disjoint keys -> final state independent of batch order
+    c2 = spark.createDataFrame(
+        [(5, 3, "U", "u5", 5.5), (11, 3, "D", None, None)],
+        "k long, ts long, op string, s string, v double",
+    )
+    logdir = os.path.join(tmp, "log")
+    c1.coalesce(1).write.mode("append").parquet(logdir)
+    c2.coalesce(1).write.mode("append").parquet(logdir)
+
+    snap = CdcSnapshot(spark, os.path.join(tmp, "snap"), ["k"], order_col="ts")
+    snap.init(base)
+    stream = (
+        spark.readStream.schema(c1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(logdir)
+    )
+    q = snap.attach(stream, os.path.join(tmp, "ckpt"))
+    q.awaitTermination()
+
+    versions = snap._versions()
+    assert versions[0] == 0 and len(versions) >= 3  # v0 + one per batch
+
+    from nba_spurs_etl_spark.operators.merge import latest_by_key
+
+    expected = merge_cdc(
+        merge_cdc(base, latest_by_key(c1, ["k"], "ts").drop("ts"), ["k"]),
+        latest_by_key(c2, ["k"], "ts").drop("ts"),
+        ["k"],
+    )
+    got = {tuple(r) for r in snap.read().collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want
+    assert (2, "u2", 2.5) not in got  # the in-batch D won over the U
+    assert not any(r[0] in (10, 11) for r in got)
