@@ -315,3 +315,54 @@ def lsh_topk(
         )
     )
     return _rank_topk(scored, k)
+
+
+def label_centroids(
+    df: DataFrame, group_col: str, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-group embedding centroid + L2 norm, exploded to (group, dim).
+
+    Pooling = element-wise mean over the group's vectors folded in a
+    DETERMINISTIC order (sorted by id, sequential zip_with adds) so the
+    result is independent of partitioning and bit-identical to the
+    DuckDB oracle's list_reduce — the same determinism contract as the
+    engine's decimal aggregates, applied to float vectors.
+
+    Scale: one groupBy shuffle carrying the raw vectors; group state is
+    |group| x dim doubles, fine for label/category-sized groups. For
+    groups of millions of vectors swap the fold for the two-phase
+    dim-sequential sum used by similarity_topk_arrow (same result,
+    tree-sized state) — the output contract stays identical.
+    """
+    sv = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v")))
+    )
+    grouped = df.groupBy(F.col(group_col).alias("grp")).agg(sv.alias("sv"))
+    dv = F.transform(
+        F.col("sv"), lambda s: F.transform(s["v"], lambda x: x.cast("double"))
+    )
+    n = F.size(dv)
+    summed = F.aggregate(
+        F.slice(dv, 2, n - 1),
+        F.element_at(dv, 1),
+        lambda acc, b: F.zip_with(acc, b, lambda x, y: x + y),
+    )
+    centroid = F.transform(summed, lambda s: s / n)
+    l2 = F.sqrt(
+        F.aggregate(centroid, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return (
+        grouped.select(
+            F.col("grp").alias("label"),
+            n.cast("bigint").alias("n_vecs"),
+            centroid.alias("centroid"),
+            l2.alias("l2"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.posexplode("centroid").alias("dim", "c"),
+            "l2",
+        )
+        .select("label", "n_vecs", F.col("dim").cast("int").alias("dim"), "c", "l2")
+    )

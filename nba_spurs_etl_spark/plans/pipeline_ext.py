@@ -730,6 +730,47 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_label_centroids",
+    group="ext-similarity",
+    oracle="""
+WITH per_label AS (
+  SELECT label, list(embedding ORDER BY vec_id) AS vecs
+  FROM embeddings GROUP BY label
+),
+cent AS (
+  SELECT label, CAST(len(vecs) AS BIGINT) AS n_vecs,
+    list_transform(
+      list_reduce(
+        list_transform(vecs, v -> list_transform(v, x -> CAST(x AS DOUBLE))),
+        (a, b) -> list_transform(generate_series(1, len(a)), i -> a[i] + b[i])),
+      s -> s / len(vecs)) AS centroid
+  FROM per_label
+),
+nrm AS (
+  SELECT label, n_vecs, centroid,
+    sqrt(list_reduce(list_transform(centroid, x -> x * x), (a, b) -> a + b)) AS l2
+  FROM cent
+),
+dims AS (
+  SELECT label, n_vecs, l2, centroid,
+    unnest(generate_series(1, len(centroid))) AS i
+  FROM nrm
+)
+SELECT label, n_vecs, CAST(i - 1 AS INT) AS dim, centroid[i] AS c, l2
+FROM dims
+""",
+    doc="Per-label embedding centroid (element-wise mean folded in "
+    "sorted-id order -> partitioning-independent, bit-identical to the "
+    "oracle) + L2 norm, exploded to (label, dim) scalars. The pooling "
+    "primitive for class prototypes / coarse quantizer seeding.",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroids(
+        load_table(spark, sf_dir, "embeddings"), "label", "vec_id", "embedding"
+    )
+
+
 # ---------------------------------------------------------------------------
 # end-to-end corpus prep: filter -> dedup -> chunk -> split
 # ---------------------------------------------------------------------------
@@ -1074,3 +1115,34 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_size=_BAND_SIZE,
     )
     return dedup.connected_components(pairs)
+
+
+def _dedup_filtered_oracle() -> str:
+    comp = registry()["dedup_minhash_components"].oracle
+    return f"""
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc FROM ({comp}) WHERE doc <> component
+)
+"""
+
+
+@register(
+    "dedup_filtered_corpus",
+    group="ext-dedup",
+    oracle=_dedup_filtered_oracle(),
+    doc="The corpus AFTER near-dup removal: every doc whose minhash-LSH "
+    "component representative (min id) is itself — i.e. cluster "
+    "non-representatives dropped via left_anti join. Oracle composed "
+    "from the components oracle so the keep rule cannot drift.",
+)
+def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, band_size=_BAND_SIZE
+    )
+    comp = dedup.connected_components(pairs)
+    drop = comp.filter(F.col("doc") != F.col("component")).select("doc")
+    return docs.join(
+        drop, docs["doc_id"] == drop["doc"], "left_anti"
+    ).select("doc_id", "n_chars")
