@@ -17,6 +17,7 @@ from . import pipeline_ext  # noqa: F401
 from . import stream_queries  # noqa: F401
 from . import tpch_classic  # noqa: F401
 from . import tpch_core  # noqa: F401
+from . import tpch_more  # noqa: F401
 
 from .registry import oracles, queries, registry  # noqa: E402
 
