@@ -317,6 +317,84 @@ def lsh_topk(
     return _rank_topk(scored, k)
 
 
+def tf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_term_freq: int | None = None,
+) -> DataFrame:
+    """All (a < b) doc pairs with term-frequency cosine >= threshold.
+
+    The weighted sibling of ``dedup.ngram_jaccard_pairs``: word n-grams
+    WITH multiplicity, cosine = dot(tf_a, tf_b) / (|tf_a| |tf_b|).
+    Sparse inverted-index join — per-term posting lists emit (a, b,
+    tf_a*tf_b) products via array HOFs (one shuffle keyed by term, no
+    self-join), then one groupBy sums the integer dot products.
+
+    Determinism: tf counts, dots and squared norms are all BIGINT-exact;
+    the only float op is the final sqrt/divide, computed identically by
+    the DuckDB oracle. ``max_term_freq`` is the scale guard: it caps the
+    posting-list length so the quadratic per-term emit is bounded (the
+    same frequency cut as minhash's hot-shingle cap).
+    """
+    w = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tf = (
+        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if max_term_freq is not None:
+        cold = (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df_cnt"))
+            .filter(F.col("df_cnt") <= max_term_freq)
+            .select("term")
+        )
+        tf = tf.join(cold, "term")
+    norms = tf.groupBy("doc").agg(F.sum(F.col("tf") * F.col("tf")).alias("nsq"))
+    posting = (
+        tf.groupBy("term")
+        .agg(F.sort_array(F.collect_list(F.struct("doc", "tf"))).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(
+                    x["doc"].alias("doc_a"),
+                    y["doc"].alias("doc_b"),
+                    (x["tf"] * y["tf"]).alias("prod"),
+                ),
+            ),
+        )
+    )
+    dots = (
+        posting.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.sum("p.prod").alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("nsq").alias("nsq_a"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("nsq").alias("nsq_b"))
+    cos = F.col("dot").cast("double") / (F.sqrt("nsq_a") * F.sqrt("nsq_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "dot", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def label_centroids(
     df: DataFrame, group_col: str, id_col: str, vec_col: str
 ) -> DataFrame:

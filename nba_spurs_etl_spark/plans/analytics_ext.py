@@ -1,0 +1,240 @@
+"""Event-analytics and text-similarity extensions.
+
+The reference is strictly batch ELT over NBA tables; a large-scale
+engine additionally needs the classic event-log analytics — funnels,
+retention cohorts, gap-filled time series — and weighted text
+similarity. Each lands here as a catalog query with a DuckDB oracle
+over the driver testdata (`events`, `documents`).
+
+Scale notes are per-query; the common theme is that every operator is
+ONE window-or-aggregation pass partitioned by its natural key (user_id
+/ term), so the shuffle is the unavoidable one and nothing is
+quadratic except the explicitly-capped posting-list emit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+from ..sources.catalog import load_table
+from .registry import register
+
+_FUNNEL_STAGES = [("signup", None), ("view", "s1"), ("click", "s2"), ("purchase", "s3")]
+
+
+@register(
+    "events_funnel",
+    group="ext-events 2.5-W4",
+    oracle="""
+WITH d1 AS (
+  SELECT user_id, ts, event_type,
+    min(CASE WHEN event_type = 'signup' THEN ts END)
+      OVER (PARTITION BY user_id) AS s1
+  FROM events
+),
+d2 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' AND ts > s1 THEN ts END)
+      OVER (PARTITION BY user_id) AS s2 FROM d1
+),
+d3 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > s2 THEN ts END)
+      OVER (PARTITION BY user_id) AS s3 FROM d2
+),
+d4 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
+      OVER (PARTITION BY user_id) AS s4 FROM d3
+),
+pu AS (SELECT DISTINCT user_id, s1, s2, s3, s4 FROM d4),
+agg AS (
+  SELECT CAST(COUNT(s1) AS BIGINT) AS c1, CAST(COUNT(s2) AS BIGINT) AS c2,
+         CAST(COUNT(s3) AS BIGINT) AS c3, CAST(COUNT(s4) AS BIGINT) AS c4
+  FROM pu
+)
+SELECT 1 AS stage_no, 'signup' AS stage, c1 AS users FROM agg
+UNION ALL SELECT 2, 'view', c2 FROM agg
+UNION ALL SELECT 3, 'click', c3 FROM agg
+UNION ALL SELECT 4, 'purchase', c4 FROM agg
+""",
+    doc="Ordered conversion funnel signup > view > click > purchase: "
+    "each stage's timestamp is the user's first qualifying event "
+    "STRICTLY AFTER the previous stage (chained window minima). Four "
+    "dependent window exprs share one user_id partitioning, so the "
+    "whole funnel costs a single shuffle regardless of stage count; "
+    "per-user state is 4 timestamps, never the event list.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    d = ev
+    for i, (etype, prev) in enumerate(_FUNNEL_STAGES, start=1):
+        cond = F.col("event_type") == etype
+        if prev is not None:
+            cond = cond & (F.col("ts") > F.col(prev))
+        d = d.withColumn(f"s{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+    per_user = d.select("user_id", "s1", "s2", "s3", "s4").dropDuplicates(
+        ["user_id"]
+    )
+    agg = per_user.agg(
+        F.count("s1").alias("c1"),
+        F.count("s2").alias("c2"),
+        F.count("s3").alias("c3"),
+        F.count("s4").alias("c4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 1, 'signup', c1, 2, 'view', c2,"
+            " 3, 'click', c3, 4, 'purchase', c4)"
+            " AS (stage_no, stage, users)"
+        )
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    group="ext-events 2.4",
+    oracle="""
+WITH fu AS (
+  SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS first_ts
+  FROM events
+)
+SELECT CAST(CAST(date_trunc('week', first_ts) AS TIMESTAMP) AS VARCHAR)
+    AS cohort_week,
+  CAST((epoch_us(ts) - epoch_us(first_ts)) // 604800000000 AS INT) AS week_no,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM fu GROUP BY 1, 2
+""",
+    doc="Weekly retention cohorts: cohort = week of the user's first "
+    "event (window min over user_id), week_no = integer weeks since "
+    "that first event (exact microsecond integer division — no float "
+    "date math), active_users = COUNT DISTINCT per cell. One window "
+    "shuffle + one agg shuffle; the cohort matrix is tiny output.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    fu = ev.select(
+        "user_id", "ts", F.min("ts").over(w).alias("first_ts")
+    )
+    week_us = 7 * 24 * 3600 * 1000000
+    return (
+        fu.select(
+            F.date_trunc("week", F.col("first_ts"))
+            .cast("string")
+            .alias("cohort_week"),
+            (
+                (F.unix_micros("ts") - F.unix_micros("first_ts"))
+                / F.lit(week_us)
+            )
+            .cast("int")
+            .alias("week_no"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_no")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "events_hour_gapfill",
+    group="ext-events timeseries",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+    SUM(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+  FROM spans
+),
+joined AS (
+  SELECT g.user_id, g.h, hr.v
+  FROM grid g LEFT JOIN hourly hr ON hr.user_id = g.user_id AND hr.h = g.h
+)
+SELECT user_id, CAST(h AS VARCHAR) AS hour,
+  CAST(last_value(v IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY h
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS value_filled,
+  v IS NULL AS gap_filled
+FROM joined
+""",
+    doc="Hourly gap-fill + LOCF (the timescale-style resample): per "
+    "user, densify to every hour between first and last activity via "
+    "sequence()/explode, then carry the last observed hourly sum "
+    "forward with last(ignorenulls) over an ordered window. Grid "
+    "generation is per-user-local (no cross-user shuffle beyond the "
+    "hourly agg); hour sums stay exact decimal until the surface.",
+)
+def events_hour_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").cast("string").alias("hour"),
+        F.last("v", ignorenulls=True).over(w).cast("double").alias("value_filled"),
+        F.col("v").isNull().alias("gap_filled"),
+    )
+
+
+@register(
+    "text_tfcosine_pairs",
+    group="ext-dedup ext-similarity",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS term
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 0))) u(i)
+),
+tf AS (
+  SELECT doc_id AS doc, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM grams GROUP BY 1, 2
+),
+norms AS (SELECT doc, CAST(SUM(tf * tf) AS BIGINT) AS nsq FROM tf GROUP BY 1),
+dots AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM tf a JOIN tf b ON a.term = b.term AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b, d.dot,
+  CAST(d.dot AS DOUBLE) / (sqrt(na.nsq) * sqrt(nb.nsq)) AS cosine
+FROM dots d
+JOIN norms na ON na.doc = d.doc_a
+JOIN norms nb ON nb.doc = d.doc_b
+WHERE CAST(d.dot AS DOUBLE) / (sqrt(na.nsq) * sqrt(nb.nsq)) >= 0.5
+""",
+    doc="Weighted near-dup: 3-gram term-frequency cosine >= 0.5 over "
+    "all doc pairs via the sparse inverted-index join "
+    "(operators/similarity.tf_cosine_pairs). Integer dots and squared "
+    "norms, one float sqrt/divide at the surface — bit-identical to "
+    "the oracle. The posting-list emit is the only quadratic step and "
+    "max_term_freq caps it at scale (unset here: sf vocabulary is "
+    "planted so df is naturally bounded).",
+)
+def text_tfcosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return similarity.tf_cosine_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    )

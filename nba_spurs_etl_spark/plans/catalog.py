@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Unconditional imports: a broken module must fail loudly here, not
 # silently shrink the driver-visible query surface.
+from . import analytics_ext  # noqa: F401
 from . import gold_fixture  # noqa: F401
 from . import olap_ext  # noqa: F401
 from . import pipeline_ext  # noqa: F401
