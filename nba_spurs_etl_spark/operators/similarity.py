@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalar import md5_long
 from .dedup import _dot
 
 
@@ -194,8 +195,6 @@ def ivf_topk(
     (~nprobe/n_cells of the corpus), joined cell-to-cell with the
     probe side broadcast.
     """
-    from ..functions.scalar import md5_long
-
     v = F.col(vec_col)
     corpus = candidates.select(
         F.col(id_col).alias("cand_id"),
@@ -338,6 +337,11 @@ def tf_cosine_pairs(
     the DuckDB oracle. ``max_term_freq`` is the scale guard: it caps the
     posting-list length so the quadratic per-term emit is bounded (the
     same frequency cut as minhash's hot-shingle cap).
+
+    Terms are md5-folded to 60-bit longs BEFORE the two groupBys, so
+    both shuffles carry 8-byte keys instead of n-word strings (the
+    minhash trick); the oracle applies the identical fold, so any
+    collision — ~2^-60 per pair — would be shared, not a divergence.
     """
     w = F.split(F.col(text_col), " ")
     grams = F.when(
@@ -348,7 +352,8 @@ def tf_cosine_pairs(
         ),
     ).otherwise(F.array().cast("array<string>"))
     tf = (
-        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("term"))
+        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("g"))
+        .select("doc", md5_long(F.col("g")).alias("term"))
         .groupBy("doc", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

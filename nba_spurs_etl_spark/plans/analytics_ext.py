@@ -200,12 +200,138 @@ def events_hour_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_int8_quantize",
+    group="ext-similarity quantize",
+    oracle="""
+WITH dv AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+mx AS (
+  SELECT vec_id, v,
+    list_reduce(list_transform(v, x -> abs(x)),
+                (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS m
+  FROM dv
+),
+q AS (
+  SELECT vec_id, v, m / 127.0 AS scale,
+    list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)) AS qv
+  FROM mx
+)
+SELECT vec_id, scale,
+  CAST(list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b)
+       AS BIGINT) AS qnorm_sq,
+  list_reduce(
+    list_transform(generate_series(1, len(v)),
+                   i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale)),
+    (a, b) -> a + b) AS recon_err_sq
+FROM q
+""",
+    doc="Per-vector symmetric int8 quantization: scale = max|x|/127, "
+    "q_i = floor(x*127/max + 0.5) — explicit floor arithmetic instead "
+    "of round() so both engines share one IEEE formula (round() "
+    "half-up vs half-even would diverge). Surfaces the quantized "
+    "norm (integer-exact) and the squared reconstruction error "
+    "(sequential in-order fold, partitioning-independent). Pure "
+    "narrow map — no shuffle at any scale; the compression stage of "
+    "an embedding-index build.",
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select("vec_id", v.alias("v"))
+    m = F.aggregate(
+        F.transform(F.col("v"), lambda x: F.abs(x)),
+        F.lit(float("-inf")),
+        lambda a, b: F.when(b > a, b).otherwise(a),
+    )
+    d = d.select("vec_id", "v", m.alias("m"))
+    qv = F.transform(
+        F.col("v"),
+        lambda x: F.floor(x * 127.0 / F.col("m") + 0.5).cast("bigint"),
+    )
+    d = d.select(
+        "vec_id", "v", (F.col("m") / 127.0).alias("scale"), qv.alias("qv")
+    )
+    qnorm = F.aggregate(
+        F.transform(F.col("qv"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
+    err = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("qv"),
+            lambda x, q: (x - q * F.col("scale")) * (x - q * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return d.select(
+        "vec_id",
+        "scale",
+        qnorm.alias("qnorm_sq"),
+        err.alias("recon_err_sq"),
+    )
+
+
+@register(
+    "embedding_matryoshka_energy",
+    group="ext-similarity truncate",
+    oracle="""
+WITH dv AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, label,
+    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS full_sq,
+    list_reduce(list_transform(v[1:16], x -> x * x), (a, b) -> a + b)
+      AS head_sq
+  FROM dv
+)
+SELECT vec_id, label, sqrt(full_sq) AS l2_full, sqrt(head_sq) AS l2_head16,
+  head_sq / full_sq AS energy_ratio
+FROM norms
+""",
+    doc="Matryoshka-style truncation diagnostics: L2 of the full "
+    "64-dim vector vs its 16-dim head, and the retained-energy ratio "
+    "that decides whether a truncated index is safe. In-order "
+    "sequential folds over the array -> identical doubles on both "
+    "engines; narrow map, no shuffle.",
+)
+def embedding_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select("vec_id", "label", v.alias("v"))
+
+    def sumsq(col: F.Column) -> F.Column:
+        return F.aggregate(
+            F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+        )
+
+    full_sq = sumsq(F.col("v"))
+    head_sq = sumsq(F.slice(F.col("v"), 1, 16))
+    return d.select(
+        "vec_id",
+        "label",
+        F.sqrt(full_sq).alias("l2_full"),
+        F.sqrt(head_sq).alias("l2_head16"),
+        (head_sq / full_sq).alias("energy_ratio"),
+    )
+
+
+@register(
     "text_tfcosine_pairs",
     group="ext-dedup ext-similarity",
     oracle="""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 grams AS (
-  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS term
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))
+         AS UBIGINT)::BIGINT AS term
   FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 0))) u(i)
 ),
 tf AS (

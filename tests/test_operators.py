@@ -480,3 +480,90 @@ def test_redact_pii_counts_and_ordering(spark):
     assert got[2].n_emails == 1 and got[2].n_phones == 0
     assert got[3].n_emails == 0 and got[3].n_phones == 0
     assert got[3].redacted == "no pii here"
+
+
+# ---------------------------------------------------------------------------
+# tf-cosine pairs vs pure-python model
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "cat", "dog"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_tf_cosine_matches_model(spark, docs):
+    import math
+    from collections import Counter
+
+    from nba_spurs_etl_spark.operators.similarity import tf_cosine_pairs
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): (r.dot, r.cosine)
+        for r in tf_cosine_pairs(df, "doc_id", "text", n=2, threshold=0.0).collect()
+    }
+
+    def grams(ws):
+        return Counter(
+            " ".join(ws[i : i + 2]) for i in range(len(ws) - 1)
+        )
+
+    expect = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            ga, gb = grams(docs[a]), grams(docs[b])
+            dot = sum(ga[t] * gb[t] for t in ga.keys() & gb.keys())
+            if dot:
+                na = math.sqrt(sum(v * v for v in ga.values()))
+                nb = math.sqrt(sum(v * v for v in gb.values()))
+                expect[(a, b)] = (dot, dot / (na * nb))
+
+    assert set(got) == set(expect)
+    for k, (dot, cos) in expect.items():
+        assert got[k][0] == dot
+        assert abs(got[k][1] - cos) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# funnel: strict ordering semantics on crafted sequences
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_requires_strictly_increasing_stages(spark, tmp_path):
+    import datetime as dt
+
+    from nba_spurs_etl_spark.plans.catalog import queries
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, minute, etype):
+        return (uid * 100 + minute, t0 + dt.timedelta(minutes=minute), uid, etype, 1.0, "{}")
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, 0, "signup"), ev(1, 1, "view"), ev(1, 2, "click"), ev(1, 3, "purchase"),
+        # user 2: purchase BEFORE click -> stops at click
+        ev(2, 0, "signup"), ev(2, 1, "view"), ev(2, 3, "click"), ev(2, 2, "purchase"),
+        # user 3: no signup -> contributes to no stage
+        ev(3, 0, "view"), ev(3, 1, "click"), ev(3, 2, "purchase"),
+        # user 4: simultaneous signup+view (same ts) -> view NOT after signup
+        ev(4, 0, "signup"), (4 * 100 + 99, t0, 4, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = str(tmp_path / "funnel_sf")
+    (tmp_path / "funnel_sf").mkdir()
+    df.write.parquet(sf + "/events.parquet")
+
+    got = {r.stage: r.users for r in queries()["events_funnel"](spark, sf).collect()}
+    assert got == {"signup": 3, "view": 2, "click": 2, "purchase": 1}
