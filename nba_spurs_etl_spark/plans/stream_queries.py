@@ -18,6 +18,7 @@ from ..streaming import (
     run_stream_to_table,
     stream_dedup,
     stream_session_agg,
+    stream_sliding_agg,
     stream_tumbling_agg,
 )
 from .registry import register, registry
@@ -26,9 +27,12 @@ from .registry import register, registry
 @register(
     "stream_tumbling_agg",
     group="2.9 ext-stream",
-    oracle=None,
+    # complete-mode drain emits every window, so the stream converges
+    # to the batch twin's exact frame and shares its FULL oracle
+    oracle=registry()["events_tumbling_agg"].oracle,
     doc="Streaming 5-min tumbling agg with 10-min watermark, drained "
-    "via availableNow; equals batch events_tumbling_agg (tested).",
+    "via availableNow; equals batch events_tumbling_agg (tested) and "
+    "shares its oracle.",
 )
 def stream_tumbling_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
@@ -47,6 +51,24 @@ def stream_tumbling_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         stream_session_agg(read_events_stream(spark, sf_dir)), spark,
+        state_partitions=8,
+    )
+
+
+@register(
+    "stream_sliding_agg",
+    group="2.9 ext-stream",
+    # overlapping windows are still a deterministic batch-expressible
+    # frame, so this stream shares the batch twin's FULL oracle
+    oracle=registry()["events_sliding_agg"].oracle,
+    doc="Streaming 10-min windows sliding every 5 with 10-min "
+    "watermark, drained via availableNow; shares the batch twin "
+    "events_sliding_agg's oracle (the drained stream must converge "
+    "to the identical window frame).",
+)
+def stream_sliding_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_table(
+        stream_sliding_agg(read_events_stream(spark, sf_dir)), spark,
         state_partitions=8,
     )
 

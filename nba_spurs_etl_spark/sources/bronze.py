@@ -45,8 +45,11 @@ def fetch_live_teams() -> None:
     )
 
 
-def write_entity(spark: SparkSession, name: str, out_dir: str) -> str:
-    """Materialize one bronze entity as JSON records under out_dir/name.
+def write_entity(
+    spark: SparkSession, name: str, out_dir: str, fmt: str = "json"
+) -> str:
+    """Materialize one bronze entity under out_dir/name (json default;
+    csv/parquet supported — same formats silver.read_entity accepts).
 
     Distributed write (one file per partition) — at scale this IS the
     object-store upload; mode=overwrite matches the reference's
@@ -55,7 +58,15 @@ def write_entity(spark: SparkSession, name: str, out_dir: str) -> str:
     if name not in ENTITY_BUILDERS:
         raise KeyError(f"unknown bronze entity {name!r}")
     path = os.path.join(out_dir, name)
-    ENTITY_BUILDERS[name](spark).write.mode("overwrite").json(path)
+    w = ENTITY_BUILDERS[name](spark).write.mode("overwrite")
+    if fmt == "json":
+        w.json(path)
+    elif fmt == "csv":
+        w.option("header", "true").csv(path)
+    elif fmt == "parquet":
+        w.parquet(path)
+    else:
+        raise ValueError(f"unsupported bronze format {fmt!r}")
     return path
 
 

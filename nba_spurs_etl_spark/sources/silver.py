@@ -41,7 +41,29 @@ class PrimaryKeyViolation(ValueError):
 
 def read_json_entity(spark: SparkSession, path: str) -> DataFrame:
     """All-string JSON scan + key normalization (S9 + S10)."""
-    df = spark.read.option("primitivesAsString", "true").json(path)
+    return read_entity(spark, path, fmt="json")
+
+
+def read_entity(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
+    """All-string entity scan in any supported format (S9 generalized).
+
+    Every format lands on the same all-VARCHAR silver contract
+    (SURVEY §1.2): JSON via ``primitivesAsString``, CSV via
+    header-no-inference (Spark's CSV default type IS string), Parquet
+    via an explicit cast-to-string projection. Downstream never knows
+    which wire format fed it — gold re-casts from string either way.
+    """
+    if fmt == "json":
+        df = spark.read.option("primitivesAsString", "true").json(path)
+    elif fmt == "csv":
+        df = spark.read.option("header", "true").csv(path)
+    elif fmt == "parquet":
+        from pyspark.sql import functions as F
+
+        raw = spark.read.parquet(path)
+        df = raw.select([F.col(c).cast("string").alias(c) for c in raw.columns])
+    else:
+        raise ValueError(f"unsupported silver format {fmt!r}")
     return normalize_columns(df)
 
 

@@ -76,3 +76,22 @@ def test_normalize_first_wins_and_projection(spark):
     row = proj.collect()[0]
     assert row.player_id == "x" and row.season == "2024"
     assert row.missing_col is None
+
+
+def test_entity_roundtrip_format_agnostic(spark, tmp_path):
+    """CSV / parquet bronze feeds must land on the identical all-string
+    silver frame as the JSON path (S9 generalized): same columns, same
+    string values, every column StringType."""
+    from nba_spurs_etl_spark.sources.bronze import write_entity
+    from nba_spurs_etl_spark.sources.silver import read_entity
+
+    frames = {}
+    for fmt in ("json", "csv", "parquet"):
+        path = write_entity(spark, "teams", str(tmp_path / fmt), fmt=fmt)
+        df = read_entity(spark, path, fmt=fmt)
+        assert all(t == "string" for _, t in df.dtypes), df.dtypes
+        frames[fmt] = {
+            tuple(str(v) if v is not None else None for v in r)
+            for r in df.select(*sorted(df.columns)).collect()
+        }
+    assert frames["json"] == frames["csv"] == frames["parquet"]

@@ -124,3 +124,42 @@ def test_corpus_pipeline_single_shuffle_single_scan(spark, catalog):
     assert len(scans) == 1, plan
     assert len(exchanges) == 1, plan
     assert "Generate" in plan, plan  # chunk explode is a generator, not a join
+
+
+def test_q19_disjunction_residuals_push_to_both_scans(spark, catalog):
+    """Catalyst must extract the single-side implications of the
+    OR-of-ANDs: quantity bounds onto the lineitem scan, brand/size
+    bounds onto the part scan — at 100 TB this is most of the I/O."""
+    plan = fmt_plan(catalog["q19_disjunctive_predicates"](spark, SF_SMOKE))
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert "l_quantity" in pushed, pushed
+    assert "p_brand" in pushed, pushed
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q17_threshold_join_stays_shuffle_free_on_part_dim(spark, catalog):
+    """The brand-part dim must broadcast; the per-part threshold agg is
+    the only legitimate lineitem shuffle besides the final scalar."""
+    plan = fmt_plan(catalog["q17_small_quantity_revenue"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_funnel_single_shuffle_for_all_stages(spark, catalog):
+    """Four chained stage minima must share one user_id exchange — the
+    property that makes stage count free at scale."""
+    plan = fmt_plan(catalog["events_funnel"](spark, SF_SMOKE))
+    n_window = plan.count("Window")
+    assert n_window >= 4, plan
+    # exchanges: one for the windows, one for the final dedup/agg pair
+    n_exchange = sum(
+        1 for ln in plan.splitlines() if ln.strip().startswith("Exchange")
+    )
+    assert n_exchange <= 3, f"{n_exchange} exchanges\n{plan}"
+
+
+def test_quantize_is_narrow_map(spark, catalog):
+    """Quantization must compile to a pure scan+project: no exchange,
+    no aggregate — it pipelines behind any upstream stage for free."""
+    plan = fmt_plan(catalog["embedding_int8_quantize"](spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
