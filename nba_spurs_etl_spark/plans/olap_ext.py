@@ -503,3 +503,95 @@ def merge_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base, changelog = orders_cdc_frames(load_table(spark, sf_dir, "orders"))
     return merge_cdc(base, changelog, ["o_orderkey"])
+
+
+@register(
+    "grouping_sets_orders",
+    group="2.4 grouping-sets",
+    oracle=f"""
+SELECT o_orderpriority, o_orderstatus,
+  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
+    AS gid,
+  CAST(COUNT(*) AS BIGINT) AS orders_cnt,
+  {dsum_sql("o_totalprice")} AS total_value
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""",
+    doc="Arbitrary GROUPING SETS (neither ROLLUP nor CUBE): per-priority "
+    "totals, per-status totals, and the grand total in ONE pass, with "
+    "grouping_id disambiguating the all-NULL grand-total row from any "
+    "genuine NULL group. Same single-shuffle expansion as rollup/cube.",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("orders_cnt"),
+            dsum("o_totalprice").alias("total_value"),
+        )
+        .select(
+            "o_orderpriority", "o_orderstatus", "gid", "orders_cnt", "total_value"
+        )
+    )
+
+
+@register(
+    "rolling_7d_customer_revenue",
+    group="2.5 range-frame",
+    oracle=f"""
+WITH per_day AS (
+  SELECT o_custkey, (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day_no,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev,
+    CAST(COUNT(*) AS BIGINT) AS day_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey, CAST(day_no AS BIGINT) AS day_no,
+  CAST(SUM(day_rev) OVER w AS DOUBLE) AS rev_7d,
+  CAST(SUM(day_orders) OVER w AS BIGINT) AS orders_7d
+FROM per_day
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    doc="Rolling 7-day revenue per customer: a true RANGE frame over an "
+    "integer day index (date-diff from epoch, calendar-exact and\n    timezone-free on both "
+    "engines; an interval frame over raw timestamps would tie-break "
+    "differently). Pre-aggregating to customer-days first shrinks the "
+    "window input from |orders| to |customer-days| BEFORE the sort — "
+    "the frame never re-reads raw orders. Decimal day sums keep the "
+    "running totals exact.",
+)
+def rolling_7d_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_day = (
+        orders.groupBy(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("day_no"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_rev"),
+            F.count(F.lit(1)).alias("day_orders"),
+        )
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return per_day.select(
+        "o_custkey",
+        "day_no",
+        F.sum("day_rev").over(w).cast("double").alias("rev_7d"),
+        F.sum("day_orders").over(w).alias("orders_7d"),
+    )
