@@ -364,3 +364,48 @@ def text_tfcosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.tf_cosine_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5
     )
+
+
+@register(
+    "events_click_purchase_join",
+    group="ext-events 2.3",
+    oracle="""
+SELECT c.user_id,
+  CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+  CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+  p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) >= epoch_us(c.ts)
+ AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+""",
+    doc="Attribution-style interval join: every (click, purchase) pair "
+    "for the same user with the purchase inside [click, click+30min]. "
+    "The equi-key (user_id) carries the shuffle; the time range is a "
+    "post-join filter, so this is a hash join, never a cartesian. All "
+    "comparisons are integer microseconds (unix_micros on both "
+    "engines) — no interval/timezone arithmetic to diverge on. This "
+    "is the batch twin of stream_stream_join, whose watermarked "
+    "range condition bounds both sides' state at unbounded scale.",
+)
+def events_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("click_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("purchase_us"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (clicks["user_id"] == purchases["p_user"])
+            & (purchases["purchase_us"] >= clicks["click_us"])
+            & (purchases["purchase_us"] <= clicks["click_us"] + 1800000000),
+            "inner",
+        )
+        .select("user_id", "click_us", "purchase_us", "purchase_value")
+    )

@@ -106,6 +106,29 @@ def stream_user_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    group="2.9 ext-stream 2.3",
+    # inner-join matches are emitted as found (watermark only governs
+    # state eviction), so the availableNow drain converges to the
+    # batch interval join and shares its FULL oracle
+    oracle=registry()["events_click_purchase_join"].oracle,
+    doc="Stream-stream inner interval join (clicks x purchases per "
+    "user within 30 min), both sides watermarked so join state is "
+    "evictable; drained result equals the batch twin "
+    "events_click_purchase_join and shares its oracle.",
+)
+def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_click_purchase_join
+
+    return run_stream_to_table(
+        stream_click_purchase_join(spark, sf_dir),
+        spark,
+        output_mode="append",
+        state_partitions=8,
+    )
+
+
+@register(
     "stream_cdc_apply",
     group="2.9 ext-stream ext-merge",
     # the streaming apply converges to the batch merge's exact state

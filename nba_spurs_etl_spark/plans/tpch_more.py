@@ -14,12 +14,18 @@ benchmark classic:
   join, substring part filter (cost = retailprice x qty, standing in
   for the absent ps_supplycost).
 - Q11 value concentration: HAVING against a global scalar subquery.
+- Q12 shipmode priority: fact-to-fact join + cross-table date
+  predicate + conditional priority-class counts (mode = returnflag,
+  late = shipped >60 days after order date).
 - Q13 customer order-count histogram: LEFT OUTER join preserved into
   a two-level aggregation (distribution of counts).
 - Q15 top supplier: argmax via scalar-subquery equality on an exact
   decimal (ties kept, deterministically).
 - Q17 small-quantity revenue: per-key correlated average threshold.
 - Q19 disjunctive OR-of-ANDs predicate spanning both join sides.
+- Q20 excess suppliers: correlated availqty threshold decorrelated
+  into one conditional-sum pass (year slice + total together), semi
+  joins through part-name prefix and nation.
 - Q21 waiting-supplier: multi-EXISTS per group re-expressed as one
   grouped pass (count-distinct + conditional count-distinct), late =
   shipped >90 days after order date.
@@ -604,4 +610,120 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    group="bench 2.4 conditional-count",
+    oracle="""
+SELECT l.l_returnflag,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag IN ('A', 'R')
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+""",
+    doc="TPC-H Q12 shape (l_shipmode/l_commitdate/l_receiptdate absent "
+    "from the cut-down schema): 'mode' = l_returnflag IN ('A','R'), "
+    "'late' = shipped >60 days after order date (the commit<receipt "
+    "ordering predicate re-parameterized). The classic plan: "
+    "fact-to-fact equi join on orderkey with the selective lineitem "
+    "filter pushed to the scan, then conditional counts split one "
+    "pass by a priority-class predicate on the OTHER side of the "
+    "join. The cross-table date predicate can only be a post-join "
+    "filter — Catalyst still pushes the single-table conjuncts down.",
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    group="bench 2.4 decorrelated-threshold",
+    oracle="""
+WITH agg AS (
+  SELECT l_partkey, l_suppkey,
+    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+        THEN CAST(l_quantity AS DECIMAL(18,2))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_96,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_all
+  FROM lineitem GROUP BY 1, 2
+),
+excess AS (
+  SELECT DISTINCT a.l_suppkey
+  FROM agg a
+  JOIN part p ON p.p_partkey = a.l_partkey AND p.p_name LIKE 'red %'
+  WHERE a.qty_96 * 2 > a.qty_all
+)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN excess e ON e.l_suppkey = s.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+""",
+    doc="TPC-H Q20 shape (no partsupp): suppliers of 'red' parts whose "
+    "1996 shipped quantity exceeds half their all-history quantity "
+    "for that part, restricted to one nation. The original's "
+    "correlated ps_availqty > 0.5*sum(qty) subquery decorrelates into "
+    "ONE conditional-sum pass computing the year slice and the total "
+    "together (no second scan, no per-row re-aggregation); the part "
+    "name-prefix filter semi-joins the pair aggregate via a broadcast, "
+    "and DISTINCT suppkeys make the final supplier join a semi join. "
+    "The exact-decimal qty_96*2 > qty_all comparison avoids the 0.5 "
+    "float multiply, so the threshold is bit-identical across engines.",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    in_96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    agg = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.when(in_96, qty).otherwise(zero)).alias("qty_96"),
+        F.sum(qty).alias("qty_all"),
+    )
+    excess = (
+        agg.filter(F.col("qty_96") * 2 > F.col("qty_all"))
+        .join(
+            F.broadcast(
+                p.filter(F.col("p_name").like("red %")).select("p_partkey")
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(excess, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_3")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_name", "s_acctbal")
     )

@@ -1,5 +1,6 @@
 from .events import (
     read_events_stream,
+    stream_click_purchase_join,
     run_stream_to_table,
     stream_dedup,
     stream_session_agg,
@@ -9,6 +10,7 @@ from .events import (
 
 __all__ = [
     "read_events_stream",
+    "stream_click_purchase_join",
     "run_stream_to_table",
     "stream_dedup",
     "stream_session_agg",

@@ -129,6 +129,54 @@ def stream_dedup(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
 
 
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner interval join: clicks x purchases per user,
+    purchase inside [click, click+30min] (batch twin:
+    plans.analytics_ext.events_click_purchase_join).
+
+    The canonical two-stream rendezvous Structured Streaming supports
+    natively: both sides carry a watermark and the join condition
+    includes an event-time range, so the state store can evict — a
+    click is dropped once the purchase-side watermark passes
+    click_ts + 30min, a purchase once the click-side watermark passes
+    it. Without the range condition the join state would grow without
+    bound; with it, state is O(events in the last 30min + delay).
+    Output columns are integer microseconds so the drained result is
+    bit-comparable to the batch twin's oracle."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "purchase_value",
+    )
+
+
 def run_stream_to_table(
     df: DataFrame,
     spark: SparkSession,

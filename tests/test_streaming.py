@@ -58,6 +58,16 @@ def test_stream_session_matches_batch_islands(spark):
                           "session_value")) == _ms(batch)
 
 
+def test_stream_stream_join_matches_batch(spark):
+    from nba_spurs_etl_spark.streaming.events import stream_click_purchase_join
+
+    res = run_stream_to_table(
+        stream_click_purchase_join(spark, SF_SMOKE), spark, output_mode="append"
+    )
+    batch = queries()["events_click_purchase_join"](spark, SF_SMOKE)
+    assert _ms(res) == _ms(batch)
+
+
 def test_stream_dedup_keeps_distinct_ids(spark):
     res = run_stream_to_table(
         stream_dedup(read_events_stream(spark, SF_SMOKE)), spark,
