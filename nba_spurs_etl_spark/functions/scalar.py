@@ -66,6 +66,30 @@ def dsum_sql(expr: str, scale: int = 2) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
 
 
+def dbig(agg: Column) -> Column:
+    """Exact-as-possible decimal→double for LARGE decimals.
+
+    When a decimal's unscaled value exceeds 2^53 (e.g. a sum of
+    squared prices at scale 4), DuckDB's decimal→double conversion
+    double-rounds (int128→double, then /10^scale) while Spark's is
+    correctly rounded — observed 1-ulp divergence. Splitting into
+    integer + fractional parts makes each conversion exact /
+    correctly rounded on both engines, and the single IEEE add is the
+    one shared rounding. Headroom: the integer part itself must stay
+    below 2^53 (~9e15) — 10^scale more range than the naive cast.
+    """
+    hi = F.floor(agg)
+    return hi.cast("double") + (agg - hi).cast("double")
+
+
+def dbig_sql(expr: str) -> str:
+    """DuckDB-side rendering of :func:`dbig` (expr = a decimal agg)."""
+    return (
+        f"(CAST(FLOOR({expr}) AS DOUBLE) "
+        f"+ CAST({expr} - FLOOR({expr}) AS DOUBLE))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # cross-engine stable hash
 # ---------------------------------------------------------------------------

@@ -409,3 +409,36 @@ def events_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "click_us", "purchase_us", "purchase_value")
     )
+
+
+@register(
+    "events_segment_enrich",
+    group="ext-events 2.3 2.4",
+    oracle="""
+SELECT c.c_mktsegment, e.event_type,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+""",
+    doc="Dimension enrichment of the event log: events joined to the "
+    "customer dim on user_id, aggregated per market segment x event "
+    "type. The dim is broadcast, so the fact never shuffles for the "
+    "join — the only exchange is the final tiny-keyspace agg. Batch "
+    "twin of stream_static_enrich (the stream-static join pattern).",
+)
+def events_segment_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        ev.join(F.broadcast(cust), F.col("c_custkey") == F.col("user_id"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

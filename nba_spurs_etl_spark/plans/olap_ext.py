@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import davg_sql, dsum, dsum_sql
+from ..functions.scalar import davg_sql, dbig, dbig_sql, dsum, dsum_sql
 from ..operators.joins import asof_join_backward
 from ..sources.catalog import load_table
 from .registry import register
@@ -685,4 +685,156 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value_num").alias("max_num"),
         F.min("value_str").alias("min_str"),
         F.max("value_str").alias("max_str"),
+    )
+
+
+@register(
+    "stats_linear_fit",
+    group="2.4 ext-stats",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+    (CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,2))
+           * CAST(l_quantity AS DECIMAL(18,2)))) AS DOUBLE)
+     + CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+           * CAST(l_quantity AS DECIMAL(18,2)))
+          - FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,2))
+           * CAST(l_quantity AS DECIMAL(18,2)))) AS DOUBLE)) AS sxx,
+    (CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_extendedprice AS DECIMAL(18,2)))) AS DOUBLE)
+     + CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_extendedprice AS DECIMAL(18,2)))
+          - FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_extendedprice AS DECIMAL(18,2)))) AS DOUBLE)) AS syy,
+    (CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,2))
+           * CAST(l_extendedprice AS DECIMAL(18,2)))) AS DOUBLE)
+     + CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+           * CAST(l_extendedprice AS DECIMAL(18,2)))
+          - FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,2))
+           * CAST(l_extendedprice AS DECIMAL(18,2)))) AS DOUBLE)) AS sxy
+  FROM lineitem GROUP BY 1
+),
+s AS (
+  SELECT l_returnflag, n, sx, sy,
+    (CAST(n AS DOUBLE) * sxy - sx * sy)
+      / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+    (CAST(n AS DOUBLE) * sxy - sx * sy)
+      / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+           * (CAST(n AS DOUBLE) * syy - sy * sy)) AS corr
+  FROM m
+)
+SELECT l_returnflag, n, slope,
+  (sy - slope * sx) / CAST(n AS DOUBLE) AS intercept, corr
+FROM s
+""",
+    doc="Distributed least-squares fit + Pearson correlation of "
+    "extendedprice on quantity per returnflag, the map-combinable "
+    "way: ONE grouped pass accumulates the five moment sums "
+    "(sx, sy, sxx, syy, sxy) in EXACT decimal — each is partial-agg "
+    "friendly, so the shuffle carries 5 numbers per group, not rows. "
+    "slope/intercept/corr are then closed-form float expressions over "
+    "those exact sums, written identically on both engines (decimal "
+    "to double is correctly rounded on both), so the floats are "
+    "bit-identical despite arbitrary partitioning. The textbook "
+    "float-accumulation version (F.corr / REGR_SLOPE) is "
+    "order-dependent across retries and engines — this one is not.",
+)
+def stats_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        # dbig: scale-4 moment sums exceed 2^53 unscaled, where the
+        # naive decimal->double cast diverges between engines
+        dbig(F.sum(x * x)).alias("sxx"),
+        dbig(F.sum(y * y)).alias("syy"),
+        dbig(F.sum(x * y)).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    s = m.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        ((nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / (nd * F.col("sxx") - F.col("sx") * F.col("sx"))).alias("slope"),
+        ((nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / F.sqrt((nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+                  * (nd * F.col("syy") - F.col("sy") * F.col("sy")))).alias("corr"),
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        "slope",
+        ((F.col("sy") - F.col("slope") * F.col("sx")) / nd).alias("intercept"),
+        "corr",
+    )
+
+
+@register(
+    "outlier_orders_zscore",
+    group="2.11 ext-stats",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+    (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+           * CAST(o_totalprice AS DECIMAL(18,2)))) AS DOUBLE)
+     + CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+           * CAST(o_totalprice AS DECIMAL(18,2)))
+          - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+           * CAST(o_totalprice AS DECIMAL(18,2)))) AS DOUBLE)) AS sxx
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT o_orderpriority, sx / CAST(n AS DOUBLE) AS mean,
+    sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sigma
+  FROM m
+)
+SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+  (o.o_totalprice - s.mean) / s.sigma AS zscore
+FROM orders o JOIN s ON s.o_orderpriority = o.o_orderpriority
+WHERE (o.o_totalprice - s.mean) / s.sigma > 1.5
+""",
+    doc="Per-group z-score outlier scan (anomaly detection): group "
+    "mean/sigma from EXACT decimal moment sums (the stats_linear_fit "
+    "pattern), broadcast back onto the fact, keep rows >1.5 sigma "
+    "above their group mean. Two passes over a 100 TB fact is the "
+    "honest cost of exact global stats; the per-group stats frame is "
+    "|groups| rows, so the second pass is a broadcast join + narrow "
+    "filter — no second shuffle. The double formulas are written "
+    "identically on both engines, so zscore is bit-exact.",
+)
+def outlier_orders_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    m = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        dbig(F.sum(x * x)).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    s = m.select(
+        F.col("o_orderpriority").alias("g_priority"),
+        (F.col("sx") / nd).alias("mean"),
+        F.sqrt(
+            (nd * F.col("sxx") - F.col("sx") * F.col("sx")) / (nd * nd)
+        ).alias("sigma"),
+    )
+    z = (F.col("o_totalprice") - F.col("mean")) / F.col("sigma")
+    return (
+        orders.join(
+            F.broadcast(s), F.col("o_orderpriority") == F.col("g_priority")
+        )
+        .filter(z > 1.5)
+        .select(
+            "o_orderkey", "o_orderpriority", "o_totalprice", z.alias("zscore")
+        )
     )

@@ -106,6 +106,30 @@ def stream_user_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_enrich",
+    group="2.9 ext-stream 2.3",
+    # complete-mode drain over the tiny segment x type keyspace
+    # converges to the batch twin's exact frame -> FULL oracle
+    oracle=registry()["events_segment_enrich"].oracle,
+    doc="Stream-static join: the event stream broadcast-joined to the "
+    "batch customer dim per micro-batch (dim re-read between batches "
+    "— the slowly-changing-dimension pattern), aggregated per "
+    "segment x type; shares the batch twin's oracle.",
+)
+def stream_static_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_static_enrich
+
+    return run_stream_to_table(
+        stream_static_enrich(
+            read_events_stream(spark, sf_dir),
+            load_table(spark, sf_dir, "customer"),
+        ),
+        spark,
+        state_partitions=8,
+    )
+
+
+@register(
     "stream_stream_join",
     group="2.9 ext-stream 2.3",
     # inner-join matches are emitted as found (watermark only governs

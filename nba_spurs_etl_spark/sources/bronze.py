@@ -49,7 +49,7 @@ def write_entity(
     spark: SparkSession, name: str, out_dir: str, fmt: str = "json"
 ) -> str:
     """Materialize one bronze entity under out_dir/name (json default;
-    csv/parquet supported — same formats silver.read_entity accepts).
+    csv/parquet/orc supported — same formats silver.read_entity accepts).
 
     Distributed write (one file per partition) — at scale this IS the
     object-store upload; mode=overwrite matches the reference's
@@ -65,6 +65,8 @@ def write_entity(
         w.option("header", "true").csv(path)
     elif fmt == "parquet":
         w.parquet(path)
+    elif fmt == "orc":
+        w.orc(path)
     else:
         raise ValueError(f"unsupported bronze format {fmt!r}")
     return path

@@ -50,17 +50,18 @@ def read_entity(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
     Every format lands on the same all-VARCHAR silver contract
     (SURVEY §1.2): JSON via ``primitivesAsString``, CSV via
     header-no-inference (Spark's CSV default type IS string), Parquet
-    via an explicit cast-to-string projection. Downstream never knows
+    and ORC via an explicit cast-to-string projection. Downstream
+    never knows
     which wire format fed it — gold re-casts from string either way.
     """
     if fmt == "json":
         df = spark.read.option("primitivesAsString", "true").json(path)
     elif fmt == "csv":
         df = spark.read.option("header", "true").csv(path)
-    elif fmt == "parquet":
+    elif fmt in ("parquet", "orc"):
         from pyspark.sql import functions as F
 
-        raw = spark.read.parquet(path)
+        raw = getattr(spark.read, fmt)(path)
         df = raw.select([F.col(c).cast("string").alias(c) for c in raw.columns])
     else:
         raise ValueError(f"unsupported silver format {fmt!r}")

@@ -5,6 +5,7 @@ from .events import (
     stream_dedup,
     stream_session_agg,
     stream_sliding_agg,
+    stream_static_enrich,
     stream_tumbling_agg,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "stream_dedup",
     "stream_session_agg",
     "stream_sliding_agg",
+    "stream_static_enrich",
     "stream_tumbling_agg",
 ]

@@ -216,3 +216,26 @@ def run_stream_to_table(
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def stream_static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: the event stream enriched with the (batch)
+    customer dimension, aggregated per segment x event type (batch
+    twin: plans.analytics_ext.events_segment_enrich).
+
+    The static side needs no watermark and carries no state — Spark
+    re-plans it per micro-batch (a broadcast hash join under AQE), so
+    a slowly-changing dim picked up from parquet refreshes between
+    batches without restarting the stream. Complete-mode drain over
+    the tiny segment x type keyspace converges to the batch twin."""
+    dim = customer.select("c_custkey", "c_mktsegment")
+    return (
+        events.join(F.broadcast(dim), F.col("c_custkey") == F.col("user_id"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

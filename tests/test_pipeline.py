@@ -86,7 +86,7 @@ def test_entity_roundtrip_format_agnostic(spark, tmp_path):
     from nba_spurs_etl_spark.sources.silver import read_entity
 
     frames = {}
-    for fmt in ("json", "csv", "parquet"):
+    for fmt in ("json", "csv", "parquet", "orc"):
         path = write_entity(spark, "teams", str(tmp_path / fmt), fmt=fmt)
         df = read_entity(spark, path, fmt=fmt)
         assert all(t == "string" for _, t in df.dtypes), df.dtypes

@@ -68,6 +68,20 @@ def test_stream_stream_join_matches_batch(spark):
     assert _ms(res) == _ms(batch)
 
 
+def test_stream_static_enrich_matches_batch(spark):
+    from nba_spurs_etl_spark.streaming.events import stream_static_enrich
+
+    res = run_stream_to_table(
+        stream_static_enrich(
+            read_events_stream(spark, SF_SMOKE),
+            load_table(spark, SF_SMOKE, "customer"),
+        ),
+        spark,
+    )
+    batch = queries()["events_segment_enrich"](spark, SF_SMOKE)
+    assert _ms(res) == _ms(batch)
+
+
 def test_stream_dedup_keeps_distinct_ids(spark):
     res = run_stream_to_table(
         stream_dedup(read_events_stream(spark, SF_SMOKE)), spark,
