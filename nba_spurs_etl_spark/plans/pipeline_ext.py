@@ -1146,3 +1146,39 @@ def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         drop, docs["doc_id"] == drop["doc"], "left_anti"
     ).select("doc_id", "n_chars")
+
+
+@register(
+    "text_chargram_dist",
+    group="ext-text 2.4 2.6",
+    oracle="""
+SELECT g AS gram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (
+  SELECT substr(d.text, CAST(i AS INT), 3) AS g
+  FROM documents d,
+       UNNEST(generate_series(1, GREATEST(length(d.text) - 2, 0))) AS t(i)
+)
+GROUP BY 1 ORDER BY cnt DESC, gram LIMIT 50
+""",
+    doc="Corpus character-trigram distribution, top 50 (the feature "
+    "table a char-ngram language-ID model trains on). The per-char "
+    "explode multiplies rows by |text| but stays pipelined inside the "
+    "scan stage, and the counting shuffle is map-side combined — it "
+    "carries |distinct grams| per partition (bounded by charset^3), "
+    "never |chars| rows. Top-k via TakeOrderedAndProject with the "
+    "gram itself as tiebreak, so the cut is deterministic.",
+)
+def text_chargram_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(text) - 2, 0)),"
+                   " i -> substring(text, i, 3))")
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(50)
+    )

@@ -106,6 +106,50 @@ def stream_user_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_within_watermark",
+    group="2.9 ext-stream ext-dedup",
+    oracle=None,
+    doc="dropDuplicatesWithinWatermark: dedup whose per-key state is "
+    "GUARANTEED dropped once the watermark passes the key's first "
+    "sighting — bounded state for at-least-once sources where ids "
+    "never legitimately recur.",
+)
+def stream_dedup_within_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_dedup_within_watermark
+
+    return run_stream_to_table(
+        stream_dedup_within_watermark(read_events_stream(spark, sf_dir)),
+        spark,
+        output_mode="append",
+        state_partitions=8,
+    )
+
+
+@register(
+    "stream_stream_left_join",
+    group="2.9 ext-stream 2.3",
+    oracle=None,
+    # no oracle BY DESIGN: outer emission is cut by the final
+    # watermark position, which SQL over the static table cannot
+    # express; containment vs the batch left join is tested instead
+    doc="LEFT OUTER stream-stream interval join: matches emit as "
+    "found; unmatched clicks emit once the other side's watermark "
+    "passes their window. Drained result = inner matches + "
+    "watermark-expired unmatched prefix (tested by containment "
+    "against the batch left join).",
+)
+def stream_stream_left_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_click_purchase_left_join
+
+    return run_stream_to_table(
+        stream_click_purchase_left_join(spark, sf_dir),
+        spark,
+        output_mode="append",
+        state_partitions=8,
+    )
+
+
+@register(
     "stream_static_enrich",
     group="2.9 ext-stream 2.3",
     # complete-mode drain over the tiny segment x type keyspace

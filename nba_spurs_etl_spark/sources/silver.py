@@ -44,7 +44,9 @@ def read_json_entity(spark: SparkSession, path: str) -> DataFrame:
     return read_entity(spark, path, fmt="json")
 
 
-def read_entity(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
+def read_entity(
+    spark: SparkSession, path: str, fmt: str = "json", mode: str = "PERMISSIVE"
+) -> DataFrame:
     """All-string entity scan in any supported format (S9 generalized).
 
     Every format lands on the same all-VARCHAR silver contract
@@ -53,11 +55,22 @@ def read_entity(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
     and ORC via an explicit cast-to-string projection. Downstream
     never knows
     which wire format fed it — gold re-casts from string either way.
+
+    ``mode`` (JSON/CSV only) is the malformed-record policy. The
+    reference's ``json.loads`` aborts the whole load on one bad byte
+    (dags/spurs_historic_games.py:357) — that is ``FAILFAST``. The
+    default here is Spark's ``PERMISSIVE`` (bad records become
+    all-NULL rows) because at 100 TB a single corrupt record must not
+    kill a load; pass ``DROPMALFORMED`` to silently skip them.
     """
     if fmt == "json":
-        df = spark.read.option("primitivesAsString", "true").json(path)
+        df = (
+            spark.read.option("primitivesAsString", "true")
+            .option("mode", mode)
+            .json(path)
+        )
     elif fmt == "csv":
-        df = spark.read.option("header", "true").csv(path)
+        df = spark.read.option("header", "true").option("mode", mode).csv(path)
     elif fmt in ("parquet", "orc"):
         from pyspark.sql import functions as F
 

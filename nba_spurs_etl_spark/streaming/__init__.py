@@ -1,8 +1,10 @@
 from .events import (
     read_events_stream,
     stream_click_purchase_join,
+    stream_click_purchase_left_join,
     run_stream_to_table,
     stream_dedup,
+    stream_dedup_within_watermark,
     stream_session_agg,
     stream_sliding_agg,
     stream_static_enrich,
@@ -12,8 +14,10 @@ from .events import (
 __all__ = [
     "read_events_stream",
     "stream_click_purchase_join",
+    "stream_click_purchase_left_join",
     "run_stream_to_table",
     "stream_dedup",
+    "stream_dedup_within_watermark",
     "stream_session_agg",
     "stream_sliding_agg",
     "stream_static_enrich",

@@ -76,6 +76,22 @@ class CdcSnapshot:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
         return self.spark.read.parquet(self._vdir(vs[-1]))
 
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` committed versions.
+
+        The snapshot grows one version per applied micro-batch, so an
+        unbounded stream needs retention; a version still being read
+        by a concurrent query is the caller's coordination problem
+        (exactly as with table-format VACUUM). Returns the removed
+        version numbers."""
+        import shutil
+
+        vs = self._versions()
+        drop = vs[: -keep_last] if keep_last > 0 else vs
+        for v in drop:
+            shutil.rmtree(self._vdir(v))
+        return drop
+
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.order_col is not None:
             batch_df = latest_by_key(batch_df, self.keys, self.order_col).drop(

@@ -129,6 +129,19 @@ def stream_dedup(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
 
 
+def stream_dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Dedup via ``dropDuplicatesWithinWatermark``: unlike
+    ``dropDuplicates`` (which keys state on event_id FOREVER unless the
+    event-time column is part of the key), this guarantees each key's
+    state is dropped once the watermark passes its first sighting —
+    the right API when duplicates arrive close together (retries,
+    at-least-once sources) and ids never legitimately recur. State is
+    O(keys per watermark window) by construction."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner interval join: clicks x purchases per user,
     purchase inside [click, click+30min] (batch twin:
@@ -168,6 +181,54 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
         ),
         "inner",
+    )
+    return joined.select(
+        "user_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "purchase_value",
+    )
+
+
+def stream_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click, with its in-window
+    purchases when they exist.
+
+    Outer emission semantics differ from batch by design: an unmatched
+    click is emitted (purchase columns NULL) only once the
+    purchase-side watermark has passed click_ts + 30min, because until
+    then a match could still arrive. On an availableNow drain the
+    final watermark stops at max(event_time) - delay, so unmatched
+    clicks NEWER than that are still held in state when the stream
+    ends — the drained result is the inner matches plus the
+    watermark-expired unmatched prefix. That is the correct unbounded
+    semantics, checked by containment tests against the batch left
+    join (no SQL oracle can describe the drain cut)."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "leftOuter",
     )
     return joined.select(
         "user_id",

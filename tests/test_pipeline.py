@@ -78,6 +78,31 @@ def test_normalize_first_wins_and_projection(spark):
     assert row.missing_col is None
 
 
+def test_malformed_json_modes(spark, tmp_path):
+    """One corrupt line: PERMISSIVE keeps the load alive (all-NULL
+    row), DROPMALFORMED skips it, FAILFAST reproduces the reference's
+    json.loads abort (dags:357)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from nba_spurs_etl_spark.sources.silver import read_entity
+
+    p = tmp_path / "ent"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"id": "1", "name": "ok"}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": "2", "name": "also ok"}\n'
+    )
+    perm = read_entity(spark, str(p), fmt="json", mode="PERMISSIVE")
+    assert perm.count() == 3
+    assert perm.filter("id IS NOT NULL").count() == 2
+    dropm = read_entity(spark, str(p), fmt="json", mode="DROPMALFORMED")
+    assert dropm.count() == 2
+    with pytest.raises((Py4JJavaError, Exception)):
+        read_entity(spark, str(p), fmt="json", mode="FAILFAST").collect()
+
+
 def test_entity_roundtrip_format_agnostic(spark, tmp_path):
     """CSV / parquet bronze feeds must land on the identical all-string
     silver frame as the JSON path (S9 generalized): same columns, same

@@ -68,6 +68,57 @@ def test_stream_stream_join_matches_batch(spark):
     assert _ms(res) == _ms(batch)
 
 
+def test_stream_dedup_within_watermark_keeps_distinct_ids(spark):
+    from nba_spurs_etl_spark.streaming.events import (
+        stream_dedup_within_watermark,
+    )
+
+    res = run_stream_to_table(
+        stream_dedup_within_watermark(read_events_stream(spark, SF_SMOKE)),
+        spark,
+        output_mode="append",
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    # event_ids are unique in the testdata -> dedup must be lossless
+    assert res.count() == ev.count()
+    assert res.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_left_join_contains_inner_and_respects_batch(spark):
+    """Drained LEFT OUTER stream-stream join = all inner matches + a
+    watermark-cut subset of the batch left join's unmatched rows."""
+    res = run_stream_to_table(
+        __import__(
+            "nba_spurs_etl_spark.streaming.events", fromlist=["x"]
+        ).stream_click_purchase_left_join(spark, SF_SMOKE),
+        spark,
+        output_mode="append",
+    )
+    inner = queries()["events_click_purchase_join"](spark, SF_SMOKE)
+    got = {tuple(r) for r in res.collect()}
+    matched = {tuple(r) for r in res.filter("purchase_us IS NOT NULL").collect()}
+    want_inner = {tuple(r) for r in inner.collect()}
+    assert matched == want_inner  # every inner match emitted, exactly
+    # every row is either a match or a null-extended click
+    assert all(r[2] is not None or r[3] is None for r in got)
+    # unmatched clicks are a subset of the batch left join's unmatched
+    clicks = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter("event_type = 'click'")
+        .selectExpr("user_id", "unix_micros(ts) AS click_us")
+    )
+    batch_unmatched = {
+        (r["user_id"], r["click_us"])
+        for r in clicks.join(
+            inner.select("user_id", "click_us").distinct(),
+            ["user_id", "click_us"],
+            "left_anti",
+        ).collect()
+    }
+    stream_unmatched = {(r[0], r[1]) for r in got if r[2] is None}
+    assert stream_unmatched <= batch_unmatched
+
+
 def test_stream_static_enrich_matches_batch(spark):
     from nba_spurs_etl_spark.streaming.events import stream_static_enrich
 
@@ -234,3 +285,10 @@ def test_stream_cdc_versions_and_compaction(spark, tmp_path_factory):
     assert got == want
     assert (2, "u2", 2.5) not in got  # the in-batch D won over the U
     assert not any(r[0] in (10, 11) for r in got)
+
+    # retention: vacuum keeps the newest version readable, drops the rest
+    final = versions[-1]
+    removed = snap.vacuum(keep_last=1)
+    assert removed == versions[:-1]
+    assert snap._versions() == [final]
+    assert {tuple(r) for r in snap.read().collect()} == want
