@@ -163,3 +163,52 @@ def test_quantize_is_narrow_map(spark, catalog):
     no aggregate — it pipelines behind any upstream stage for free."""
     plan = fmt_plan(catalog["embedding_int8_quantize"](spark, SF_SMOKE))
     assert "Exchange" not in plan, plan
+
+
+def test_segment_enrich_broadcasts_dim(spark, catalog):
+    """The customer dim must broadcast so the event fact never shuffles
+    for the join — the only exchange is the tiny final agg."""
+    plan = fmt_plan(catalog["events_segment_enrich"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q12_pushes_lineitem_filters(spark, catalog):
+    """The single-table conjuncts (returnflag IN, shipdate range) must
+    reach the lineitem scan even though the cross-table date predicate
+    can only run post-join."""
+    plan = fmt_plan(catalog["q12_shipmode_priority"](spark, SF_SMOKE))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    joined = " ".join(pushed)
+    assert "l_returnflag" in joined, plan
+    assert "l_shipdate" in joined, plan
+
+
+def test_interval_join_is_hash_not_cartesian(spark, catalog):
+    """The time-range predicate must ride the user_id equi-join as a
+    post-join condition — never degenerate into a nested loop."""
+    plan = fmt_plan(catalog["events_click_purchase_join"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_table_profile_single_scan(spark, catalog):
+    """The melt must read orders ONCE (one parquet scan node), unlike
+    the per-column UNION oracle that re-reads it 6x."""
+    plan = fmt_plan(catalog["table_profile_orders"](spark, SF_SMOKE))
+    n_scans = sum(
+        1 for ln in plan.splitlines() if "Scan parquet" in ln
+    )
+    assert n_scans == 1, f"{n_scans} scans\n{plan}"
+
+
+def test_linear_fit_single_pass(spark, catalog):
+    """Five moment sums must come from ONE grouped pass over lineitem:
+    one scan, partial+final agg, one exchange."""
+    plan = fmt_plan(catalog["stats_linear_fit"](spark, SF_SMOKE))
+    n_scans = sum(1 for ln in plan.splitlines() if "Scan parquet" in ln)
+    assert n_scans == 1, plan
+    n_exchange = sum(
+        1 for ln in plan.splitlines() if ln.strip().startswith("Exchange")
+    )
+    assert n_exchange == 1, f"{n_exchange} exchanges\n{plan}"
