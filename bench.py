@@ -4,6 +4,12 @@
 ONE JSON line:  {"metric": ..., "value": N, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}
 
+The driver captures only the tail of stdout (~2 KB observed in round 1,
+where a 115-query dict overflowed it and the line went unparsed), so the
+stdout line carries a priority-ordered subset of per-query timings
+trimmed to fit; the FULL per-query map is always written to
+``BENCH_DETAIL.json`` next to this script.
+
 Per-query time is wall time of execution (df.count() forces the full
 plan) measured after the shared SparkSession is up — session startup is
 amortized across the suite, matching BASELINE.md's interpretation.
@@ -16,6 +22,32 @@ import os
 import re
 import sys
 import time
+
+MAX_LINE = 1800  # stay under the driver's stdout tail buffer
+
+# Queries whose timings go on the stdout line first (BASELINE.md's gold
+# models, the TPC-H suite, then flagship data-prep/stream operators).
+PRIORITY_PREFIXES = [
+    "gold_",
+    "q",  # q1..q22 TPC-H shapes
+    "pricing_summary",
+    "summary_rank",
+    "corpus_pipeline",
+    "dedup_",
+    "similarity_",
+    "stream_",
+    "events_",
+    "hypertable_",
+    "asof_",
+    "range_join_",
+]
+
+
+def _priority(name: str) -> tuple[int, str]:
+    for i, p in enumerate(PRIORITY_PREFIXES):
+        if name.startswith(p):
+            return (i, name)
+    return (len(PRIORITY_PREFIXES), name)
 
 
 def main() -> int:
@@ -40,17 +72,43 @@ def main() -> int:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    print(
-        json.dumps(
+    n_failed = sum(1 for t in timings.values() if t < 0)
+
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "catalog_suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+                "n_queries": len(timings),
+                "n_failed": n_failed,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+
+    # stdout line: highest-priority queries first, trimmed to MAX_LINE.
+    payload = {
+        "metric": "catalog_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": n_failed,
+        "detail": "BENCH_DETAIL.json",
+    }
+    for name in sorted(timings, key=_priority):
+        payload["queries"][name] = round(timings[name], 2)
+        if len(json.dumps(payload, separators=(",", ":"))) > MAX_LINE:
+            del payload["queries"][name]
+            break
+    print(json.dumps(payload, separators=(",", ":")))
     return 0
 
 

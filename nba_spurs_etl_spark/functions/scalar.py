@@ -91,6 +91,26 @@ def dbig_sql(expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# timestamp helpers
+# ---------------------------------------------------------------------------
+
+
+def epoch_us(col: Column | str) -> Column:
+    """``unix_micros`` tolerant of TIMESTAMP_NTZ inputs.
+
+    The testdata parquet stores ``timestamp[us]`` with no zone; Spark 4
+    infers TIMESTAMP_NTZ (``spark.sql.parquet.inferTimestampNTZ``), which
+    ``unix_micros`` rejects. The session pins
+    ``spark.sql.session.timeZone=UTC``, so ``cast("timestamp")`` is a pure
+    type-tag change (identical wall-clock micros, matching DuckDB's
+    ``epoch_us``) applied after the scan — parquet filter pushdown on the
+    raw column is unaffected.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+# ---------------------------------------------------------------------------
 # cross-engine stable hash
 # ---------------------------------------------------------------------------
 

@@ -21,12 +21,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scalar import md5_long
+from ..functions.scalar import epoch_us, md5_long
 
 
 def time_bucket(ts: Column, seconds: int) -> Column:
     """Epoch-aligned bucket start (timestamp), integer arithmetic."""
-    us = F.unix_micros(ts)
+    us = epoch_us(ts)
     width = seconds * 1_000_000
     return F.timestamp_micros(us - us % F.lit(width))
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalar import epoch_us
 from ..operators import similarity
 from ..sources.catalog import load_table
 from .registry import register
@@ -124,7 +125,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("string")
             .alias("cohort_week"),
             (
-                (F.unix_micros("ts") - F.unix_micros("first_ts"))
+                (epoch_us("ts") - epoch_us("first_ts"))
                 / F.lit(week_us)
             )
             .cast("int")
@@ -392,11 +393,11 @@ FROM events c JOIN events p
 def events_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.unix_micros("ts").alias("click_us")
+        "user_id", epoch_us("ts").alias("click_us")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"),
-        F.unix_micros("ts").alias("purchase_us"),
+        epoch_us("ts").alias("purchase_us"),
         F.col("value").alias("purchase_value"),
     )
     return (

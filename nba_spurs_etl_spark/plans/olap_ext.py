@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import davg_sql, dbig, dbig_sql, dsum, dsum_sql
+from ..functions.scalar import davg_sql, dbig, dbig_sql, dsum, dsum_sql, epoch_us
 from ..operators.joins import asof_join_backward
 from ..sources.catalog import load_table
 from .registry import register
@@ -206,10 +206,10 @@ ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
 def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("purchase_us")
+        "event_id", "user_id", epoch_us("ts").alias("purchase_us")
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.unix_micros("ts").alias("click_us")
+        "user_id", epoch_us("ts").alias("click_us")
     )
     joined = asof_join_backward(
         purchases,
@@ -291,7 +291,7 @@ def range_join_user_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.joins import range_join_buckets
 
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros("ts").alias("us"), "value"
+        "user_id", epoch_us("ts").alias("us"), "value"
     )
     firsts = ev.groupBy("user_id").agg(F.min("us").alias("f"))
     iv1 = firsts.select(

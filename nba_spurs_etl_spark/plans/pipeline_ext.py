@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import md5_long, md5_long_sql
+from ..functions.scalar import epoch_us, md5_long, md5_long_sql
 from ..operators import dedup, multimodal, sampling, similarity, textops
 from ..sources.catalog import load_table
 from .registry import register, registry
@@ -1016,7 +1016,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "value", F.unix_micros("ts").alias("us")
+        "user_id", "event_id", "value", epoch_us("ts").alias("us")
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     seq = ev.withColumn(

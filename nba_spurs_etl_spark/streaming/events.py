@@ -24,25 +24,6 @@ import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-# raw parquet schema: ts read as raw ns longs (see sources.catalog._load_events)
-_EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
 _name_counter = itertools.count()
 
@@ -50,15 +31,29 @@ _name_counter = itertools.count()
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of <sf_dir>/events.parquet.
 
-    Same ns->us timestamp normalization as the batch loader, with an
-    explicit schema (streams cannot infer)."""
+    Streams cannot infer schemas, so the raw schema comes from a batch
+    footer read; the same normalization as the batch loader
+    (sources.catalog._load_events) then yields a session-tz TimestampType
+    ``ts`` whichever physical form the file carries:
+
+    - TIMESTAMP(NANOS) + nanosAsLong -> bigint ns -> integer-div to us
+      (ns magnitudes ~1.7e18 overflow double, so never float math);
+    - TIMESTAMP(MICROS) -> TIMESTAMP_NTZ -> cast (UTC session: pure
+      type-tag change, required because watermark arithmetic and the
+      downstream unix_micros comparisons reject NTZ).
+    """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if raw_schema["ts"].dataType.simpleString() == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_tumbling_agg(events: DataFrame) -> DataFrame:

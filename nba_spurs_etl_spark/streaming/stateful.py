@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..functions.scalar import epoch_us
+
 ALPHA = 0.5  # EWMA smoothing
 OUTPUT_SCHEMA = (
     "user_id bigint, n_events bigint, total_cents bigint, ewma_value double"
@@ -85,7 +87,7 @@ def stream_user_profile(
     availableNow trigger never terminates (observed empirically).
     """
     prepared = events.select(
-        "user_id", "event_id", "value", F.unix_micros("ts").alias("us")
+        "user_id", "event_id", "value", epoch_us("ts").alias("us")
     )
     timeout = (
         GroupStateTimeout.NoTimeout
@@ -110,7 +112,7 @@ def user_profile_batch(events: DataFrame) -> DataFrame:
     same left-to-right recursion the stateful operator runs.
     """
     prepared = events.select(
-        "user_id", "event_id", "value", F.unix_micros("ts").alias("us")
+        "user_id", "event_id", "value", epoch_us("ts").alias("us")
     )
     ordered = prepared.groupBy("user_id").agg(
         F.array_sort(

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -192,13 +193,22 @@ def test_interval_join_is_hash_not_cartesian(spark, catalog):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def count_nodes(plan: str, node: str) -> int:
+    """Count physical-plan nodes of a type in ``explain("formatted")``
+    output. Each node prints twice (tree line + detail heading); the
+    ``(N) <Node>`` detail heading counts each exactly once."""
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if re.match(rf"\(\d+\) {re.escape(node)}\b", ln.strip())
+    )
+
+
 def test_table_profile_single_scan(spark, catalog):
     """The melt must read orders ONCE (one parquet scan node), unlike
     the per-column UNION oracle that re-reads it 6x."""
     plan = fmt_plan(catalog["table_profile_orders"](spark, SF_SMOKE))
-    n_scans = sum(
-        1 for ln in plan.splitlines() if "Scan parquet" in ln
-    )
+    n_scans = count_nodes(plan, "Scan parquet")
     assert n_scans == 1, f"{n_scans} scans\n{plan}"
 
 
@@ -206,9 +216,7 @@ def test_linear_fit_single_pass(spark, catalog):
     """Five moment sums must come from ONE grouped pass over lineitem:
     one scan, partial+final agg, one exchange."""
     plan = fmt_plan(catalog["stats_linear_fit"](spark, SF_SMOKE))
-    n_scans = sum(1 for ln in plan.splitlines() if "Scan parquet" in ln)
+    n_scans = count_nodes(plan, "Scan parquet")
     assert n_scans == 1, plan
-    n_exchange = sum(
-        1 for ln in plan.splitlines() if ln.strip().startswith("Exchange")
-    )
+    n_exchange = count_nodes(plan, "Exchange")
     assert n_exchange == 1, f"{n_exchange} exchanges\n{plan}"

@@ -105,7 +105,9 @@ def test_stream_left_join_contains_inner_and_respects_batch(spark):
     clicks = (
         load_table(spark, SF_SMOKE, "events")
         .filter("event_type = 'click'")
-        .selectExpr("user_id", "unix_micros(ts) AS click_us")
+        .selectExpr(
+            "user_id", "unix_micros(cast(ts AS timestamp)) AS click_us"
+        )
     )
     batch_unmatched = {
         (r["user_id"], r["click_us"])
