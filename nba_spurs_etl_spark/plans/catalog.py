@@ -79,8 +79,8 @@ set_priority([
     "text_profile",
     "text_c4_filters",
     "corpus_pipeline",
-    "events_funnel",
-    "events_sessionize",
+    "embedding_kmeans_lloyd",
+    "events_props_json",
     "stream_tumbling_agg",
 ])
 

@@ -1182,3 +1182,98 @@ def text_chargram_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("gram"))
         .limit(50)
     )
+
+
+@register(
+    "events_user_profile_batch",
+    group="ext-stream 2.10 batch-twin",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, list(value ORDER BY epoch_us(ts), event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+  CAST(len(vals) AS BIGINT) AS n_events,
+  CAST(list_sum(list_transform(vals,
+       v -> CAST(floor(v*100 + 0.5) AS BIGINT))) AS BIGINT) AS total_cents,
+  list_reduce(vals, (acc, v) -> 0.5*v + 0.5*acc) AS ewma_value
+FROM seq
+""",
+    doc="Batch twin of the applyInPandasWithState user profile "
+    "(streaming/stateful.py): per-user event count, exact integer "
+    "cents total, and EWMA(alpha=0.5) of value in event-time order. "
+    "EWMA is an ordered left fold, computed JVM-side with aggregate() "
+    "over the time-sorted value list — one groupBy shuffle, no window "
+    "sort, no Python. Both engines run the identical IEEE recursion "
+    "acc' = 0.5*v + 0.5*acc left-to-right, so doubles match "
+    "bit-exactly; the oracle is the driver gate the rows-only "
+    "stream_user_profile cannot have.",
+)
+def events_user_profile_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import user_profile_batch
+
+    return user_profile_batch(load_table(spark, sf_dir, "events"))
+
+
+def _kmeans_oracle(k: int = 8) -> str:
+    d2_c0 = (
+        "list_reduce(list_transform(generate_series(1, len(q.v)), "
+        "i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])), (x, y) -> x + y)"
+    )
+    d2_c1 = d2_c0.replace("c.cv", "c.cv")  # same shape vs refreshed centroids
+    return f"""
+WITH q AS (
+  SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT vid AS cid, v AS cv FROM q
+  ORDER BY {md5_long_sql("CAST(vid AS VARCHAR)")}, vid LIMIT {k}
+),
+a0 AS (
+  SELECT vid, v, cid AS cell FROM (
+    SELECT q.vid, q.v, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vid ORDER BY {d2_c0}, c.cid) AS rn
+    FROM q CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+upd AS (
+  SELECT cell, dim,
+    CAST(SUM(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      / (1000000.0 * COUNT(*)) AS m
+  FROM (
+    SELECT a0.cell, i AS dim, a0.v[CAST(i AS INT)] AS x
+    FROM a0, UNNEST(generate_series(1, len(a0.v))) AS t(i)
+  ) GROUP BY cell, dim
+),
+c1 AS (
+  SELECT c0.cid, COALESCE(n.cv, c0.cv) AS cv
+  FROM c0 LEFT JOIN (
+    SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM upd GROUP BY cell
+  ) n ON c0.cid = n.cid
+)
+SELECT vid AS vec_id, cid AS cell, d2 FROM (
+  SELECT q.vid, c.cid, {d2_c1} AS d2,
+    ROW_NUMBER() OVER (PARTITION BY q.vid ORDER BY {d2_c1}, c.cid) AS rn
+  FROM q CROSS JOIN c1 c
+) WHERE rn = 1
+"""
+
+
+@register(
+    "embedding_kmeans_lloyd",
+    group="ext-similarity clustering iterative",
+    oracle=_kmeans_oracle(),
+    doc="Two Lloyd iterations of k-means (k=8) over the embedding "
+    "corpus: md5-seeded init, literal-centroid argmin assignment "
+    "(narrow map, zero corpus shuffle — operators/clustering.py), "
+    "posexplode + exact fixed-point per-dimension means for the "
+    "update (the only exchange, map-side combined to k*dim rows). "
+    "The iterative-refinement pattern IVF/curation pipelines need; "
+    "oracle replays both rounds in SQL, bit-exact.",
+)
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, "vec_id", "embedding", k=8, iters=2)

@@ -567,3 +567,22 @@ def test_funnel_requires_strictly_increasing_stages(spark, tmp_path):
 
     got = {r.stage: r.users for r in queries()["events_funnel"](spark, sf).collect()}
     assert got == {"signup": 3, "view": 2, "click": 2, "purchase": 1}
+
+
+def test_kmeans_lloyd_refines_assignment(spark):
+    from pyspark.sql import functions as F
+
+    from nba_spurs_etl_spark.operators.clustering import kmeans_lloyd
+    from nba_spurs_etl_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    one = kmeans_lloyd(emb, "vec_id", "embedding", k=4, iters=1)
+    two = kmeans_lloyd(emb, "vec_id", "embedding", k=4, iters=2)
+    n = emb.count()
+    assert one.count() == n and two.count() == n  # total assignment
+    assert two.select("cell").distinct().count() <= 4
+    # Lloyd monotonicity: moving centroids to member means can only
+    # shrink total inertia (up to fixed-point quantization noise)
+    i1 = one.agg(F.sum("d2")).collect()[0][0]
+    i2 = two.agg(F.sum("d2")).collect()[0][0]
+    assert i2 <= i1 * 1.0001, (i1, i2)
