@@ -484,3 +484,80 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("k_max"),
         F.count_distinct("k").alias("k_distinct"),
     )
+
+
+@register(
+    "events_value_mad",
+    group="ext-events 2.4 robust-stats",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+  FROM c GROUP BY event_type
+),
+dev AS (
+  SELECT c.event_type, c.cents, m.med_cents,
+         abs(c.cents - m.med_cents) AS adev
+  FROM c JOIN med m ON c.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad_cents
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  d.med_cents AS med_cents,
+  md.mad_cents AS mad_cents,
+  CAST(COUNT(*) FILTER (
+    WHERE md.mad_cents > 0 AND d.adev / md.mad_cents > 3.0
+  ) AS BIGINT) AS outliers
+FROM dev d JOIN mad md ON d.event_type = md.event_type
+GROUP BY d.event_type, d.med_cents, md.mad_cents
+""",
+    doc="Robust per-group dispersion: median + MAD (median absolute "
+    "deviation) of event value, plus a |x-med|/MAD > 3 outlier count — "
+    "the heavy-tail-safe twin of outlier_orders_zscore (mean/stddev "
+    "break under the contamination they're meant to find). Values are "
+    "quantized to integer cents first, so every interpolated median "
+    "lands on exact binary fractions (halves/quarters) and both "
+    "engines agree bit-exactly — the same fixed-point trick as the "
+    "EWMA profile. Exact percentiles sort within each group; at "
+    "100 TB swap in approx_percentile (approx_sketches shows that "
+    "path) when rank error is acceptable.",
+)
+def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med_cents")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_cents", "mad_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("mad_cents") > 0)
+                    & (F.col("adev") / F.col("mad_cents") > 3.0),
+                    1,
+                )
+                .otherwise(0)
+                .cast("bigint")
+            ).alias("outliers"),
+        )
+        .select("event_type", "n", "med_cents", "mad_cents", "outliers")
+    )

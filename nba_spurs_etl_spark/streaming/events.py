@@ -238,6 +238,7 @@ def run_stream_to_table(
     spark: SparkSession,
     output_mode: str = "complete",
     state_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame into a memory sink (availableNow)
     and return the materialized batch result.
@@ -256,9 +257,13 @@ def run_stream_to_table(
     the one knob Structured Streaming cannot re-derive later without a
     new checkpoint."""
     name = f"stream_sink_{next(_name_counter)}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    saved: dict[str, str | None] = {}
+    overrides = dict(extra_conf or {})
     if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        overrides["spark.sql.shuffle.partitions"] = str(state_partitions)
+    for k, v in overrides.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
     try:
         q = (
             df.writeStream.format("memory")
@@ -269,8 +274,11 @@ def run_stream_to_table(
         )
         q.awaitTermination()
     finally:
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return spark.table(name)
 
 

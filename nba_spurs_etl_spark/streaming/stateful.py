@@ -138,3 +138,72 @@ def user_profile_batch(events: DataFrame) -> DataFrame:
         total_cents.alias("total_cents"),
         ewma.alias("ewma_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the current-generation arbitrary-state API
+# ---------------------------------------------------------------------------
+#
+# Same per-user profile as stream_user_profile, expressed with the
+# StatefulProcessor lifecycle (init/handleInputRows/close) and a typed
+# ValueState handle instead of applyInPandasWithState's single opaque
+# tuple. What the new API buys at scale: composable named state
+# variables (value/list/map) with per-variable TTL, event-time timers,
+# and RocksDB-backed state with changelog checkpointing — the pieces an
+# unbounded keyspace needs that the legacy API bolts on awkwardly.
+
+
+def _tws_processor():
+    import math
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("profile", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total_cents, ewma = self._state.get()
+            else:
+                n, total_cents, ewma = 0, 0, None
+            batch = pd.concat(list(rows)).sort_values(["us", "event_id"])
+            for v in batch["value"]:
+                n += 1
+                total_cents += int(math.floor(v * 100 + 0.5))
+                ewma = v if ewma is None else ALPHA * v + (1 - ALPHA) * ewma
+            self._state.update((n, total_cents, float(ewma)))
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([key[0]], dtype="int64"),
+                    "n_events": pd.Series([n], dtype="int64"),
+                    "total_cents": pd.Series([total_cents], dtype="int64"),
+                    "ewma_value": pd.Series([ewma], dtype="float64"),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserProfileProcessor()
+
+
+def stream_user_profile_tws(events: DataFrame) -> DataFrame:
+    """Per-user profile via transformWithStateInPandas (RocksDB state).
+
+    Semantics identical to ``stream_user_profile`` /
+    ``user_profile_batch`` — the batch-equivalence test covers all
+    three, so the two stateful APIs gate each other.
+    """
+    prepared = events.select(
+        "user_id", "event_id", "value", epoch_us("ts").alias("us")
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_tws_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

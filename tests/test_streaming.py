@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pytest
 from pyspark.sql import functions as F
 
 from nba_spurs_etl_spark.plans.catalog import queries
@@ -294,3 +295,38 @@ def test_stream_cdc_versions_and_compaction(spark, tmp_path_factory):
     assert removed == versions[:-1]
     assert snap._versions() == [final]
     assert {tuple(r) for r in snap.read().collect()} == want
+
+
+def test_stream_user_profile_tws_matches_batch(spark):
+    """transformWithStateInPandas profile == ordered-agg batch twin.
+
+    Skipped where google.protobuf is unavailable (the TWS Python
+    state-server protocol requires it); the legacy
+    applyInPandasWithState path stays covered either way."""
+    pytest.importorskip("google.protobuf")
+    from nba_spurs_etl_spark.streaming.events import run_stream_to_table
+    from nba_spurs_etl_spark.streaming.stateful import (
+        stream_user_profile_tws,
+        user_profile_batch,
+    )
+    from nba_spurs_etl_spark.streaming import read_events_stream
+
+    res = run_stream_to_table(
+        stream_user_profile_tws(read_events_stream(spark, SF_SMOKE)),
+        spark,
+        output_mode="update",
+        state_partitions=8,
+        extra_conf={
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+        },
+    )
+    got = {tuple(r) for r in res.collect()}
+    want = {
+        tuple(r)
+        for r in user_profile_batch(
+            load_table(spark, SF_SMOKE, "events")
+        ).collect()
+    }
+    assert got == want
