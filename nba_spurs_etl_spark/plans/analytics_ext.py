@@ -561,3 +561,76 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "med_cents", "mad_cents", "outliers")
     )
+
+
+@register(
+    "events_props_variant",
+    group="ext-events semi-structured variant",
+    oracle="""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+    AS k_sum,
+  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+FROM events
+GROUP BY event_type
+""",
+    doc="The VARIANT path for semi-structured props (Spark 4): "
+    "parse_json once into the binary-encoded Variant type, then typed "
+    "variant_get extraction. Versus from_json (events_props_json), "
+    "Variant needs no up-front schema — fields not touched are never "
+    "decoded, which at 100 TB means a pipeline can land raw "
+    "heterogeneous JSON once and every consumer pays only for the "
+    "paths it reads. try_variant_get yields NULL on type mismatch "
+    "(PERMISSIVE twin).",
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    parsed = ev.withColumn(
+        "k", F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
+@register(
+    "events_hll_daily_rollup",
+    group="ext-events 2.4 approx sketch-rollup",
+    oracle=None,
+    doc="Mergeable-sketch distinct rollup (the continuous-aggregate "
+    "trick for COUNT DISTINCT): per-day HLL sketches of user_id "
+    "(hll_sketch_agg), then the MONTHLY distinct estimated by UNIONING "
+    "the daily sketches (hll_union_agg) — raw data scanned once at "
+    "daily grain, every coarser resolution derived from kilobyte "
+    "sketches, exactly how hypertable_rollup_1h cascades its exact "
+    "counts. No oracle: sketch binaries are engine-specific; "
+    "tests/test_operators.py bounds the estimate against the exact "
+    "distinct instead.",
+)
+def events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "user_id",
+    )
+    daily = ev.groupBy("month", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("events"),
+    )
+    return (
+        daily.groupBy("month")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_monthly_users"
+            ),
+            F.sum("events").alias("events"),
+            F.count(F.lit(1)).alias("days"),
+        )
+        .select("month", "days", "events", "approx_monthly_users")
+        .withColumn("month", F.col("month").cast("string"))
+    )

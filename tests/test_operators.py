@@ -586,3 +586,26 @@ def test_kmeans_lloyd_refines_assignment(spark):
     i1 = one.agg(F.sum("d2")).collect()[0][0]
     i2 = two.agg(F.sum("d2")).collect()[0][0]
     assert i2 <= i1 * 1.0001, (i1, i2)
+
+
+def test_hll_daily_rollup_bounds_exact_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from nba_spurs_etl_spark.plans.catalog import queries
+    from nba_spurs_etl_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["month"]: r["approx_monthly_users"]
+        for r in queries()["events_hll_daily_rollup"](spark, sf).collect()
+    }
+    exact = {
+        str(r["month"]): r["n"]
+        for r in load_table(spark, sf, "events")
+        .groupBy(F.date_trunc("month", "ts").cast("date").alias("month"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for m, est in got.items():
+        assert abs(est - exact[m]) / exact[m] < 0.05, (m, est, exact[m])

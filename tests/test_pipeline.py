@@ -120,3 +120,17 @@ def test_entity_roundtrip_format_agnostic(spark, tmp_path):
             for r in df.select(*sorted(df.columns)).collect()
         }
     assert frames["json"] == frames["csv"] == frames["parquet"]
+
+
+def test_python_datasource_roster_matches_synth(spark):
+    """The nba_api_stub DataSource (partition-per-team fetch shape)
+    must reproduce synth.build_players exactly, distributed."""
+    from nba_spurs_etl_spark import synth
+    from nba_spurs_etl_spark.sources.pyds import NbaApiStubDataSource
+
+    spark.dataSource.register(NbaApiStubDataSource)
+    ds = spark.read.format("nba_api_stub").load()
+    assert ds.rdd.getNumPartitions() == synth.N_TEAMS
+    got = {tuple(r) for r in ds.collect()}
+    want = {tuple(r) for r in synth.build_players(spark).collect()}
+    assert got == want
