@@ -103,3 +103,49 @@ def stratified_sample(
         .filter(F.col("h") < F.col("keep_permille"))
         .drop("h")
     )
+
+
+_TWO60 = float(1 << 60)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    fraction: float,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Deterministic weight-proportional (Poisson) sample.
+
+    Row i is kept iff ``u_i < w_i * (fraction * n / W)`` with
+    ``u_i = md5(salt_id)/2^60`` — inclusion probability proportional to
+    weight, expected sample size ``fraction * n``. The usual move for
+    quality-weighted corpus downsampling (keep high-quality docs more
+    often) without an RNG: the decision is pure IEEE multiply/compare
+    over hash-uniform doubles (no pow/log whose libm rounding could
+    diverge across engines), so retries, repartitioning and the DuckDB
+    oracle all reproduce the identical sample.
+
+    Scale: the global (n, total_weight) scalar is one map-combined agg
+    broadcast back over the rows; the keep decision is row-local —
+    no data shuffle at any size. Rows with ``w_i * f * n / W >= 1``
+    are always kept (heavy-row saturation, standard for Poisson
+    sampling).
+    """
+    w = F.col(weight_col)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(w.cast("decimal(18,2)")).cast("double").alias("_tw"),
+    )
+    u = (
+        md5_long(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string")))
+        .cast("double")
+        / F.lit(_TWO60)
+    )
+    p = w * (F.lit(fraction) * F.col("_n") / F.col("_tw"))
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("p_incl", p)
+        .filter(u < F.col("p_incl"))
+        .drop("_n", "_tw")
+    )

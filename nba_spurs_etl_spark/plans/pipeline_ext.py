@@ -1277,3 +1277,91 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, "vec_id", "embedding", k=8, iters=2)
+
+
+@register(
+    "events_weighted_sample",
+    group="ext-sampling weighted",
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tw
+  FROM events
+)
+SELECT event_id, user_id, value,
+  value * ((0.05 * n) / tw) AS p_incl
+FROM events CROSS JOIN s
+WHERE CAST({md5_long_sql("'wsamp_' || CAST(event_id AS VARCHAR)")} AS DOUBLE)
+      / 1152921504606846976.0
+      < value * ((0.05 * n) / tw)
+""",
+    doc="Weight-proportional Poisson sample of the event log "
+    "(weight = value, expected fraction 5%): inclusion iff "
+    "hash-uniform u < w * f*n/W — quality-weighted corpus "
+    "downsampling with no RNG and no libm (pure IEEE "
+    "multiply/compare), so the sample is identical across retries, "
+    "partitionings and engines. One map-combined scalar agg broadcast "
+    "back; the keep decision is row-local (operators/sampling.py).",
+)
+def events_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    return weighted_sample(ev, "event_id", "value", fraction=0.05)
+
+
+@register(
+    "text_top_terms",
+    group="ext-text 2.5 tfidf",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+)
+SELECT doc_id, term, tf, df, score, CAST(rn AS INT) AS rn FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    CAST(tf.tf AS DOUBLE) / df.df AS score,
+    ROW_NUMBER() OVER (
+      PARTITION BY tf.doc_id
+      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term ASC
+    ) AS rn
+  FROM tf JOIN df ON tf.term = df.term
+) WHERE rn <= 3
+""",
+    doc="Per-document top-3 distinguishing terms ranked by tf/df — the "
+    "idf-monotone tf-idf proxy that needs NO logarithm, so the score "
+    "is one IEEE division and both engines rank identically (libm "
+    "log() rounding can differ across engines — a real cross-platform "
+    "reproducibility trap for tf-idf pipelines). One explode + two "
+    "map-combined count shuffles + a per-doc window; the df side is "
+    "|vocabulary|-sized and map-side combined, never |tokens|.",
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rn")
+    )
