@@ -634,3 +634,76 @@ def events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("month", "days", "events", "approx_monthly_users")
         .withColumn("month", F.col("month").cast("string"))
     )
+
+
+@register(
+    "events_rfm_segments",
+    group="ext-events 2.4 rfm",
+    oracle="""
+WITH rfm AS (
+  SELECT user_id,
+    MAX(epoch_us(ts)) AS recency_us,
+    CAST(COUNT(*) AS BIGINT) AS frequency,
+    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS monetary_cents
+  FROM events GROUP BY user_id
+),
+th AS (
+  SELECT quantile_cont(recency_us, 0.5) AS r_med,
+         quantile_cont(frequency, 0.5) AS f_med,
+         quantile_cont(monetary_cents, 0.5) AS m_med
+  FROM rfm
+)
+SELECT
+  CASE WHEN recency_us >= r_med THEN 'R1' ELSE 'R0' END ||
+  CASE WHEN frequency > f_med THEN 'F1' ELSE 'F0' END ||
+  CASE WHEN monetary_cents > m_med THEN 'M1' ELSE 'M0' END AS segment,
+  CAST(COUNT(*) AS BIGINT) AS users,
+  CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+FROM rfm CROSS JOIN th
+GROUP BY 1
+""",
+    doc="RFM (recency/frequency/monetary) segmentation of the event "
+    "log: per-user aggregates on exact integer axes (epoch micros, "
+    "counts, cents), split at the global medians into 8 segments. "
+    "Exact interpolated medians over integers land on binary "
+    "fractions, so the >=/> threshold comparisons are identical on "
+    "both engines — no float-boundary flicker in segment membership. "
+    "Plan: one user-keyed agg, one tiny median pass broadcast back, "
+    "one 8-key final agg.",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        epoch_us("ts").alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    rfm = ev.groupBy("user_id").agg(
+        F.max("us").alias("recency_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("cents").alias("monetary_cents"),
+    )
+    th = rfm.agg(
+        F.percentile("recency_us", F.lit(0.5)).alias("r_med"),
+        F.percentile("frequency", F.lit(0.5)).alias("f_med"),
+        F.percentile("monetary_cents", F.lit(0.5)).alias("m_med"),
+    )
+    seg = F.concat(
+        F.when(F.col("recency_us") >= F.col("r_med"), F.lit("R1")).otherwise(
+            F.lit("R0")
+        ),
+        F.when(F.col("frequency") > F.col("f_med"), F.lit("F1")).otherwise(
+            F.lit("F0")
+        ),
+        F.when(F.col("monetary_cents") > F.col("m_med"), F.lit("M1")).otherwise(
+            F.lit("M0")
+        ),
+    )
+    return (
+        rfm.crossJoin(F.broadcast(th))
+        .groupBy(seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("users"),
+            F.sum("monetary_cents").alias("segment_cents"),
+        )
+    )

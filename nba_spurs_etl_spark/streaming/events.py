@@ -27,6 +27,29 @@ from pyspark.sql import functions as F
 
 _name_counter = itertools.count()
 
+_ckpt_root: str | None = None
+
+
+def _drain_checkpoint_dir(name: str) -> str:
+    """Per-process checkpoint root for memory-sink drains, on tmpfs
+    where available (/dev/shm) — checkpoint fsync is a measurable
+    fraction of a short drain (~0.4 s/query on the bench). Unique per
+    process AND per query name, so no drain can ever resume another's
+    committed offsets. Production streams (e.g. CdcSnapshot.attach)
+    pass their own durable checkpoint path instead — a memory-sink
+    drain is ephemeral by definition, its checkpoint never outlives
+    the result."""
+    global _ckpt_root
+    if _ckpt_root is None:
+        import os
+        import tempfile
+
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        _ckpt_root = tempfile.mkdtemp(prefix="spark_graft_drain_ckpt_", dir=base)
+    import os
+
+    return os.path.join(_ckpt_root, name)
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of <sf_dir>/events.parquet.
@@ -269,6 +292,7 @@ def run_stream_to_table(
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
+            .option("checkpointLocation", _drain_checkpoint_dir(name))
             .trigger(availableNow=True)
             .start()
         )
