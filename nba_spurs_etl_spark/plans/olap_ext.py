@@ -838,3 +838,35 @@ def outlier_orders_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_orderpriority", "o_totalprice", z.alias("zscore")
         )
     )
+
+
+@register(
+    "sql_lateral_top_customers",
+    group="ext-sql lateral 2.3",
+    oracle="""
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+) t
+""",
+    doc="SQL-surface entry: per-nation top-2 customers by account "
+    "balance via a correlated LATERAL subquery (spark.sql over "
+    "registered testdata views — the engine's second front door next "
+    "to the DataFrame API; both build the same Catalyst plan). Spark "
+    "decorrelates the LATERAL into a ranked join, so execution is a "
+    "partitioned window, not |nations| subqueries; the unique-key "
+    "tiebreak keeps the LIMIT deterministic (SURVEY 7.4.5).",
+)
+def sql_lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM v_nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM v_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+        ) t
+    """)

@@ -220,3 +220,15 @@ def test_linear_fit_single_pass(spark, catalog):
     assert n_scans == 1, plan
     n_exchange = count_nodes(plan, "Exchange")
     assert n_exchange == 1, f"{n_exchange} exchanges\n{plan}"
+
+
+def test_kmeans_assignment_is_narrow(spark):
+    """A single Lloyd assignment round (literal centroids) must be a
+    pure narrow map over the corpus: zero exchanges."""
+    from nba_spurs_etl_spark.operators.clustering import kmeans_lloyd
+    from nba_spurs_etl_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = fmt_plan(kmeans_lloyd(emb, "vec_id", "embedding", k=4, iters=1))
+    assert count_nodes(plan, "Exchange") == 0, plan
+    assert count_nodes(plan, "Scan parquet") == 1, plan
