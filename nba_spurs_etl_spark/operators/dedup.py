@@ -45,13 +45,18 @@ def tokens(col: str | Column) -> Column:
     return F.split(c, " ")
 
 
-def shingles(col: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a space-tokenized text column.
+def shingles_from_tokens(w: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token array.
 
     Guarded for short docs: Spark's sequence(1, 0) yields a DESCENDING
     [1, 0], so texts with < n tokens must short-circuit to [].
+
+    Callers must bind ``w`` to a projected column, not an inline
+    ``split(...)`` expression: higher-order functions evaluate
+    interpreted (outside codegen's subexpression elimination), so an
+    inline split re-tokenizes the text once per gram — O(words^2) per
+    doc, measured 3x on the gram stage.
     """
-    w = tokens(col)
     # idx i in [1 .. len-n+1]; slice(w, i, n) is the i-th n-gram
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
@@ -62,6 +67,12 @@ def shingles(col: str | Column, n: int = 3) -> Column:
             F.array().cast("array<string>")
         )
     )
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Column-level shingles over raw text (prefer the two-step
+    projection via ``shingles_from_tokens`` in row-heavy paths)."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
@@ -86,7 +97,9 @@ def exploded_shingles(
     ``max_shingle_freq`` docs (skew + noise control at scale)."""
     df = _spread(df, id_col)
     pairs = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle")
+        F.col(id_col).alias("doc"), tokens(text_col).alias("_w")
+    ).select(
+        "doc", F.explode(shingles_from_tokens(F.col("_w"), n)).alias("shingle")
     )
     if max_shingle_freq is not None:
         hot = (

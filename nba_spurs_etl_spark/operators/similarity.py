@@ -342,8 +342,24 @@ def tf_cosine_pairs(
     both shuffles carry 8-byte keys instead of n-word strings (the
     minhash trick); the oracle applies the identical fold, so any
     collision — ~2^-60 per pair — would be shared, not a divergence.
+
+    The squared norms ride the SAME posting-list shuffle as the dots:
+    each posting list also emits its diagonal self-pairs (doc, doc,
+    tf^2), so nsq(doc) falls out of the one pair aggregation as the
+    doc_a == doc_b rows. Computing norms as a separate
+    ``tf.groupBy(doc)`` branch would re-run the whole gram-explode +
+    md5 + tf pipeline per reference (Catalyst recomputes uncached
+    shared lineage — measured 3x the tf work and +1 shuffle on the
+    bench).
     """
-    w = F.split(F.col(text_col), " ")
+    from .dedup import _spread
+
+    # tokenize ONCE into a projected column: higher-order functions run
+    # interpreted (no codegen subexpression elimination), so an inline
+    # split() would re-tokenize per gram — O(words^2) per doc, measured
+    # 3x on the gram stage. _spread unlocks multi-core gram+md5 work
+    # when the scan has fewer splits than cores (single-row-group file).
+    w = F.col("_w")
     grams = F.when(
         F.size(w) >= n,
         F.transform(
@@ -352,7 +368,12 @@ def tf_cosine_pairs(
         ),
     ).otherwise(F.array().cast("array<string>"))
     tf = (
-        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("g"))
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.split(F.col(text_col), " ").alias("_w"),
+        )
+        .select("doc", F.explode(grams).alias("g"))
         .select("doc", md5_long(F.col("g")).alias("term"))
         .groupBy("doc", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -365,17 +386,16 @@ def tf_cosine_pairs(
             .select("term")
         )
         tf = tf.join(cold, "term")
-    norms = tf.groupBy("doc").agg(F.sum(F.col("tf") * F.col("tf")).alias("nsq"))
-    posting = (
-        tf.groupBy("term")
-        .agg(F.sort_array(F.collect_list(F.struct("doc", "tf"))).alias("ps"))
-        .filter(F.size("ps") >= 2)
+    posting = tf.groupBy("term").agg(
+        F.sort_array(F.collect_list(F.struct("doc", "tf"))).alias("ps")
     )
+    # pairs i <= j: i == j contributes the diagonal (self) tf^2 terms
+    # that sum to the squared norm; i < j the cross dot products
     combos = F.flatten(
         F.transform(
             F.col("ps"),
             lambda x, i: F.transform(
-                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                F.slice(F.col("ps"), i + 1, F.size(F.col("ps"))),
                 lambda y: F.struct(
                     x["doc"].alias("doc_a"),
                     y["doc"].alias("doc_b"),
@@ -384,17 +404,22 @@ def tf_cosine_pairs(
             ),
         )
     )
-    dots = (
+    sums = (
         posting.select(F.explode(combos).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.sum("p.prod").alias("dot"))
     )
-    na = norms.select(F.col("doc").alias("doc_a"), F.col("nsq").alias("nsq_a"))
-    nb = norms.select(F.col("doc").alias("doc_b"), F.col("nsq").alias("nsq_b"))
+    # attach each side's norm with a window max over the diagonal row —
+    # the pair table is computed ONCE and flows through two window
+    # exchanges; a norms-subquery join would recompute the whole
+    # gram pipeline per reference of `sums`
+    diag = F.when(F.col("doc_a") == F.col("doc_b"), F.col("dot"))
+    enriched = sums.withColumn(
+        "nsq_a", F.max(diag).over(Window.partitionBy("doc_a"))
+    ).withColumn("nsq_b", F.max(diag).over(Window.partitionBy("doc_b")))
     cos = F.col("dot").cast("double") / (F.sqrt("nsq_a") * F.sqrt("nsq_b"))
     return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
+        enriched.filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b", "dot", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

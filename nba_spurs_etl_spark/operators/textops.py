@@ -128,11 +128,18 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def repetition_cols(text_col: str | Column) -> dict[str, Column]:
+def repetition_cols(
+    text_col: str | Column, words_col: Column | None = None
+) -> dict[str, Column]:
     """The Gopher-rule repetition expressions, exposed column-level so
     composed pipelines can filter without a join against the feature
-    frame (see ``corpus_pipeline``)."""
-    w = words(text_col)
+    frame (see ``corpus_pipeline``).
+
+    Pass ``words_col`` bound to a PROJECTED token array wherever rows
+    are hot: the expressions scan the word list O(words * distinct)
+    times inside interpreted HOFs, and an inline split() re-tokenizes
+    per scan (no codegen subexpression elimination there)."""
+    w = words_col if words_col is not None else words(text_col)
     n = F.size(w)
     nd = F.size(F.array_distinct(w))
     top = F.array_max(
@@ -180,8 +187,8 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     per-distinct-word count scan is O(words * distinct) per doc — fine
     for document-sized inputs, and per-row-parallel at any corpus size.
     """
-    c = repetition_cols(text_col)
-    return df.select(
+    c = repetition_cols(text_col, words_col=F.col("_w"))
+    return df.withColumn("_w", words(text_col)).select(
         F.col(id_col).alias("doc"), *[v.alias(k) for k, v in c.items()]
     )
 
@@ -191,9 +198,12 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def c4_cols(text_col: str | Column, lang_col: str) -> dict[str, Column]:
-    """The C4-rule flag expressions, column-level (see ``c4_filters``)."""
-    w = words(text_col)
+def c4_cols(
+    text_col: str | Column, lang_col: str, words_col: Column | None = None
+) -> dict[str, Column]:
+    """The C4-rule flag expressions, column-level (see ``c4_filters``).
+    ``words_col``: see ``repetition_cols`` — bind a projected array."""
+    w = words_col if words_col is not None else words(text_col)
     n = F.size(w)
     sum_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
     max_len = F.array_max(F.transform(w, F.length))
@@ -235,8 +245,8 @@ def c4_filters(
     - ``stopword_ok``: >= 1 distinct stopword of the doc's own language
       (waived for languages without a stoplist, e.g. zh).
     """
-    c = c4_cols(text_col, lang_col)
-    return df.select(
+    c = c4_cols(text_col, lang_col, words_col=F.col("_w"))
+    return df.withColumn("_w", words(text_col)).select(
         F.col(id_col).alias("doc"), *[v.alias(k) for k, v in c.items()]
     )
 

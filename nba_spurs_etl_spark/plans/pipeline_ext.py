@@ -830,10 +830,12 @@ FROM (
 def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_w", textops.words("text")
+    )
     keep = (
-        textops.c4_cols("text", "lang")["c4_keep"]
-        & textops.repetition_cols("text")["gopher_keep"]
+        textops.c4_cols("text", "lang", words_col=F.col("_w"))["c4_keep"]
+        & textops.repetition_cols("text", words_col=F.col("_w"))["gopher_keep"]
     )
     filtered = docs.filter(keep)
     kept = (
