@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Empirical scaling probe: replicate sf0.1 K times (key-offset facts,
+dim tables unchanged) into /tmp and time headline queries at both
+scales. Results recorded in docs/SCALE.md §"Measured scaling".
+
+Replication is deliberately adversarial for near-dup operators: every
+document exists K times, so every shingle's posting list grows K-fold —
+the hot-boilerplate worst case the max_term_freq cap defends against.
+
+Usage: python scripts/scale_probe.py [K]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nba_spurs_etl_spark.plans.catalog import queries  # noqa: E402
+from nba_spurs_etl_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+NAMES = [
+    "pricing_summary", "q3_shipping_priority", "q10_returned_items",
+    "q6_forecast_revenue", "events_funnel", "events_sessionize",
+    "dedup_exact", "text_tfcosine_pairs", "similarity_topk_bruteforce",
+    "events_click_purchase_join", "rolling_7d_customer_revenue",
+]
+
+
+def build(spark, dst: str, k: int) -> None:
+    def rep(name: str, offsets: dict[str, int]) -> None:
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        reps = []
+        for i in range(k):
+            d = df
+            for c, stride in offsets.items():
+                d = d.withColumn(c, F.col(c) + i * stride)
+            reps.append(d)
+        out = reps[0]
+        for d in reps[1:]:
+            out = out.unionByName(d)
+        out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+
+    rep("lineitem", {"l_orderkey": 10_000_000})
+    rep("orders", {"o_orderkey": 10_000_000, "o_custkey": 1_000_000})
+    rep("customer", {"c_custkey": 1_000_000})
+    rep("events", {"event_id": 100_000_000, "user_id": 1_000_000})
+    rep("documents", {"doc_id": 10_000_000})
+    rep("embeddings", {"vec_id": 10_000_000})
+    for dim in ["region", "nation", "supplier", "part"]:
+        spark.read.parquet(f"{SRC}/{dim}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{dim}.parquet")
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    dst = f"/tmp/sfx{k}"
+    spark = get_spark("scale-probe")
+    if not os.path.isdir(dst):
+        build(spark, dst, k)
+    q = queries()
+    for sf_dir, label in [(SRC, "sf0.1"), (dst, f"sf0.1x{k}")]:
+        for name in NAMES:
+            q[name](spark, sf_dir).count()  # warm
+            t0 = time.perf_counter()
+            c = q[name](spark, sf_dir).count()
+            t1 = time.perf_counter()
+            print(f"{label} {name}: rows={c} t={round(t1 - t0, 2)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
