@@ -75,7 +75,7 @@ def shingles(col: str | Column, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(col), n)
 
 
-def _spread(df: DataFrame, id_col: str) -> DataFrame:
+def spread_for_compute(df: DataFrame, id_col: str) -> DataFrame:
     """Repartition by id only when the scan under-parallelizes.
 
     A single-row-group parquet file scans as ONE task, serializing the
@@ -95,7 +95,7 @@ def exploded_shingles(
 ) -> DataFrame:
     """(id, shingle) pairs; optionally drop shingles hotter than
     ``max_shingle_freq`` docs (skew + noise control at scale)."""
-    df = _spread(df, id_col)
+    df = spread_for_compute(df, id_col)
     pairs = df.select(
         F.col(id_col).alias("doc"), tokens(text_col).alias("_w")
     ).select(
@@ -321,7 +321,7 @@ def simhash_signatures(
     expressed as one groupBy with ``bits`` conditional sums (all
     JVM-side, map-combined).
     """
-    tok = _spread(df, id_col).select(
+    tok = spread_for_compute(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(tokens(text_col))).alias("token"),
     ).select("doc", md5_long(F.concat(F.lit("sh_"), F.col("token"))).alias("h"))

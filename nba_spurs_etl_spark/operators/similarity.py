@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import md5_long
-from .dedup import _dot
+from .dedup import _dot, spread_for_compute
 
 
 def lsh_bucket(vec: Column, planes: int = 8) -> Column:
@@ -61,7 +61,11 @@ def _sides(
             cols.append(lsh_bucket(v, planes).alias("bucket"))
         return df.select(*cols)
 
-    return prep(candidates, "cand"), prep(queries, "query")
+    # the candidate side carries the per-pair fold work; a single-split
+    # scan would score the whole |Q| x |C| space in ONE task
+    return prep(spread_for_compute(candidates, id_col), "cand"), prep(
+        queries, "query"
+    )
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -163,7 +167,7 @@ def brute_force_topk_arrow(
                 }
             )
 
-    scored = candidates.select(
+    scored = spread_for_compute(candidates, id_col).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     ).mapInPandas(score, "query_id long, cand_id long, cos_sim double")
     return _rank_topk(
@@ -196,7 +200,7 @@ def ivf_topk(
     probe side broadcast.
     """
     v = F.col(vec_col)
-    corpus = candidates.select(
+    corpus = spread_for_compute(candidates, id_col).select(
         F.col(id_col).alias("cand_id"),
         v.alias("candv"),
         F.sqrt(_dot(v, v)).alias("candn"),
@@ -352,12 +356,12 @@ def tf_cosine_pairs(
     shared lineage — measured 3x the tf work and +1 shuffle on the
     bench).
     """
-    from .dedup import _spread
+    from .dedup import spread_for_compute
 
     # tokenize ONCE into a projected column: higher-order functions run
     # interpreted (no codegen subexpression elimination), so an inline
     # split() would re-tokenize per gram — O(words^2) per doc, measured
-    # 3x on the gram stage. _spread unlocks multi-core gram+md5 work
+    # 3x on the gram stage. spread_for_compute unlocks multi-core work
     # when the scan has fewer splits than cores (single-row-group file).
     w = F.col("_w")
     grams = F.when(
@@ -368,7 +372,7 @@ def tf_cosine_pairs(
         ),
     ).otherwise(F.array().cast("array<string>"))
     tf = (
-        _spread(df, id_col)
+        spread_for_compute(df, id_col)
         .select(
             F.col(id_col).alias("doc"),
             F.split(F.col(text_col), " ").alias("_w"),

@@ -1171,7 +1171,11 @@ GROUP BY 1 ORDER BY cnt DESC, gram LIMIT 50
     "gram itself as tiebreak, so the cut is deterministic.",
 )
 def text_chargram_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import spread_for_compute
+
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     grams = docs.select(
         F.explode(
             F.expr("transform(sequence(1, greatest(length(text) - 2, 0)),"
