@@ -80,11 +80,18 @@ def spread_for_compute(df: DataFrame, id_col: str) -> DataFrame:
 
     A single-row-group parquet file scans as ONE task, serializing the
     CPU-heavy shingle/token hashing onto one core. Inputs that already
-    have >= defaultParallelism splits (any well-laid-out 100 TB table)
+    span >= defaultParallelism files (any well-laid-out 100 TB table)
     pass through with no extra shuffle.
+
+    The probe is ``inputFiles()`` (file-index lookup, cached per path),
+    NOT ``df.rdd.getNumPartitions()`` — the RDD conversion re-analyzes
+    the plan and cost ~150 ms per call on the bench driver. File count
+    under-estimates splits for multi-row-group files, which only makes
+    the guard more conservative (widening when splits were available
+    costs one small shuffle, not correctness).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target, F.col(id_col))
     return df
 
