@@ -68,3 +68,53 @@ def merge_cdc(
         ],
     )
     return merged
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two keyed snapshots: one full-outer join.
+
+    Returns (*keys, status, old/new value columns) with status in
+    {'added', 'removed', 'changed', 'unchanged'} — the data-diff an
+    incremental pipeline runs to validate a CDC apply, audit a
+    backfill, or alert on unexpected churn. Change detection is
+    NULL-SAFE per column (eqNullSafe), so NULL -> value and value ->
+    NULL both count as changes.
+
+    Scale: same layout rule as the merge itself — a full-outer join
+    can never broadcast, so bucket both snapshots by the key; the
+    status expression is row-local.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in keys]
+    o = old.select(
+        *keys,
+        F.lit(True).alias("_old_present"),
+        *[F.col(c).alias(f"_old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(True).alias("_new_present"),
+        *[F.col(c).alias(f"_new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, keys, "full_outer")
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))
+        differs = d if differs is None else (differs | d)
+    status = (
+        F.when(F.col("_old_present").isNull(), F.lit("added"))
+        .when(F.col("_new_present").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *keys,
+        status.alias("status"),
+        *[F.col(f"_old_{c}") for c in compare_cols],
+        *[F.col(f"_new_{c}") for c in compare_cols],
+    )

@@ -870,3 +870,116 @@ def sql_lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
         ) t
     """)
+
+
+@register(
+    "cdc_snapshot_diff",
+    group="ext-merge diff 2.3",
+    oracle="""
+WITH chg AS (
+  SELECT o_orderkey, 'U' AS op, 'X' AS o_orderstatus,
+    o_totalprice + 1000 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 'D', NULL, NULL
+  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'I', 'N', 1.5
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+merged AS (
+  SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+    CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
+         ELSE b.o_orderstatus END AS o_orderstatus,
+    CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
+         ELSE b.o_totalprice END AS o_totalprice
+  FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) b
+  FULL OUTER JOIN chg c ON b.o_orderkey = c.o_orderkey
+  WHERE c.op IS NULL OR c.op <> 'D'
+),
+d AS (
+  SELECT
+    CASE WHEN b.o_orderkey IS NULL THEN 'added'
+         WHEN m.o_orderkey IS NULL THEN 'removed'
+         WHEN NOT (b.o_orderstatus IS NOT DISTINCT FROM m.o_orderstatus)
+           OR NOT (b.o_totalprice IS NOT DISTINCT FROM m.o_totalprice)
+           THEN 'changed'
+         ELSE 'unchanged' END AS status,
+    COALESCE(m.o_totalprice, 0) - COALESCE(b.o_totalprice, 0) AS delta
+  FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) b
+  FULL OUTER JOIN merged m ON b.o_orderkey = m.o_orderkey
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(CAST(delta AS DECIMAL(18,2))) AS DOUBLE) AS price_delta
+FROM d GROUP BY status
+""",
+    doc="Keyed snapshot diff: the post-CDC-apply orders snapshot "
+    "diffed against the base via one null-safe full-outer join "
+    "(operators/merge.snapshot_diff), rolled up to per-status key "
+    "counts and exact-decimal price deltas — the validation query an "
+    "incremental pipeline runs after every apply (added==inserts, "
+    "removed==deletes, changed==updates, and any other number is a "
+    "merge bug). Layout rule matches the merge: bucket both snapshots "
+    "by key, the full-outer can never broadcast.",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_cdc, snapshot_diff
+
+    base, changelog = orders_cdc_frames(load_table(spark, sf_dir, "orders"))
+    merged = merge_cdc(base, changelog, ["o_orderkey"])
+    diff = snapshot_diff(base, merged, ["o_orderkey"])
+    delta = F.coalesce(F.col("_new_o_totalprice"), F.lit(0.0)) - F.coalesce(
+        F.col("_old_o_totalprice"), F.lit(0.0)
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(delta.cast("decimal(18,2)")).cast("double").alias("price_delta"),
+    )
+
+
+@register(
+    "schema_evolution_read",
+    group="ext-source schema-evolution 2.1",
+    oracle="""
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(o_orderpriority) AS BIGINT) AS with_priority,
+  CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS v1_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 <> 0
+)
+""",
+    doc="Schema-evolution ingestion: two parquet generations written "
+    "with different schemas (v2 adds o_orderpriority), read back as "
+    "ONE DataFrame with mergeSchema=true — old files surface the new "
+    "column as NULL, the standard additive-evolution contract of a "
+    "long-lived landing zone. mergeSchema costs a footer read per "
+    "file, so production pins the merged schema explicitly once known "
+    "(.schema(...)); counts prove which generation each row came from.",
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="spark_schema_evo_")
+    k = F.col("o_orderkey")
+    orders.filter(k % 2 == 0).select("o_orderkey", "o_totalprice").write.mode(
+        "append"
+    ).parquet(work)
+    orders.filter(k % 2 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("append").parquet(work)
+    evolved = spark.read.option("mergeSchema", "true").parquet(work)
+    return evolved.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderpriority").alias("with_priority"),
+        F.sum((F.col("o_orderkey") % 2 == 0).cast("bigint")).alias("v1_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
