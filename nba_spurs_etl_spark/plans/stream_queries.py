@@ -44,9 +44,36 @@ def stream_tumbling_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_session_agg",
     group="2.9 ext-stream",
-    oracle=None,
-    doc="Streaming per-user session windows (30-min gap, stateful); "
-    "equals batch events_sessionize islands (tested).",
+    # complete-mode drain emits every merged session; the result is the
+    # gaps-and-islands frame grouped per island -> FULL oracle (the
+    # batch sessionize oracle minus its ordinal session_no). Boundary
+    # caveat: session_window closes at gap >= 30 min where the island
+    # formulation uses > — indistinguishable on microsecond-random
+    # timestamps (verified: zero exact-30-min gaps at every sf).
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value, epoch_us(ts) AS us, event_id,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+      OR lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+    THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, value, us,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM seq
+)
+SELECT user_id, CAST(MIN(us) AS BIGINT) AS session_start_us,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sess GROUP BY user_id, session_no
+""",
+    doc="Streaming per-user session windows (30-min gap, stateful "
+    "session_window); the drain converges to the batch "
+    "events_sessionize islands (tested) and carries that oracle.",
 )
 def stream_session_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
@@ -73,26 +100,51 @@ def stream_sliding_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENTS_PROJ_ORACLE = """
+SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+  event_type, value
+FROM events
+"""
+
+
 @register(
     "stream_dedup",
     group="2.9 ext-stream ext-dedup",
-    oracle=None,
-    doc="Streaming exact-dedup on event_id with watermark-bounded state.",
+    # event_ids are unique in the testdata, so lossless dedup must
+    # reproduce the full event set -> FULL oracle on a hash-stable
+    # projection (ts surfaced as integer micros)
+    oracle=_EVENTS_PROJ_ORACLE,
+    doc="Streaming exact-dedup on event_id with watermark-bounded "
+    "state; ids are unique, so the drain must emit every event exactly "
+    "once — checked against the full projected event set.",
 )
 def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = stream_dedup(read_events_stream(spark, sf_dir)).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+        "value",
+    )
     return run_stream_to_table(
-        stream_dedup(read_events_stream(spark, sf_dir)), spark,
-        output_mode="append", state_partitions=8,
+        deduped, spark, output_mode="append", state_partitions=8,
     )
 
 
 @register(
     "stream_user_profile",
     group="2.9 ext-stream stateful",
-    oracle=None,
+    # the events table is ONE parquet file -> one micro-batch -> the
+    # update-mode sink holds exactly the final state per user, which
+    # equals the ordered-aggregation batch twin -> FULL oracle (shared
+    # with events_user_profile_batch). A multi-file source would also
+    # emit intermediate states; the batch-equivalence test pins the
+    # single-batch drain contract.
+    oracle=registry()["events_user_profile_batch"].oracle,
     doc="Custom arbitrary-stateful operator (applyInPandasWithState): "
     "per-user count / exact-cents total / EWMA maintained in group "
-    "state. Equals the ordered-aggregation batch twin (tested).",
+    "state. Equals the ordered-aggregation batch twin (tested) and "
+    "shares its oracle.",
 )
 def stream_user_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import stream_user_profile
@@ -108,20 +160,27 @@ def stream_user_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup_within_watermark",
     group="2.9 ext-stream ext-dedup",
-    oracle=None,
+    oracle=_EVENTS_PROJ_ORACLE,
     doc="dropDuplicatesWithinWatermark: dedup whose per-key state is "
     "GUARANTEED dropped once the watermark passes the key's first "
     "sighting — bounded state for at-least-once sources where ids "
-    "never legitimately recur.",
+    "never legitimately recur. Unique ids -> lossless: same full "
+    "event-set oracle as stream_dedup.",
 )
 def stream_dedup_within_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import stream_dedup_within_watermark
 
+    deduped = stream_dedup_within_watermark(
+        read_events_stream(spark, sf_dir)
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+        "value",
+    )
     return run_stream_to_table(
-        stream_dedup_within_watermark(read_events_stream(spark, sf_dir)),
-        spark,
-        output_mode="append",
-        state_partitions=8,
+        deduped, spark, output_mode="append", state_partitions=8,
     )
 
 
