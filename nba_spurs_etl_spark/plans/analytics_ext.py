@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalar import epoch_us
+from ..functions.scalar import dbig, epoch_us
 from ..operators import similarity
 from ..sources.catalog import load_table
 from .registry import register
@@ -713,4 +713,110 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("users"),
             F.sum("monetary_cents").alias("segment_cents"),
         )
+    )
+
+
+@register(
+    "events_twap",
+    group="ext-events timeseries 2.5",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value, epoch_us(ts) AS us,
+    lead(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_us
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+    SUM(CAST(value AS DECIMAL(18,2)) * (next_us - us)) AS wsum,
+    CAST(MAX(COALESCE(next_us, us)) - MIN(us) AS BIGINT) AS span_us,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM seq GROUP BY user_id
+)
+SELECT user_id, n_events, span_us,
+  (CAST(FLOOR(wsum) AS DOUBLE) + CAST(wsum - FLOOR(wsum) AS DOUBLE))
+    / span_us AS twap
+FROM agg WHERE span_us > 0
+""",
+    doc="Time-weighted average value per user (the TWAP / "
+    "time_weight('locf') aggregate of time-series stores): each "
+    "observation is held until the next one, weights are exact integer "
+    "microsecond intervals times exact-decimal values, one float "
+    "division at the surface. One lead window + one agg sharing the "
+    "user_id shuffle. The plain AVG over-weights burst periods; TWAP "
+    "is the duration-correct summary.",
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", epoch_us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.withColumn("next_us", F.lead("us").over(w))
+    agg = seq.groupBy("user_id").agg(
+        F.sum(
+            F.col("value").cast("decimal(18,2)")
+            * (F.col("next_us") - F.col("us"))
+        ).alias("wsum"),
+        (F.max(F.coalesce("next_us", "us")) - F.min("us"))
+        .cast("bigint")
+        .alias("span_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    # wsum's unscaled value can exceed 2^53 (micros x cents): dbig
+    # splits the decimal before the double cast so both engines round
+    # identically (see functions.scalar.dbig)
+    return agg.filter(F.col("span_us") > 0).select(
+        "user_id",
+        "n_events",
+        "span_us",
+        (dbig(F.col("wsum")) / F.col("span_us")).alias("twap"),
+    )
+
+
+@register(
+    "events_ohlc_hourly",
+    group="ext-events timeseries 2.4",
+    oracle="""
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, value,
+    epoch_us(ts) AS us, event_id
+  FROM events
+),
+r AS (
+  SELECT h, event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY h, event_type
+                       ORDER BY us ASC, event_id ASC) AS rn_open,
+    ROW_NUMBER() OVER (PARTITION BY h, event_type
+                       ORDER BY us DESC, event_id DESC) AS rn_close
+  FROM b
+)
+SELECT CAST(CAST(h AS TIMESTAMP) AS VARCHAR) AS hour, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  MAX(CASE WHEN rn_close = 1 THEN value END) AS close
+FROM r GROUP BY 1, 2
+""",
+    doc="Hourly OHLC (open/high/low/close) bars per event type — the "
+    "candlestick rollup every market/telemetry store ships. Open and "
+    "close are deterministic first/last by (event time, event_id) via "
+    "a struct-min/max fold (min_by alone is tie-ambiguous), high/low "
+    "are plain extremes; one bucketed agg shuffle, map-side combined.",
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+        "event_type",
+        "value",
+        epoch_us("ts").alias("us"),
+        "event_id",
+    )
+    key = F.struct("us", "event_id", "value")
+    return ev.groupBy("hour", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(key).getField("value").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(key).getField("value").alias("close"),
     )
