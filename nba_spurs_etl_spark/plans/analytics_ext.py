@@ -820,3 +820,51 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max(key).getField("value").alias("close"),
     )
+
+
+@register(
+    "events_value_histogram",
+    group="ext-events 2.4 profiling",
+    oracle="""
+WITH s AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+b AS (
+  SELECT LEAST(CAST(floor((value - mn) / (mx - mn) * 10) AS INT), 9)
+           AS bucket,
+         mn, mx
+  FROM events CROSS JOIN s
+)
+SELECT bucket,
+  mn + bucket * ((mx - mn) / 10) AS lo,
+  mn + (bucket + 1) * ((mx - mn) / 10) AS hi,
+  CAST(COUNT(*) AS BIGINT) AS cnt
+FROM b GROUP BY bucket, mn, mx
+""",
+    doc="Equi-width 10-bucket histogram of event value: global min/max "
+    "from one map-combined scalar agg broadcast back, bucket index and "
+    "bounds from pure IEEE multiply/divide (no engine histogram "
+    "builtin, so both engines run the identical arithmetic — DuckDB "
+    "lacks width_bucket and Spark's is this formula anyway). The max "
+    "value clamps into the top bucket. Distribution profiling shape: "
+    "two passes over the fact, the second purely row-local.",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("value")
+    s = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / 10
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 10)
+        .cast("int"),
+        F.lit(9),
+    )
+    return (
+        ev.crossJoin(F.broadcast(s))
+        .select(bucket.alias("bucket"), "mn", "mx")
+        .groupBy("bucket", "mn", "mx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket",
+            (F.col("mn") + F.col("bucket") * width).alias("lo"),
+            (F.col("mn") + (F.col("bucket") + 1) * width).alias("hi"),
+            "cnt",
+        )
+    )
