@@ -100,11 +100,13 @@ def epoch_us(col: Column | str) -> Column:
 
     The testdata parquet stores ``timestamp[us]`` with no zone; Spark 4
     infers TIMESTAMP_NTZ (``spark.sql.parquet.inferTimestampNTZ``), which
-    ``unix_micros`` rejects. The session pins
-    ``spark.sql.session.timeZone=UTC``, so ``cast("timestamp")`` is a pure
-    type-tag change (identical wall-clock micros, matching DuckDB's
-    ``epoch_us``) applied after the scan — parquet filter pushdown on the
-    raw column is unaffected.
+    ``unix_micros`` rejects. Every loader that can produce such a column
+    (``sources.catalog.load_table``, ``streaming.events.
+    read_events_stream``) pins ``spark.sql.session.timeZone=UTC`` as a
+    runtime conf on whatever session it is handed, so ``cast("timestamp")``
+    is a pure type-tag change (identical wall-clock micros, matching
+    DuckDB's ``epoch_us``) applied after the scan — parquet filter
+    pushdown on the raw column is unaffected.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c.cast("timestamp"))

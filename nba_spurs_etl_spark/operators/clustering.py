@@ -36,7 +36,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalar import md5_long
-from .dedup import _dot
 
 _SCALE = 1_000_000  # fixed-point micro-units for exact centroid means
 

@@ -102,10 +102,11 @@ def snapshot_diff(
         *[F.col(c).alias(f"_new_{c}") for c in compare_cols],
     )
     j = o.join(n, keys, "full_outer")
-    differs = None
+    # Start from lit(False) so an empty compare_cols list (key-only
+    # snapshots) still yields a valid added/removed/unchanged status.
+    differs = F.lit(False)
     for c in compare_cols:
-        d = ~F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))
-        differs = d if differs is None else (differs | d)
+        differs = differs | ~F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))
     status = (
         F.when(F.col("_old_present").isNull(), F.lit("added"))
         .when(F.col("_new_present").isNull(), F.lit("removed"))

@@ -458,13 +458,13 @@ def events_segment_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
   CAST(COUNT(*) AS BIGINT) AS events,
-  CAST(COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+  CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
     AS k_present,
-  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
     AS k_sum,
-  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
-  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
-  CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT))
+  MIN(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+  MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
+  CAST(COUNT(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS INT))
     AS BIGINT) AS k_distinct
 FROM events
 GROUP BY event_type
@@ -576,10 +576,10 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
   CAST(COUNT(*) AS BIGINT) AS events,
-  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
     AS k_sum,
-  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
-  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+  MIN(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+  MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
 FROM events
 GROUP BY event_type
 """,

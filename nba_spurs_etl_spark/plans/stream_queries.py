@@ -46,15 +46,17 @@ def stream_tumbling_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="2.9 ext-stream",
     # complete-mode drain emits every merged session; the result is the
     # gaps-and-islands frame grouped per island -> FULL oracle (the
-    # batch sessionize oracle minus its ordinal session_no). Boundary
-    # caveat: session_window closes at gap >= 30 min where the island
-    # formulation uses > — indistinguishable on microsecond-random
-    # timestamps (verified: zero exact-30-min gaps at every sf).
+    # batch sessionize oracle minus its ordinal session_no). The island
+    # predicate uses >= to match session_window's half-open
+    # [start, last+gap) semantics exactly: an event at precisely
+    # last+30:00.000000 starts a NEW session in Spark, so it must here
+    # too (testdata is regenerated between rounds — don't rely on
+    # "no exact gaps today").
     oracle="""
 WITH seq AS (
   SELECT user_id, value, epoch_us(ts) AS us, event_id,
     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
-      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) >= 1800000000
       OR lag(epoch_us(ts)) OVER (
       PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
     THEN 1 ELSE 0 END AS is_new

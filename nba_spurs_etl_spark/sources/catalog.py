@@ -35,6 +35,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    # The driver imports __spark_entry__ with a plain session (no conf
+    # pins). epoch_us()'s NTZ->timestamp cast is value-preserving only
+    # under a UTC session zone, so pin it here — the one chokepoint every
+    # catalog query loads through — rather than trusting the host tz.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _load_events(spark, path)

@@ -68,6 +68,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ->timestamp cast below is value-preserving only under UTC; the
+    # driver's session carries no conf pins, so set it here.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
         spark.readStream.schema(raw_schema)

@@ -463,6 +463,17 @@ def test_merge_cdc_semantics(spark):
     assert len(win) == 1 and win[0].op == "D"  # highest ts wins
 
 
+def test_snapshot_diff_key_only(spark):
+    """Key-only snapshots (empty compare_cols) must still classify
+    added/removed/unchanged — regression for differs=None crash."""
+    from nba_spurs_etl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], ["k"])
+    new = spark.createDataFrame([(2,), (3,)], ["k"])
+    got = {r.k: r.status for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "added"}
+
+
 def test_redact_pii_counts_and_ordering(spark):
     from nba_spurs_etl_spark.operators.textops import redact_pii
 
