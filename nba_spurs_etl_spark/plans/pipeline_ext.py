@@ -171,15 +171,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SIM_BITS, _MAX_HAMMING = 16, 3
+_SIM_BITS_WIDE = 48  # 12-bit bands (4096 values/band): the 100 TB sizing
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(bits: int, max_hamming: int) -> str:
+    # The oracle is the all-pairs DEFINITION of the op; the Spark plan
+    # is banded (operators/dedup.simhash_pairs), which is provably the
+    # same set — pigeonhole over num_bands > max_hamming — so one
+    # oracle serves both the fixture and wide-signature variants.
     sums = ", ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(_SIM_BITS)
+        for b in range(bits)
     )
     simexpr = " + ".join(
-        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(_SIM_BITS)
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
     )
     return f"""
 WITH tok AS (
@@ -192,17 +197,18 @@ sig AS (SELECT doc, CAST({simexpr} AS BIGINT) AS simhash FROM sums)
 SELECT a.doc AS doc_a, b.doc AS doc_b,
   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sig a JOIN sig b ON a.doc < b.doc
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
 @register(
     "dedup_simhash",
     group="ext-dedup",
-    oracle=_simhash_oracle(),
+    oracle=_simhash_oracle(_SIM_BITS, _MAX_HAMMING),
     doc="SimHash(16-bit) near-dup pairs within hamming<=3; signature is "
-    "one conditional-sum groupBy. Scale path: band-block signatures "
-    "before pairing (same trick as minhash LSH).",
+    "one conditional-sum groupBy; pairing is bit-band bucketed (exact "
+    "via pigeonhole, never an all-pairs join). 16-bit bands are "
+    "fixture-sized — dedup_simhash_banded is the wide production form.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(
@@ -210,6 +216,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         bits=_SIM_BITS,
+        max_hamming=_MAX_HAMMING,
+    )
+
+
+@register(
+    "dedup_simhash_banded",
+    group="ext-dedup",
+    oracle=_simhash_oracle(_SIM_BITS_WIDE, _MAX_HAMMING),
+    doc="SimHash(48-bit) near-dup pairs within hamming<=3 — the "
+    "production sizing: 4 bands x 12 bits = 4096 bucket values per "
+    "band, so an n-doc corpus puts ~n/4096 docs per bucket and the "
+    "banded pair space is ~n^2/4096 instead of n^2/2. Same exact "
+    "semantics as the all-pairs definition (pigeonhole).",
+)
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        bits=_SIM_BITS_WIDE,
         max_hamming=_MAX_HAMMING,
     )
 

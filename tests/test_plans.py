@@ -79,9 +79,20 @@ _NESTED_LOOP_OK = {
     "scalar_snapshot",             # 1-row x 1-row scalar assembly
     "gold_streaks_and_rivals",     # 1-row scalar crossJoin assembly
     "streaks_gaps_islands",
-    "dedup_simhash",               # documented all-pairs form
     "approx_sketches",
 }
+
+
+def test_simhash_pairing_is_banded_not_all_pairs(spark, catalog):
+    """SimHash candidate generation must be a bucket EQUI-join keyed on
+    (band, bval) — never a cartesian / nested-loop over the corpus.
+    The hamming radius and doc_a < doc_b ride as residual conditions."""
+    for name in ("dedup_simhash", "dedup_simhash_banded"):
+        plan = fmt_plan(catalog[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        keys = [ln for ln in plan.splitlines() if "Left keys" in ln]
+        assert keys and "band" in keys[0], plan
 
 
 def test_no_accidental_cartesian(spark, catalog):
