@@ -75,6 +75,12 @@ def main() -> int:
               "silver_teams", "silver_salaries", "silver_free_agents",
               "silver_injuries"):
         queries()[t](spark, sf_dir).count()
+    # One untimed full-query execution to absorb first-query session
+    # costs (whole-stage-codegen Janino JIT, broadcast thread pool):
+    # measured 1.24s first run vs 0.50s warm for the same plan. Without
+    # this, whichever query runs first eats ~0.7s of session warm-up —
+    # summary_rank's r01->r02 "regression" was exactly this attribution.
+    queries()["summary_rank"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name, fn in queries().items():

@@ -31,6 +31,13 @@ ENTRY_QUERY = "summary_rank"
 # first 50 names cover every operator family — flagship, TPC-H, gold
 # parity, silver ingest, OLAP/window/setops, custom joins/rollups,
 # dedup, similarity, text, pipeline, events, streaming.
+#
+# ROTATED round 3 (VERDICT r02 item 3): ten entries that were driver-
+# green in BOTH r01 and r02 (five silver_* generators, five OLAP basics)
+# rotated out for ten operators previously covered only by pytest
+# oracles, so they accumulate driver-green evidence too; also adds the
+# new dedup_simhash_banded. Everything rotated out keeps its full
+# DuckDB-oracle parity test in tests/test_parity.py.
 set_priority([
     ENTRY_QUERY,
     "pricing_summary",
@@ -41,26 +48,15 @@ set_priority([
     "gold_streaks_and_rivals",
     "gold_players_recommendations",
     "silver_games",
-    "silver_teams",
-    "silver_players",
     "silver_player_stats",
-    "silver_salaries",
-    "silver_free_agents",
-    "silver_injuries",
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "q18_large_orders",
     "q9_product_profit",
     "q21_waiting_supplier",
-    "distinct_customers",
-    "quantity_percentiles",
     "window_analytics",
     "rolling_7d_customer_revenue",
-    "grouping_sets_orders",
-    "cube_orders",
-    "pivot_status_counts",
     "join_semi_anti",
-    "setops_intersect_except",
     "asof_purchase_click",
     "range_join_user_windows",
     "hypertable_rollup_1h",
@@ -72,6 +68,7 @@ set_priority([
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_banded",
     "dedup_embedding_cosine",
     "dedup_minhash_components",
     "similarity_topk_bruteforce",
@@ -82,6 +79,16 @@ set_priority([
     "embedding_kmeans_lloyd",
     "events_props_json",
     "stream_tumbling_agg",
+    "quality_assertions",
+    "top1_per_group",
+    "global_rank_topk",
+    "streaks_gaps_islands",
+    "rollup_orders",
+    "union_topk_branches",
+    "split_part_extract",
+    "events_funnel",
+    "stream_session_agg",
+    "stream_cdc_apply",
 ])
 
 
