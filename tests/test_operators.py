@@ -620,3 +620,60 @@ def test_hll_daily_rollup_bounds_exact_distinct(spark):
     assert set(got) == set(exact)
     for m, est in got.items():
         assert abs(est - exact[m]) / exact[m] < 0.05, (m, est, exact[m])
+
+
+# ---------------------------------------------------------------------------
+# approximate-ANN recall floors (VERDICT r02 item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_floors(spark):
+    """Recall@10 of the approximate top-k forms against the exact
+    brute-force baseline at sf0.01, with asserted floors.
+
+    Floors are set WELL below the measured values (lsh L=1 0.16,
+    L=4 0.48, ivf nprobe=4 0.56, nprobe=8 0.74 on the 2026-08 corpus)
+    because testdata regenerates between rounds; what must hold
+    structurally is (a) a nonzero floor and (b) monotone improvement
+    along each knob (more tables / more probes => more recall).
+    The recall-vs-cost trade is recorded in docs/SCALE.md.
+    """
+    from collections import defaultdict
+
+    from nba_spurs_etl_spark.operators import similarity
+    from nba_spurs_etl_spark.sources.catalog import load_table
+
+    from .conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    K = 10
+
+    def topk_map(df):
+        m = defaultdict(set)
+        for r in df.collect():
+            m[r.query_id].add(r.cand_id)
+        return m
+
+    exact = topk_map(
+        similarity.brute_force_topk(emb, q, "vec_id", "embedding", k=K)
+    )
+
+    def recall(m):
+        return sum(len(m[qid] & exact[qid]) for qid in exact) / (
+            len(exact) * K
+        )
+
+    r_lsh1 = recall(topk_map(similarity.lsh_topk(
+        emb, q, "vec_id", "embedding", k=K, planes=4, n_tables=1)))
+    r_lsh4 = recall(topk_map(similarity.lsh_topk(
+        emb, q, "vec_id", "embedding", k=K, planes=4, n_tables=4)))
+    r_ivf4 = recall(topk_map(similarity.ivf_topk(
+        emb, q, "vec_id", "embedding", k=K, n_cells=16, nprobe=4)))
+    r_ivf8 = recall(topk_map(similarity.ivf_topk(
+        emb, q, "vec_id", "embedding", k=K, n_cells=16, nprobe=8)))
+
+    assert r_lsh1 >= 0.05, r_lsh1
+    assert r_lsh4 >= 0.25 and r_lsh4 >= r_lsh1, (r_lsh1, r_lsh4)
+    assert r_ivf4 >= 0.30, r_ivf4
+    assert r_ivf8 >= r_ivf4, (r_ivf4, r_ivf8)

@@ -122,6 +122,44 @@ def test_entity_roundtrip_format_agnostic(spark, tmp_path):
     assert frames["json"] == frames["csv"] == frames["parquet"]
 
 
+def test_object_store_scheme_roundtrip(spark, tmp_path):
+    """S8's claim is that the object-store upload IS the write path
+    prefix: hand the writer a non-local URI scheme and the same code
+    ships there with no separate upload pass (reference dags:292-319
+    uses an explicit boto3 put per file instead).
+
+    No MinIO in this sandbox, so the test mounts a ViewFileSystem
+    cluster (``viewfs://bronzestore/``) over a scratch dir in the live
+    Hadoop conf — the writes/reads then resolve the filesystem by URI
+    scheme+authority through exactly the Hadoop FileSystem layer an
+    ``s3a://`` path uses, which is the claim under test (s3a swaps the
+    impl class, not the code path)."""
+    from nba_spurs_etl_spark.sources.bronze import write_entity
+    from nba_spurs_etl_spark.sources.silver import read_entity
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    link = "fs.viewfs.mounttable.bronzestore.link./store"
+    hconf.set(link, f"file://{tmp_path}/backing")
+    try:
+        out = write_entity(spark, "teams", "viewfs://bronzestore/store")
+        assert out.startswith("viewfs://"), out
+        df = read_entity(spark, out, fmt="json")
+        got = {
+            tuple(str(v) for v in r)
+            for r in df.select(*sorted(df.columns)).collect()
+        }
+        local = read_entity(
+            spark, write_entity(spark, "teams", str(tmp_path / "local"))
+        )
+        want = {
+            tuple(str(v) for v in r)
+            for r in local.select(*sorted(local.columns)).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        hconf.unset(link)
+
+
 def test_python_datasource_roster_matches_synth(spark):
     """The nba_api_stub DataSource (partition-per-team fetch shape)
     must reproduce synth.build_players exactly, distributed."""
