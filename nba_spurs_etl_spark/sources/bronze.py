@@ -38,10 +38,18 @@ ENTITY_BUILDERS = {
 
 
 def fetch_live_teams() -> None:
-    """Live nba_api ingestion needs network access (reference dags:50-76)."""
+    """Live nba_api ingestion needs network access (reference dags:50-76).
+
+    The wired live path is ``sources.pyds.NbaApiDataSource`` (register
+    it and ``spark.read.format("nba_api")``): partition-per-team fetch
+    with the reference's retry/backoff, transport-injectable for tests.
+    This driver-side hook stays gated because the container has neither
+    network nor the ``nba_api`` package."""
     raise NotImplementedError(
         "live NBA API ingestion is environment-gated; use the synth "
-        "builders (deterministic fixtures) or wire nba_api here."
+        "builders (deterministic fixtures) or register "
+        "sources.pyds.NbaApiDataSource for the live partition-per-team "
+        "scan."
     )
 
 

@@ -6,28 +6,42 @@ per-team roster requests with rate-limit sleeps
 ``CommonTeamRoster`` call per team, records ``dict(zip(headers, row))``).
 The idiomatic Spark mapping of "N independent API calls" is a custom
 **DataSource** whose ``partitions()`` enumerate the calls: each team
-becomes an ``InputPartition``, so the 30 fetches run distributed with
-Spark's own task retry replacing tenacity backoff, and the result is a
-DataFrame from the first line.
+becomes an ``InputPartition``, so the 30 fetches run distributed, and
+the result is a DataFrame from the first line.
 
-This stub serves deterministic hash-derived rows (identical to
-``synth.build_players`` — same md5 salt convention), because the
-container has no network; swapping ``read()``'s body for a real
-``nba_api`` call is the entire production delta. The partition-per-team
-shape is the part that matters at scale: a paginated/keyed API fans out
-to |keys| partitions with bounded per-task memory, instead of one
-driver loop.
+Two sources are provided:
+
+- ``nba_api_stub`` serves deterministic hash-derived rows (identical to
+  ``synth.build_players`` — same md5 salt convention) with no network;
+- ``nba_api`` is the live form: same partition-per-team shape, each
+  task calling ``CommonTeamRoster`` through a pluggable *transport*
+  with the reference's retry policy (tenacity
+  ``wait_exponential(multiplier=1, min=4, max=10)`` +
+  ``stop_after_attempt(5)``, dags:138-141) re-implemented as a
+  deterministic backoff loop — in-task retry for the rate-limit 429s
+  the reference saw, with Spark task retry above it for node loss.
+
+The partition-per-team shape is the part that matters at scale: a
+paginated/keyed API fans out to |keys| partitions with bounded
+per-task memory, instead of one driver loop.
 
 Usage::
 
     spark.dataSource.register(NbaApiStubDataSource)
     roster = spark.read.format("nba_api_stub").load()
+
+    spark.dataSource.register(NbaApiDataSource)     # needs network +
+    live = (spark.read.format("nba_api")            # nba_api installed
+            .option("season", "2024")
+            .option("team_ids", "1610612759,1610612744")
+            .load())
 """
 
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator, Sequence
+import time
+from collections.abc import Callable, Iterator, Sequence
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
@@ -37,6 +51,9 @@ ROSTER_SCHEMA = (
     "player_id string, player string, position string, season string, "
     "height_cm string, weight_kg string, age string"
 )
+
+#: (team_id, season) -> list of header->value dicts, one per roster row.
+Transport = Callable[[int, str], list[dict]]
 
 
 def _h(salt: str, key: str) -> int:
@@ -80,3 +97,125 @@ class NbaApiStubDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return NbaRosterReader()
+
+
+# ---------------------------------------------------------------------------
+# live mode: pluggable transport + reference retry semantics
+# ---------------------------------------------------------------------------
+
+
+def fetch_with_retry(
+    transport: Transport,
+    team_id: int,
+    season: str,
+    attempts: int = 5,
+    sleep: Callable[[float], None] = time.sleep,
+) -> list[dict]:
+    """Reference retry policy (dags:138-141) as a deterministic loop.
+
+    tenacity's ``wait_exponential(multiplier=1, min=4, max=10)`` +
+    ``stop_after_attempt(5)`` waits ~[4, 4, 4, 8] seconds between its 5
+    tries; this loop doubles from 4s capped at 10s ([4, 8, 10, 10]) —
+    same floor/ceiling contract, marginally gentler on the rate
+    limiter. ``sleep`` is injectable so tests run without waiting.
+    """
+    delay = 4.0
+    for attempt in range(1, attempts + 1):
+        try:
+            return transport(team_id, season)
+        except Exception:
+            if attempt == attempts:
+                raise
+            sleep(delay)
+            delay = min(delay * 2, 10.0)
+    raise AssertionError("unreachable")
+
+
+def nba_api_transport(team_id: int, season: str) -> list[dict]:
+    """The real CommonTeamRoster call (reference dags:85-99): returns
+    one ``dict(zip(headers, row))`` per roster row. Imported lazily —
+    ``nba_api`` is not in this container, so the import error surfaces
+    only when live mode is actually requested."""
+    from nba_api.stats.endpoints import commonteamroster  # env-gated
+
+    d = commonteamroster.CommonTeamRoster(
+        team_id=team_id, season=season
+    ).get_dict()
+    rs = d["resultSets"][0]
+    return [dict(zip(rs["headers"], row)) for row in rs["rowSet"]]
+
+
+def _roster_row_to_tuple(rec: dict, season: str) -> tuple:
+    """Shape one API record onto ROSTER_SCHEMA (all-string silver
+    contract; raw units pass through as strings, casts are gold's
+    job — SURVEY §1.2)."""
+    get = lambda *keys: next(  # noqa: E731 - tiny local accessor
+        (str(rec[k]) for k in keys if rec.get(k) is not None), None
+    )
+    return (
+        get("PLAYER_ID", "player_id"),
+        get("PLAYER", "player"),
+        get("POSITION", "position"),
+        get("SEASON", "season") or season,
+        get("HEIGHT", "height_cm"),
+        get("WEIGHT", "weight_kg"),
+        get("AGE", "age"),
+    )
+
+
+class LiveRosterReader(DataSourceReader):
+    """Partition-per-team live reader: each task performs exactly one
+    retried roster fetch, so executor memory holds one team's roster,
+    never the league."""
+
+    def __init__(
+        self,
+        team_ids: Sequence[int],
+        season: str,
+        transport: Transport | None = None,
+        attempts: int = 5,
+        sleep: Callable[[float], None] = time.sleep,
+    ):
+        self.team_ids = list(team_ids)
+        self.season = season
+        self.transport = transport or nba_api_transport
+        self.attempts = attempts
+        self.sleep = sleep
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_TeamPartition(t) for t in self.team_ids]
+
+    def read(self, partition: _TeamPartition) -> Iterator[tuple]:
+        recs = fetch_with_retry(
+            self.transport,
+            partition.team,
+            self.season,
+            attempts=self.attempts,
+            sleep=self.sleep,
+        )
+        for rec in recs:
+            yield _roster_row_to_tuple(rec, self.season)
+
+
+class NbaApiDataSource(DataSource):
+    """Live NBA-API roster source (requires network + ``nba_api``).
+
+    Options: ``season`` (default "2024"), ``team_ids`` (comma-separated
+    numeric ids; default the reference's Spurs id), ``attempts``.
+    """
+
+    SPURS_TEAM_ID = 1610612759  # reference dags:115
+
+    @classmethod
+    def name(cls) -> str:
+        return "nba_api"
+
+    def schema(self) -> str:
+        return ROSTER_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        season = self.options.get("season", "2024")
+        raw = self.options.get("team_ids", str(self.SPURS_TEAM_ID))
+        team_ids = [int(x) for x in str(raw).split(",") if x]
+        attempts = int(self.options.get("attempts", 5))
+        return LiveRosterReader(team_ids, season, attempts=attempts)

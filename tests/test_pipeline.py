@@ -172,3 +172,48 @@ def test_python_datasource_roster_matches_synth(spark):
     got = {tuple(r) for r in ds.collect()}
     want = {tuple(r) for r in synth.build_players(spark).collect()}
     assert got == want
+
+
+def test_live_datasource_retry_and_partitioning():
+    """Live-mode reader must (a) map one partition per team, (b) retry
+    each fetch with the reference's exponential backoff (tenacity
+    wait_exponential min=4 max=10, stop_after_attempt(5), dags:138-141)
+    and (c) shape dict(zip(headers, row)) records onto the all-string
+    roster schema. Exercised with a fake transport — no network."""
+    import pytest
+
+    from nba_spurs_etl_spark.sources.pyds import (
+        LiveRosterReader,
+        fetch_with_retry,
+    )
+
+    calls, sleeps = [], []
+    rec = {"PLAYER_ID": 42, "PLAYER": "Test Player", "POSITION": "C",
+           "HEIGHT": "6-10", "WEIGHT": "250", "AGE": 30.0}
+
+    def flaky(team_id, season):
+        calls.append((team_id, season))
+        if len(calls) < 3:
+            raise ConnectionError("simulated 429")
+        return [rec]
+
+    reader = LiveRosterReader(
+        [1610612759, 7], "2024", transport=flaky, sleep=sleeps.append
+    )
+    parts = reader.partitions()
+    assert [p.team for p in parts] == [1610612759, 7]  # one per team
+
+    rows = list(reader.read(parts[0]))
+    assert calls == [(1610612759, "2024")] * 3  # 2 failures + success
+    assert sleeps == [4.0, 8.0]  # doubling from the 4s floor
+    assert rows == [("42", "Test Player", "C", "2024", "6-10", "250", "30.0")]
+
+    # permanent failure: 5 attempts, waits capped at 10s, then raises
+    sleeps.clear()
+
+    def dead(team_id, season):
+        raise ConnectionError("down")
+
+    with pytest.raises(ConnectionError):
+        fetch_with_retry(dead, 1, "2024", sleep=sleeps.append)
+    assert sleeps == [4.0, 8.0, 10.0, 10.0]
