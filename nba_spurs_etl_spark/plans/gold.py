@@ -162,6 +162,85 @@ def team_weaknesses_unpivoted(silver: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+# The orphaned wide model's column naming + rating polarity
+# (dbt/target/compiled/spurs_dbt/models/spurs_analysis/team_weaknesses.sql):
+# (stat column, output alias, weakness comparison operator)
+WIDE_METRICS = [
+    ("fg_pct", "fg_pct", "<"),
+    ("fg3_pct", "fg3_pct", "<"),
+    ("tov", "turnovers", ">"),  # more turnovers = weakness
+    ("reb", "rebounds", "<"),
+    ("blk", "blocks", "<"),
+    ("stl", "steals", "<"),
+    ("plus_minus", "plus_minus", "<"),
+]
+
+
+def team_weaknesses_wide(silver: dict[str, DataFrame]) -> DataFrame:
+    """The ORPHANED wide team_weaknesses model, reproduced faithfully.
+
+    Reference: dbt/target/compiled/spurs_dbt/models/spurs_analysis/
+    team_weaknesses.sql:1-120 (compiled but not in the live model dir —
+    SURVEY §1.4). One row per season, 22 value columns + 14 Debilidad/
+    Fortaleza ratings. Key semantic difference from the live unpivoted
+    model: the "best team" is the single team with the highest average
+    plus_minus that season (ROW_NUMBER, :56-80) and ALL seven best_*
+    columns come from that one team — not the per-metric best.
+
+    Deviation (documented): the reference window orders by
+    avg_plus_minus alone, so ties are nondeterministic; we add
+    team_id ASC as the tiebreak, mirrored in the oracle.
+    """
+    games, teams = silver["games"], silver["teams"]
+    nba = games.join(F.broadcast(teams), games.team_id == teams.id)
+    spurs = (
+        nba.filter(F.col("team_id") == "1610612759")
+        .groupBy(season_norm("season").alias("season2"))
+        .agg(*[davg(c, scale=3).alias(f"avg_{a}") for c, a, _ in WIDE_METRICS])
+    )
+    league = nba.groupBy(season_norm("season").alias("season2")).agg(
+        *[
+            davg(c, scale=3).alias(f"avg_league_{a}")
+            for c, a, _ in WIDE_METRICS
+        ]
+    )
+    per_team = nba.groupBy(
+        season_norm("season").alias("season2"), "team_id"
+    ).agg(*[davg(c, scale=3).alias(f"avg_{a}") for c, a, _ in WIDE_METRICS])
+    w = Window.partitionBy("season2").orderBy(
+        F.desc("avg_plus_minus"), F.asc("team_id")
+    )
+    best = (
+        per_team.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "season2",
+            *[
+                F.col(f"avg_{a}").alias(f"best_team_avg_{a}")
+                for _, a, _ in WIDE_METRICS
+            ],
+        )
+    )
+    out = spurs.join(league, "season2").join(best, "season2")
+    value_cols = []
+    for _, a, _ in WIDE_METRICS:
+        value_cols += [f"avg_{a}", f"avg_league_{a}", f"best_team_avg_{a}"]
+    rating_cols = []
+    for _, a, op in WIDE_METRICS:
+        for ref, suffix in (
+            (f"avg_league_{a}", "league"),
+            (f"best_team_avg_{a}", "best_team"),
+        ):
+            rating_cols.append(
+                F.when(
+                    F.expr(f"avg_{a} {op} {ref}"), F.lit("Debilidad")
+                )
+                .otherwise(F.lit("Fortaleza"))
+                .alias(f"{a}_rating_vs_{suffix}")
+            )
+    return out.select("season2", *value_cols, *rating_cols)
+
+
 def spurs_player_contributions_unpivoted(silver: dict[str, DataFrame]) -> DataFrame:
     """Per-Spurs-player averages, long format.
 

@@ -184,6 +184,71 @@ def gold_team_weaknesses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.team_weaknesses_unpivoted(_silver(spark))
 
 
+def _weakness_wide_tail() -> str:
+    """Oracle for the ORPHANED wide model (best team = top plus_minus
+    via ROW_NUMBER, reference compiled team_weaknesses.sql:56-80), with
+    the documented team_id tiebreak for determinism."""
+    from .gold import WIDE_METRICS
+
+    def avgs(prefix: str) -> str:
+        return ", ".join(
+            f"{_davg(c)} AS {prefix}{a}" for c, a, _ in WIDE_METRICS
+        )
+
+    best_cols = ", ".join(
+        f"avg_{a} AS best_team_avg_{a}" for _, a, _ in WIDE_METRICS
+    )
+    values = ", ".join(
+        f"s.avg_{a}, l.avg_league_{a}, b.best_team_avg_{a}"
+        for _, a, _ in WIDE_METRICS
+    )
+    ratings = ", ".join(
+        f"CASE WHEN s.avg_{a} {op} l.avg_league_{a} THEN 'Debilidad' "
+        f"ELSE 'Fortaleza' END AS {a}_rating_vs_league, "
+        f"CASE WHEN s.avg_{a} {op} b.best_team_avg_{a} THEN 'Debilidad' "
+        f"ELSE 'Fortaleza' END AS {a}_rating_vs_best_team"
+        for _, a, op in WIDE_METRICS
+    )
+    return f"""
+, nba AS (
+  SELECT {_SEASON2} AS season2, g.*
+  FROM games g JOIN teams t ON g.team_id = t.id
+),
+spurs AS (
+  SELECT season2, {avgs("avg_")} FROM nba
+  WHERE team_id = '1610612759' GROUP BY 1
+),
+league AS (SELECT season2, {avgs("avg_league_")} FROM nba GROUP BY 1),
+per_team AS (
+  SELECT season2, team_id, {avgs("avg_")} FROM nba GROUP BY 1, 2
+),
+best AS (
+  SELECT season2, {best_cols} FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY season2 ORDER BY avg_plus_minus DESC, team_id ASC
+    ) AS rn FROM per_team
+  ) WHERE rn = 1
+)
+SELECT s.season2, {values}, {ratings}
+FROM spurs s
+JOIN league l ON s.season2 = l.season2
+JOIN best b ON s.season2 = b.season2
+"""
+
+
+@register(
+    "gold_team_weaknesses_wide",
+    group="gold 2.5-W3 (orphaned wide model)",
+    oracle=f"WITH {SILVER_CTES}{_weakness_wide_tail()}",
+    doc="The compiled-but-orphaned wide team_weaknesses model: one row "
+    "per season, best team = single top-plus_minus team (ROW_NUMBER "
+    "top-1 per group), 22 value + 14 rating columns; deterministic "
+    "team_id tiebreak added to the reference's bare plus_minus sort.",
+)
+def gold_team_weaknesses_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.team_weaknesses_wide(_silver(spark))
+
+
 def _contrib_tail() -> str:
     avgs = ", ".join(f"{_davg(c)} AS avg_{c}" for _, c, _, _ in WEAKNESS_METRICS)
     branches = "\nUNION ALL\n".join(
