@@ -1,0 +1,216 @@
+"""Corpus-curation operators: the steps between "raw crawl" and
+"training mix" that a 100 TB LLM-data pipeline runs after dedup.
+
+No analog in the reference (its curation is a driver-side dict and a
+dbt test, ``/root/reference/dags/spurs_historic_games.py:226-229``);
+these generalize the brief's training-data-pipeline surface. All pure
+DataFrame compositions over the cross-engine md5 scheme
+(``functions.scalar.md5_long``) so every operator carries a full
+DuckDB oracle.
+
+Scale design (100 TB):
+- **Decontamination**: the benchmark side is SMALL (eval suites are
+  10^4-10^6 grams) — broadcast its distinct gram set; the corpus-side
+  gram stream then anti/semi-joins map-side with ZERO shuffle of the
+  corpus grams. Never shuffle 100 TB of grams against a 10 MB eval set.
+- **Sequence packing**: concat-and-chunk is a prefix sum — a GLOBAL
+  prefix sum is one task, so pack per shard key (source here): each
+  shard packs independently in parallel, which is how training shards
+  are laid out anyway.
+- **Per-source quotas / quantile filters**: both are one partial-agg
+  shuffle keyed by source/lang; caps and thresholds are tiny frames
+  that broadcast back onto the corpus scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import md5_long
+
+
+def _grams(text: Column, n: int) -> Column:
+    """Distinct word n-grams of a text column (guarded for short docs)."""
+    w = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-doc benchmark-overlap report: (doc, hits, contaminated).
+
+    The standard pretraining decontamination pass (13-gram overlap in
+    GPT-3/PaLM reports; n is a parameter — the fixture corpus is
+    short-sentence synthetic, so tests use smaller n): a doc is
+    contaminated when >= ``min_hits`` of its distinct word n-grams
+    appear anywhere in the benchmark set.
+
+    Plan: benchmark grams -> distinct (tiny) -> BROADCAST inner join
+    against the exploded corpus grams -> count distinct hits per doc ->
+    right-join back onto the corpus so clean docs report hits=0. The
+    corpus side never shuffles its grams; the only exchange is the
+    per-doc hit count (scalar rows). Grams are md5-folded to longs so
+    the broadcast table and the join keys are 8 bytes, not n-word
+    strings.
+    """
+    bcol = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.explode(_grams(F.col(bcol), n)).alias("g"))
+        .select(md5_long(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc"), F.explode(_grams(F.col(text_col), n)).alias("g")
+    ).select("doc", md5_long(F.col("g")).alias("gh"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gh")
+        .groupBy("doc")
+        .agg(F.count_distinct("gh").alias("hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            (F.coalesce("hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shard_col: str,
+    capacity: int = 256,
+) -> DataFrame:
+    """Concat-and-chunk packing plan: which context-window bin does each
+    doc's first token land in, per shard.
+
+    The classic pretraining layout: concatenate documents in a
+    deterministic pseudo-random order (md5 of the id — a stable
+    shuffle), then cut every ``capacity`` tokens. Returns per-bin
+    stats: (shard, bin, n_docs, bin_tokens, spans_boundary) where
+    ``spans_boundary`` counts docs split across a chunk edge.
+
+    Scale: packing is a prefix sum, and a global prefix sum is ONE
+    task — so the order/cumsum window partitions by the shard key and
+    each shard packs independently (training shards are written per
+    shard anyway). Token counts are whitespace tokens here; swap the
+    token expression for a real tokenizer count column when available.
+    """
+    toks = docs.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("doc"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tok"),
+        md5_long(F.concat(F.lit("pk_"), F.col(id_col).cast("string"))).alias(
+            "ord"
+        ),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ord", "doc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.select(
+        "shard",
+        "doc",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_off"),
+    ).select(
+        "shard",
+        "doc",
+        "n_tok",
+        (F.col("start_off") / capacity).cast("long").alias("bin"),
+        (
+            (F.col("start_off") / capacity).cast("long")
+            != ((F.col("start_off") + F.col("n_tok") - 1) / capacity).cast("long")
+        ).alias("crosses"),
+    )
+    return placed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+        F.sum(F.col("crosses").cast("int")).alias("spans_boundary"),
+    )
+
+
+def source_quota(
+    docs: DataFrame,
+    id_col: str,
+    source_col: str,
+    quota: int,
+) -> DataFrame:
+    """Keep at most ``quota`` docs per source, chosen by a deterministic
+    hash order (stable across retries/partitioning — never RNG).
+
+    The CommonCrawl-style per-domain cap that stops a handful of mega
+    domains dominating the mix. Returns the kept (source, doc) rows.
+
+    Scale: one shuffle keyed by source. A mega-source's partition holds
+    only that source's rows; for truly pathological single-source skew,
+    pre-filter with an approximate per-source count and sample before
+    the exact window (the cap makes the tail exact).
+    """
+    w = Window.partitionBy("source").orderBy("ord", "doc")
+    return (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.col(id_col).alias("doc"),
+            md5_long(
+                F.concat(F.lit("qt_"), F.col(id_col).cast("string"))
+            ).alias("ord"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)
+        .select("source", "doc", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def quality_quantile_filter(
+    docs: DataFrame,
+    id_col: str,
+    group_col: str,
+    score: Column,
+    q: float = 0.25,
+) -> DataFrame:
+    """Keep docs whose quality ``score`` is >= their group's q-quantile
+    (exact linear-interpolated percentile, matching DuckDB
+    quantile_cont bit-for-bit on integer scores).
+
+    The per-language quality floor of a curation pipeline: absolute
+    thresholds misfire across languages, so the cut adapts per group.
+    Returns (group, doc, score, threshold).
+
+    Scale: the quantile is one partial-agg shuffle per group (exact
+    percentile needs the group's scores — for extreme cardinality
+    groups switch to approx_percentile and accept the epsilon); the
+    per-group thresholds are a tiny frame broadcast back onto the scan.
+    """
+    scored = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc"),
+        score.alias("score"),
+    )
+    thresholds = scored.groupBy("grp").agg(
+        F.percentile("score", F.lit(q)).alias("threshold")
+    )
+    return (
+        scored.join(F.broadcast(thresholds), "grp")
+        .filter(F.col("score") >= F.col("threshold"))
+        .select("grp", "doc", "score", "threshold")
+    )

@@ -15,6 +15,7 @@ from . import analytics_ext  # noqa: F401
 from . import gold_fixture  # noqa: F401
 from . import olap_ext  # noqa: F401
 from . import pipeline_ext  # noqa: F401
+from . import curation_ext  # noqa: F401  (after pipeline_ext: oracle reuse)
 from . import stream_queries  # noqa: F401
 from . import tpch_classic  # noqa: F401
 from . import tpch_core  # noqa: F401
@@ -54,8 +55,8 @@ set_priority([
     "q18_large_orders",
     "q9_product_profit",
     "q21_waiting_supplier",
-    "window_analytics",
-    "rolling_7d_customer_revenue",
+    "corpus_decontaminate",
+    "semantic_dedup_corpus",
     "join_semi_anti",
     "asof_purchase_click",
     "range_join_user_windows",

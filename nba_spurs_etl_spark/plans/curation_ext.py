@@ -1,0 +1,230 @@
+"""Catalog registrations for the corpus-curation operators.
+
+Each entry pairs ``operators.curation`` (and the embedding SemDeDup
+composition) with a self-contained DuckDB oracle over the same parquet
+tables. The fixture "benchmark" for decontamination is a deterministic
+slice of the corpus itself (doc_id % 97 == 0) — the eval-set shape
+without shipping an eval set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import md5_long_sql
+from ..operators import curation, dedup
+from ..sources.catalog import load_table
+from .registry import register, registry
+
+# word n-gram CTE builder (DuckDB twin of curation._grams)
+def _grams_cte(src_filter: str, n: int, out: str) -> str:
+    return f"""{out} AS (
+  SELECT doc_id AS doc, unnest(
+    CASE WHEN len(w) >= {n} THEN
+      list_distinct(list_transform(
+        generate_series(1, len(w) - {n - 1}),
+        i -> array_to_string(w[i:i+{n - 1}], ' ')))
+    ELSE [] END) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents {src_filter})
+)"""
+
+
+_DECON_N, _DECON_MIN_HITS = 3, 3
+
+
+@register(
+    "corpus_decontaminate",
+    group="ext-curation",
+    oracle=f"""
+WITH {_grams_cte("WHERE doc_id % 97 = 0", _DECON_N, "bench_grams")},
+{_grams_cte("WHERE doc_id % 97 <> 0", _DECON_N, "doc_grams")},
+bench AS (SELECT DISTINCT {md5_long_sql("gram")} AS gh FROM bench_grams),
+hits AS (
+  SELECT doc, COUNT(DISTINCT gh) AS hits FROM (
+    SELECT doc, {md5_long_sql("gram")} AS gh FROM doc_grams
+  ) dg JOIN bench USING (gh) GROUP BY doc
+)
+SELECT d.doc_id AS doc,
+  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+  COALESCE(h.hits, 0) >= {_DECON_MIN_HITS} AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc
+WHERE d.doc_id % 97 <> 0
+""",
+    doc="Benchmark decontamination: flag corpus docs sharing >= "
+    f"{_DECON_MIN_HITS} distinct {_DECON_N}-grams with the eval set "
+    "(fixture eval set = doc_id % 97 == 0 slice). The benchmark gram "
+    "set is BROADCAST, so the corpus grams never shuffle — the "
+    "only exchange is per-doc hit counts.",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        "doc_id",
+        "text",
+        n=_DECON_N,
+        min_hits=_DECON_MIN_HITS,
+    )
+
+
+_PACK_CAPACITY = 256
+
+
+@register(
+    "corpus_pack_bins",
+    group="ext-curation",
+    oracle=f"""
+WITH toks AS (
+  SELECT source AS shard, doc_id AS doc,
+    len(string_split(text, ' ')) AS n_tok,
+    {md5_long_sql("'pk_' || CAST(doc_id AS VARCHAR)")} AS ord
+  FROM documents
+),
+placed AS (
+  SELECT shard, doc, n_tok,
+    SUM(n_tok) OVER (PARTITION BY shard ORDER BY ord, doc
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+  FROM toks
+),
+binned AS (
+  SELECT shard, doc, n_tok,
+    start_off // {_PACK_CAPACITY} AS bin,
+    (start_off // {_PACK_CAPACITY})
+      <> ((start_off + n_tok - 1) // {_PACK_CAPACITY}) AS crosses
+  FROM placed
+)
+SELECT shard, CAST(bin AS BIGINT) AS bin,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+  CAST(SUM(CASE WHEN crosses THEN 1 ELSE 0 END) AS BIGINT)
+    AS spans_boundary
+FROM binned GROUP BY 1, 2
+""",
+    doc="Sequence packing (concat-and-chunk): documents concatenated "
+    "per shard in deterministic md5 order and cut every "
+    f"{_PACK_CAPACITY} tokens; per-bin doc/token/boundary stats. "
+    "Prefix sum partitions by the shard key — a GLOBAL prefix sum "
+    "would be one task.",
+)
+def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.pack_sequences(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        "source",
+        capacity=_PACK_CAPACITY,
+    )
+
+
+_QUOTA = 30
+
+
+@register(
+    "corpus_source_quota",
+    group="ext-curation",
+    oracle=f"""
+SELECT source, doc, CAST(rn AS INT) AS rn FROM (
+  SELECT source, doc_id AS doc, ROW_NUMBER() OVER (
+    PARTITION BY source
+    ORDER BY {md5_long_sql("'qt_' || CAST(doc_id AS VARCHAR)")}, doc_id
+  ) AS rn
+  FROM documents
+) t WHERE rn <= {_QUOTA}
+""",
+    doc=f"Per-source quota: keep at most {_QUOTA} docs per source in "
+    "deterministic hash order (the CommonCrawl-style domain cap; "
+    "hash order = retry-stable pseudo-random sample).",
+)
+def corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.source_quota(
+        load_table(spark, sf_dir, "documents"), "doc_id", "source", _QUOTA
+    )
+
+
+@register(
+    "corpus_quality_floor",
+    group="ext-curation",
+    oracle="""
+WITH scored AS (
+  SELECT lang AS grp, doc_id AS doc, CAST(n_chars AS BIGINT) AS score
+  FROM documents
+),
+thr AS (
+  SELECT grp, quantile_cont(score, 0.25) AS threshold
+  FROM scored GROUP BY grp
+)
+SELECT s.grp, s.doc, s.score, t.threshold
+FROM scored s JOIN thr t ON s.grp = t.grp
+WHERE s.score >= t.threshold
+""",
+    doc="Per-language quality floor: keep docs at/above their "
+    "language's exact 25th-percentile score (absolute thresholds "
+    "misfire across languages). Exact interpolated percentile matches "
+    "quantile_cont bit-for-bit on integer scores; thresholds broadcast "
+    "back onto the scan.",
+)
+def corpus_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.quality_quantile_filter(
+        docs, "doc_id", "lang", F.col("n_chars").cast("long"), q=0.25
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: embedding-space semantic dedup, end to end
+# ---------------------------------------------------------------------------
+
+
+def _embedding_components_oracle() -> str:
+    # Composed from the registered embedding-pair oracle so the pair
+    # rule (sign-LSH buckets, cosine >= 0.4) cannot drift between the
+    # two entries. pipeline_ext is imported before this module (see
+    # plans.catalog), so the entry exists at module-import time.
+    pair = registry()["dedup_embedding_cosine"].oracle
+    return f"""
+WITH RECURSIVE cand AS ({pair}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+walk(doc, lbl) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.doc = e.src
+)
+SELECT e.vec_id, CAST(e.label AS INT) AS label FROM embeddings e
+WHERE e.vec_id NOT IN (
+  SELECT doc FROM (
+    SELECT doc, MIN(lbl) AS component FROM walk GROUP BY doc
+  ) WHERE doc <> component
+)
+"""
+
+
+@register(
+    "semantic_dedup_corpus",
+    group="ext-curation ext-dedup iterative",
+    oracle=_embedding_components_oracle(),
+    doc="SemDeDup: embedding near-dup pairs (sign-LSH bucketed, cosine "
+    ">= 0.4) -> connected components (min-label propagation) -> keep "
+    "each cluster's min-id representative; returns the surviving "
+    "embedding rows. The full semantic-dedup pass a pretraining corpus "
+    "runs after exact/minhash dedup.",
+)
+def semantic_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, lsh_planes=6
+    ).select("doc_a", "doc_b")
+    comp = dedup.connected_components(pairs)
+    drop = comp.filter(F.col("doc") != F.col("component")).select(
+        F.col("doc").alias("vec_id")
+    )
+    return emb.select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    ).join(drop, "vec_id", "left_anti")

@@ -243,3 +243,11 @@ def test_kmeans_assignment_is_narrow(spark):
     plan = fmt_plan(kmeans_lloyd(emb, "vec_id", "embedding", k=4, iters=1))
     assert count_nodes(plan, "Exchange") == 0, plan
     assert count_nodes(plan, "Scan parquet") == 1, plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, catalog):
+    """The corpus-side gram stream must NOT shuffle: the benchmark gram
+    set broadcasts, so the only exchange carries per-doc hit counts."""
+    plan = fmt_plan(catalog["corpus_decontaminate"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
