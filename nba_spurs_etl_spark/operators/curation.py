@@ -181,6 +181,50 @@ def source_quota(
     )
 
 
+def shard_plan(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 16,
+) -> DataFrame:
+    """The training-mix export layout: a deterministic global shuffle
+    into ``n_shards`` shards, reported as per-shard stats.
+
+    shard = md5(id) % n_shards — a hash-stable permutation (identical
+    across retries and partitioning, unlike RNG shuffles), which is
+    both the cross-shard randomization pretraining needs AND the write
+    partitioning: follow with
+    ``df.repartition(n_shards, F.col("shard")).write.partitionBy("shard")``
+    and each task writes exactly one shard file.
+
+    Returns (shard, n_docs, shard_tokens, min_ord, max_ord) — the
+    manifest a downstream loader uses to size epochs. Balance check:
+    md5 is uniform, so shard sizes concentrate tightly around
+    n/n_shards (assert via the manifest, not by faith).
+    """
+    ordered = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tok"),
+        md5_long(F.concat(F.lit("sh_"), F.col(id_col).cast("string"))).alias(
+            "ord"
+        ),
+    )
+    return (
+        ordered.select(
+            (F.col("ord") % n_shards).cast("int").alias("shard"),
+            "n_tok",
+            "ord",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("shard_tokens"),
+            F.min("ord").alias("min_ord"),
+            F.max("ord").alias("max_ord"),
+        )
+    )
+
+
 def quality_quantile_filter(
     docs: DataFrame,
     id_col: str,

@@ -112,14 +112,40 @@ def fingerprint(col: str | Column) -> Column:
     return md5_long(F.concat_ws(" ", F.array_sort(F.array_distinct(words(col)))))
 
 
+#: Rolling-hash base/modulus (Rabin-Karp): B > any per-token hash bucket,
+#: P prime < 2^31 so acc*B + h stays inside int64 in both engines.
+RH_BASE = 1_000_003
+RH_PRIME = 2_147_483_629
+
+
+def rolling_fingerprint(col: str | Column) -> Column:
+    """Order-SENSITIVE polynomial rolling hash over the token stream:
+    acc = (acc * B + h(token)) mod P, folded left-to-right.
+
+    The classic Rabin-Karp document fingerprint — two docs with the
+    same words in different order get different fingerprints (the
+    complement of :func:`fingerprint`). Per-token h is the md5 fold
+    bucketed below P; the fold is a sequential ``aggregate``, which
+    DuckDB's list_reduce replays in the identical order, so the oracle
+    is exact integer arithmetic on both engines.
+    """
+    return F.aggregate(
+        F.transform(words(col), lambda t: md5_long(t) % RH_PRIME),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * RH_BASE + h) % RH_PRIME,
+    )
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One-pass per-doc profile: token counts, lang guess, fingerprint."""
+    """One-pass per-doc profile: token counts, lang guess, fingerprints
+    (order-insensitive + rolling)."""
     return df.select(
         F.col(id_col).alias("doc"),
         whitespace_token_count(text_col).alias("ws_tokens"),
         regex_token_count(text_col).alias("re_tokens"),
         lang_id(text_col).alias("lang_guess"),
         fingerprint(text_col).alias("fingerprint"),
+        rolling_fingerprint(text_col).alias("rolling_fp"),
     )
 
 

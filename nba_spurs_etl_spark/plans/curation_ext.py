@@ -173,6 +173,35 @@ def corpus_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_SHARDS = 16
+
+
+@register(
+    "corpus_shard_plan",
+    group="ext-curation",
+    oracle=f"""
+SELECT CAST(ord % {_N_SHARDS} AS INT) AS shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+  CAST(MIN(ord) AS BIGINT) AS min_ord,
+  CAST(MAX(ord) AS BIGINT) AS max_ord
+FROM (
+  SELECT len(string_split(text, ' ')) AS n_tok,
+    {md5_long_sql("'sh_' || CAST(doc_id AS VARCHAR)")} AS ord
+  FROM documents
+) GROUP BY 1
+""",
+    doc=f"Training-mix shard manifest: deterministic md5 shuffle into "
+    f"{_N_SHARDS} shards with per-shard doc/token counts — the layout "
+    "step before the sharded write (hash permutation = retry-stable "
+    "cross-shard randomization; one partial-agg shuffle).",
+)
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.shard_plan(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", _N_SHARDS
+    )
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup: embedding-space semantic dedup, end to end
 # ---------------------------------------------------------------------------

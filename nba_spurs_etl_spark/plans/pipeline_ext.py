@@ -527,11 +527,17 @@ SELECT doc_id AS doc,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
   CAST(len(regexp_extract_all(text, '{textops.TOKEN_REGEX}')) AS BIGINT) AS re_tokens,
   {_lang_case_sql()} AS lang_guess,
-  {md5_long_sql("array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')")} AS fingerprint
+  {md5_long_sql("array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')")} AS fingerprint,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ' '),
+      t -> {md5_long_sql("t")} % {textops.RH_PRIME})),
+    (acc, h) -> (acc * {textops.RH_BASE} + h) % {textops.RH_PRIME}
+  ) AS rolling_fp
 FROM hits
 """,
     doc="Per-doc text profile: whitespace + BPE-ish regex token counts, "
-    "stopword-vote language ID, order-insensitive content fingerprint. "
+    "stopword-vote language ID, order-insensitive content fingerprint "
+    "+ order-sensitive Rabin-Karp rolling hash. "
     "Pure per-row expressions — zero shuffle.",
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
