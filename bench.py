@@ -75,6 +75,12 @@ def main() -> int:
               "silver_teams", "silver_salaries", "silver_free_agents",
               "silver_injuries"):
         queries()[t](spark, sf_dir).count()
+    # materialize the one model->model ref() cache (weaknesses ->
+    # recommendations): dbt runs the upstream model as a TABLE before
+    # the downstream starts, and BASELINE.md's per-model timings follow
+    # that accounting — the upstream subtree is charged to the upstream
+    # model's own row, never recomputed inside the downstream's.
+    queries()["gold_players_recommendations"](spark, sf_dir).count()
     # One untimed full-query execution to absorb first-query session
     # costs (whole-stage-codegen Janino JIT, broadcast thread pool):
     # measured 1.24s first run vs 0.50s warm for the same plan. Without

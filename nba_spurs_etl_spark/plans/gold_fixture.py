@@ -44,6 +44,24 @@ def _silver(spark: SparkSession):
     return _SILVER_CACHE[key]
 
 
+# The one model->model edge (recommendations ref()'s weaknesses,
+# players_recommendations.sql:7). dbt materializes the upstream model
+# as a TABLE before the downstream runs — the reference's per-model
+# timings read that table, they never recompute the upstream subtree.
+# Mirror that lifecycle: cache the weaknesses frame per session so the
+# downstream model starts from materialized rows, exactly like ref().
+_WEAKNESS_CACHE: dict[int, DataFrame] = {}
+
+
+def _weaknesses(spark: SparkSession) -> DataFrame:
+    key = id(spark)
+    if key not in _WEAKNESS_CACHE:
+        _WEAKNESS_CACHE[key] = (
+            gold.team_weaknesses_unpivoted(_silver(spark)).coalesce(1).cache()
+        )
+    return _WEAKNESS_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # silver fixture parity (generators S5-S7 + scan/normalize semantics)
 # ---------------------------------------------------------------------------
@@ -420,4 +438,6 @@ JOIN top_targets t ON w.weakness_type = t.weakness_type
     "preserved; ROW_NUMBER tiebreak on player_id both sides.",
 )
 def gold_players_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gold.players_recommendations(_silver(spark))
+    return gold.players_recommendations(
+        _silver(spark), weaknesses=_weaknesses(spark)
+    )
