@@ -677,3 +677,46 @@ def test_ann_recall_floors(spark):
     assert r_lsh4 >= 0.25 and r_lsh4 >= r_lsh1, (r_lsh1, r_lsh4)
     assert r_ivf4 >= 0.30, r_ivf4
     assert r_ivf8 >= r_ivf4, (r_ivf4, r_ivf8)
+
+
+def test_shard_write_layout(spark, tmp_path):
+    """The shard manifest must translate into the physical layout it
+    promises: repartition(n, shard) + partitionBy -> one directory per
+    shard, each holding exactly one data file, counts matching the
+    manifest."""
+    from nba_spurs_etl_spark.operators.curation import shard_plan
+    from nba_spurs_etl_spark.sources.catalog import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_shards = 4
+    manifest = {
+        r.shard: r.n_docs
+        for r in shard_plan(docs, "doc_id", "text", n_shards).collect()
+    }
+    assigned = docs.select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("sh_"), F.col("doc_id").cast("string"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long") % n_shards
+        ).cast("int").alias("shard"),
+    )
+    out = str(tmp_path / "shards")
+    (
+        assigned.repartition(n_shards, F.col("shard"))
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    import glob
+
+    for shard, n in manifest.items():
+        files = glob.glob(f"{out}/shard={shard}/*.parquet")
+        assert len(files) == 1, files  # one task wrote one shard file
+        got = spark.read.parquet(f"{out}/shard={shard}").count()
+        assert got == n, (shard, got, n)

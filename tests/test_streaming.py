@@ -330,3 +330,51 @@ def test_stream_user_profile_tws_matches_batch(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_file_sink_exactly_once(spark, tmp_path_factory):
+    """The production sink shape: append-mode windowed agg into a
+    PARQUET file sink with a checkpoint. Two invariants: (a) every
+    emitted window matches the batch recomputation exactly (file sink
+    is append-only, so only watermark-closed windows surface), and
+    (b) re-running the drain against the SAME checkpoint emits nothing
+    new — the checkpoint's commit log is what makes the file sink
+    exactly-once across retries."""
+    from nba_spurs_etl_spark.streaming.events import (
+        read_events_stream,
+        stream_tumbling_agg,
+    )
+
+    out_dir = str(tmp_path_factory.mktemp("file_sink_out"))
+    ckpt = str(tmp_path_factory.mktemp("file_sink_ckpt"))
+
+    def drain():
+        q = (
+            stream_tumbling_agg(read_events_stream(spark, SF_SMOKE))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    emitted = spark.read.parquet(out_dir)
+    batch = queries()["events_tumbling_agg"](spark, SF_SMOKE)
+    batch_rows = {
+        tuple(str(v) for v in r)
+        for r in batch.select(*sorted(batch.columns)).collect()
+    }
+    got = {
+        tuple(str(v) for v in r)
+        for r in emitted.select(*sorted(emitted.columns)).collect()
+    }
+    # append mode withholds windows not yet closed by the final
+    # watermark: emitted must be a NON-EMPTY exact subset of batch
+    assert got and got <= batch_rows, (len(got), len(batch_rows))
+    n_first = emitted.count()
+
+    drain()  # same checkpoint: no new input -> no new files
+    assert spark.read.parquet(out_dir).count() == n_first
