@@ -225,6 +225,63 @@ def shard_plan(
     )
 
 
+def mixture_sample(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+) -> DataFrame:
+    """Downsample each group toward a target token MIXTURE: group g
+    gets ~``token_budget * weights[g]`` tokens, never upsampled.
+
+    The training-mix step: per-group keep-rate = min(1, target_g /
+    available_g), inclusion decided by a uniform md5 bucket per doc —
+    hash-stable (same sample across retries, partitionings, engines),
+    never RNG. Groups absent from ``weights`` are dropped (rate 0).
+
+    Determinism contract: the rate is floored to an integer
+    per-million threshold and compared against ``md5 % 1e6`` — pure
+    integer compare, no float equality at the boundary. Both engines
+    compute the threshold with the same IEEE double ops.
+
+    Scale: one partial-agg shuffle for the per-group token totals; the
+    resulting rate table broadcasts back onto the scan, so the corpus
+    itself never shuffles.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tok"),
+        (
+            md5_long(F.concat(F.lit("mx_"), F.col(id_col).cast("string")))
+            % 1_000_000
+        ).alias("bucket"),
+    )
+    totals = toks.groupBy("grp").agg(F.sum("n_tok").alias("avail"))
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    rates = totals.select(
+        "grp",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(token_budget))
+                * F.coalesce(wmap[F.col("grp")], F.lit(0.0))
+                / F.col("avail"),
+            )
+            * 1_000_000
+        ).cast("long").alias("threshold"),
+    )
+    return (
+        toks.join(F.broadcast(rates), "grp")
+        .filter(F.col("bucket") < F.col("threshold"))
+        .select("grp", "doc", "n_tok")
+    )
+
+
 def quality_quantile_filter(
     docs: DataFrame,
     id_col: str,

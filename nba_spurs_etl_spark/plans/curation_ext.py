@@ -173,6 +173,56 @@ def corpus_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# target mix: en-heavy with a fixed minority share; zh deliberately
+# absent -> dropped (the "exclude a language" path)
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "es": 0.2, "fr": 0.1}
+_MIX_BUDGET = 10_000
+
+
+def _mixture_oracle() -> str:
+    wvals = ", ".join(f"('{g}', {w})" for g, w in _MIX_WEIGHTS.items())
+    return f"""
+WITH toks AS (
+  SELECT lang AS grp, doc_id AS doc,
+    len(string_split(text, ' ')) AS n_tok,
+    {md5_long_sql("'mx_' || CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+  FROM documents
+),
+w(grp, wt) AS (VALUES {wvals}),
+rates AS (
+  SELECT t.grp, CAST(FLOOR(LEAST(1.0,
+      {float(_MIX_BUDGET)} * COALESCE(w.wt, 0.0) / SUM(t.n_tok)
+    ) * 1000000) AS BIGINT) AS threshold
+  FROM toks t LEFT JOIN w ON t.grp = w.grp
+  GROUP BY t.grp, w.wt
+)
+SELECT t.grp, t.doc, CAST(t.n_tok AS BIGINT) AS n_tok
+FROM toks t JOIN rates r ON t.grp = r.grp
+WHERE t.bucket < r.threshold
+"""
+
+
+@register(
+    "corpus_mixture_sample",
+    group="ext-curation",
+    oracle=_mixture_oracle(),
+    doc="Training-mix sampling: downsample each language toward a "
+    "target token mixture (en 50 / de 20 / es 20 / fr 10, zh dropped) "
+    "within a fixed token budget — per-group keep-rates from one "
+    "partial-agg shuffle, inclusion by integer md5 bucket (hash-stable "
+    "across retries/engines), rate table broadcast onto the scan.",
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.mixture_sample(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        "lang",
+        _MIX_WEIGHTS,
+        _MIX_BUDGET,
+    )
+
+
 _N_SHARDS = 16
 
 
