@@ -251,3 +251,63 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, catalog):
     plan = fmt_plan(catalog["corpus_decontaminate"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Star-schema staple at 100 TB: a filter on the dim side must
+    prune the partitioned fact's scan AT RUNTIME (DPP subquery in the
+    plan), so the fact reads |selected partitions|, not the table."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(20000).select(
+        "id", (F.col("id") % 20).alias("part_key"), (F.col("id") * 2).alias("v")
+    )
+    fact.write.partitionBy("part_key").mode("overwrite").parquet(
+        str(tmp_path / "fact")
+    )
+    dim = spark.range(20).select(
+        F.col("id").alias("part_key"),
+        F.concat(F.lit("g"), F.col("id") % 4).alias("grp"),
+    )
+    j = (
+        spark.read.parquet(str(tmp_path / "fact"))
+        .join(dim.filter(F.col("grp") == "g1"), "part_key")
+        .groupBy("part_key")
+        .agg(F.sum("v"))
+    )
+    assert "dynamicpruning" in fmt_plan(j), fmt_plan(j)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, tmp_path):
+    """Fact-to-fact shuffle joins with a selective build side must get
+    a runtime bloom filter on the probe side (might_contain in the
+    plan): at scale this drops most probe rows BEFORE the exchange.
+    Thresholds are lowered to fixture sizes; the assertion is that the
+    session's planner inserts the filter when sizes qualify."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        spark.range(100000).select(
+            F.col("id").alias("k"), (F.col("id") % 1000).alias("x")
+        ).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+        spark.range(100000).select(
+            (F.col("id") + 50000).alias("k"), (F.col("id") % 7).alias("y")
+        ).write.mode("overwrite").parquet(str(tmp_path / "b2"))
+        b1 = spark.read.parquet(str(tmp_path / "b1"))
+        b2 = spark.read.parquet(str(tmp_path / "b2"))
+        plan = fmt_plan(b1.join(b2.filter(F.col("y") == 3), "k"))
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
