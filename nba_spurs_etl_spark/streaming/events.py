@@ -29,6 +29,9 @@ _name_counter = itertools.count()
 
 _ckpt_root: str | None = None
 
+#: (session id, sf_dir) -> raw events schema (footer read, once)
+_SCHEMA_CACHE: dict[tuple[int, str], object] = {}
+
 
 def _drain_checkpoint_dir(name: str) -> str:
     """Per-process checkpoint root for memory-sink drains, on tmpfs
@@ -71,7 +74,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NTZ->timestamp cast below is value-preserving only under UTC; the
     # driver's session carries no conf pins, so set it here.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # footer-read once per (session, path): 13 stream queries re-deriving
+    # the same schema cost a batch listing + footer read each (~0.2-0.3s
+    # per query on the bench suite)
+    ck = (id(spark), sf_dir)
+    if ck not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[ck] = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).schema
+    raw_schema = _SCHEMA_CACHE[ck]
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
