@@ -253,6 +253,69 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# graph: integer PageRank over the minhash dup-pair graph
+# ---------------------------------------------------------------------------
+
+_PR_ITER, _PR_SCALE, _PR_NUM, _PR_DEN = 3, 1_000_000_000, 85, 100
+
+
+def _pagerank_oracle() -> str:
+    from .pipeline_ext import _minhash_pairs_ctes
+
+    base = _PR_SCALE * (_PR_DEN - _PR_NUM) // _PR_DEN
+    step = (
+        "SELECT e.dst AS node, {base} + ({num} * SUM(r.rank // deg.d)) "
+        "// {den} AS rank\n"
+        "  FROM edges e JOIN {prev} r ON e.src = r.node "
+        "JOIN deg ON e.src = deg.src GROUP BY e.dst"
+    )
+    iters = ",\n".join(
+        f"r{i + 1} AS ({step.format(base=base, num=_PR_NUM, den=_PR_DEN, prev=f'r{i}')})"
+        for i in range(_PR_ITER)
+    )
+    return f"""
+WITH {_minhash_pairs_ctes()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM deg),
+{iters}
+SELECT node, CAST(rank AS BIGINT) AS rank FROM r{_PR_ITER}
+"""
+
+
+@register(
+    "graph_pagerank_dups",
+    group="ext-graph iterative",
+    oracle=_pagerank_oracle(),
+    doc="Integer PageRank (3 damped iterations, BIGINT floor "
+    "arithmetic — bit-exact across engines/partitionings where float "
+    "PageRank drifts) over the minhash dup-pair graph: high ranks are "
+    "the hub documents mass boilerplate clusters orbit. The engine's "
+    "second iterative algorithm beside connected components; oracle "
+    "unrolls the iterations as chained CTEs.",
+)
+def graph_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import integer_pagerank
+    from .pipeline_ext import _BAND_SIZE, _NUM_HASHES
+
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=_NUM_HASHES,
+        band_size=_BAND_SIZE,
+    )
+    return integer_pagerank(
+        pairs, iterations=_PR_ITER, scale=_PR_SCALE,
+        damp_num=_PR_NUM, damp_den=_PR_DEN,
+    )
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: embedding-space semantic dedup, end to end
 # ---------------------------------------------------------------------------
 
