@@ -29,7 +29,8 @@ NAMES = [
     "q6_forecast_revenue", "events_funnel", "events_sessionize",
     "dedup_exact", "text_tfcosine_pairs", "similarity_topk_bruteforce",
     "events_click_purchase_join", "rolling_7d_customer_revenue",
-    "dedup_simhash_banded",
+    "dedup_simhash_banded", "dedup_ngram_jaccard", "graph_pagerank_dups",
+    "corpus_decontaminate",
 ]
 
 
