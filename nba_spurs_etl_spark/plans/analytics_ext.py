@@ -868,3 +868,40 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+@register(
+    "events_scd2_intervals",
+    group="ext-events warehouse",
+    oracle="""
+SELECT user_id,
+  CAST(ROW_NUMBER() OVER w AS INT) AS version,
+  value,
+  CAST(epoch_us(ts) AS BIGINT) AS effective_from_us,
+  CAST(LEAD(epoch_us(ts)) OVER w AS BIGINT) AS effective_to_us,
+  LEAD(epoch_us(ts)) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+""",
+    doc="SCD Type-2 dimension build: each user's event stream becomes "
+    "versioned validity intervals — effective_from = the change's "
+    "timestamp, effective_to = the NEXT change's (NULL + is_current "
+    "for the open row), version = change ordinal. One user-keyed "
+    "window shuffle; the half-open [from, to) convention means "
+    "point-in-time lookups are a single BETWEEN, and the build is "
+    "idempotent (re-running on the same changelog yields identical "
+    "intervals — no state carried between runs).",
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", epoch_us("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("int").alias("version"),
+        "value",
+        F.col("us").alias("effective_from_us"),
+        F.lead("us").over(w).alias("effective_to_us"),
+        F.lead("us").over(w).isNull().alias("is_current"),
+    )
