@@ -983,3 +983,61 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance (materialized-view refresh)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_agg_orders",
+    group="ext-warehouse 2.4",
+    oracle="""
+SELECT o_orderstatus,
+  substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS order_month,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) AS DOUBLE)
+   + CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+     - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) AS DOUBLE))
+    AS sum_amount,
+  (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) AS DOUBLE)
+   + CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+     - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) AS DOUBLE))
+    / COUNT(*) AS avg_amount
+FROM orders
+WHERE (o_orderkey % 10 <> 9 AND o_orderkey % 100 <> 3)
+   OR o_orderkey % 10 = 9
+GROUP BY 1, 2
+""",
+    doc="Incremental materialized-view refresh (operators/incremental.py): "
+    "base state built from 90% of orders, then ONE changelog batch "
+    "(inserts = the held-out 10%, retractions = every base row with "
+    "o_orderkey%100==3) folded in via mergeable (count, exact-decimal "
+    "sum) state — the refresh touches |delta| rows + |touched keys| "
+    "state rows, never rescanning the base fact. The oracle recomputes "
+    "the post-changelog set FROM SCRATCH, proving merge == rebuild. "
+    "Fully-retracted keys drop out (net count 0), matching the rebuild. "
+    "The reference's weekly drop+reload (dags:437-440) is the "
+    "full-rescan anti-pattern this replaces at 100 TB.",
+)
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import incremental as inc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias(
+            "order_month"
+        ),
+    )
+    k = F.col("o_orderkey")
+    keys = ["o_orderstatus", "order_month"]
+    base = orders.filter(k % 10 != 9)
+    state0 = inc.agg_state(base, keys, "o_totalprice")
+    changelog = base.filter(k % 100 == 3).withColumn(
+        "sign", F.lit(-1)
+    ).unionByName(orders.filter(k % 10 == 9).withColumn("sign", F.lit(1)))
+    delta = inc.agg_state(changelog, keys, "o_totalprice", sign="sign")
+    return inc.finalize(inc.merge_states(state0, delta))

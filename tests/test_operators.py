@@ -720,3 +720,48 @@ def test_shard_write_layout(spark, tmp_path):
         assert len(files) == 1, files  # one task wrote one shard file
         got = spark.read.parquet(f"{out}/shard={shard}").count()
         assert got == n, (shard, got, n)
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate state: retraction algebra
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_state_retraction_and_merge(spark):
+    from nba_spurs_etl_spark.operators import incremental as inc
+
+    base = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 5.0), ("c", 1.0)], ["k", "amt"]
+    )
+    s0 = inc.agg_state(base, ["k"], "amt")
+    # changelog: insert into a, retract one of a's rows, retract b's
+    # only row (full retraction), insert a brand-new key d.
+    chg = spark.createDataFrame(
+        [("a", 30.0, 1), ("a", 10.0, -1), ("b", 5.0, -1), ("d", 7.0, 1)],
+        ["k", "amt", "sign"],
+    )
+    merged = inc.finalize(inc.merge_states(s0, inc.agg_state(chg, ["k"], "amt", sign="sign")))
+    got = {r.k: (r.n_rows, r.sum_amount, r.avg_amount) for r in merged.collect()}
+    # b fully retracted -> absent, like a from-scratch rebuild
+    assert set(got) == {"a", "c", "d"}
+    assert got["a"] == (2, 50.0, 25.0)
+    assert got["c"] == (1, 1.0, 1.0)
+    assert got["d"] == (1, 7.0, 7.0)
+
+
+def test_incremental_merge_is_order_insensitive(spark):
+    from nba_spurs_etl_spark.operators import incremental as inc
+
+    p1 = spark.createDataFrame([("a", 1.25), ("b", 2.5)], ["k", "amt"])
+    p2 = spark.createDataFrame([("a", 3.75)], ["k", "amt"])
+    p3 = spark.createDataFrame([("b", 0.5), ("c", 9.0)], ["k", "amt"])
+    states = [inc.agg_state(p, ["k"], "amt") for p in (p1, p2, p3)]
+    fwd = sorted(
+        tuple(r) for r in inc.finalize(inc.merge_states(*states)).collect()
+    )
+    rev = sorted(
+        tuple(r)
+        for r in inc.finalize(inc.merge_states(*reversed(states))).collect()
+    )
+    assert fwd == rev
+    assert ("a", 2, 5.0, 2.5) in fwd
