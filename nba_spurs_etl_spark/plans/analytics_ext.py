@@ -905,3 +905,88 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("us").over(w).alias("effective_to_us"),
         F.lead("us").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "key_skew_profile",
+    group="ext-events 2.4 profiling",
+    oracle="""
+WITH cnts AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+),
+hist AS (
+  SELECT cnt, CAST(COUNT(*) AS BIGINT) AS freq FROM cnts GROUP BY cnt
+),
+h AS (
+  SELECT cnt, freq,
+    SUM(freq) OVER (ORDER BY cnt
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_keys,
+    SUM(freq) OVER () AS total_keys,
+    SUM(cnt * freq) OVER () AS total_rows
+  FROM hist
+)
+SELECT CAST(MAX(total_rows) AS BIGINT) AS n_rows,
+  CAST(MAX(total_keys) AS BIGINT) AS n_keys,
+  CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+  CAST(MIN(CASE WHEN cum_keys >= ceil(0.50 * total_keys) THEN cnt END)
+    AS BIGINT) AS p50_cnt,
+  CAST(MIN(CASE WHEN cum_keys >= ceil(0.90 * total_keys) THEN cnt END)
+    AS BIGINT) AS p90_cnt,
+  CAST(MIN(CASE WHEN cum_keys >= ceil(0.99 * total_keys) THEN cnt END)
+    AS BIGINT) AS p99_cnt,
+  CAST(MAX(cnt) AS DOUBLE) / MAX(total_rows) AS top1_share,
+  CAST(MAX(cnt) * MAX(total_keys) AS DOUBLE) / MAX(total_rows)
+    AS max_over_mean
+FROM h
+""",
+    doc="Key-skew diagnostic — the profile you run BEFORE choosing a "
+    "partitioning/salting strategy for a join or agg key. Two "
+    "map-combined aggregations reduce the fact to a COUNT-OF-COUNTS "
+    "histogram (|distinct per-key counts| rows — kilobytes at any "
+    "corpus size), and the key-count quantiles (p50/p90/p99, discrete "
+    "'smallest count covering >= ceil(q*keys)' — pure integer logic, "
+    "no interpolation to diverge cross-engine) come from one window "
+    "pass over that tiny table. max_over_mean is the classic skew "
+    "factor (hottest key vs mean key); >> shuffle-partition count "
+    "means AQE skew-split or salting. Raw keys never sort globally.",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cnts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    hist = cnts.groupBy("cnt").agg(F.count(F.lit(1)).alias("freq"))
+    w_cum = (
+        Window.orderBy("cnt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.orderBy("cnt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    h = hist.select(
+        "cnt",
+        "freq",
+        F.sum("freq").over(w_cum).alias("cum_keys"),
+        F.sum("freq").over(w_all).alias("total_keys"),
+        F.sum(F.col("cnt") * F.col("freq")).over(w_all).alias("total_rows"),
+    )
+
+    def pq(q: float, alias: str):
+        return F.min(
+            F.when(
+                F.col("cum_keys") >= F.ceil(F.lit(q) * F.col("total_keys")),
+                F.col("cnt"),
+            )
+        ).cast("long").alias(alias)
+
+    return h.agg(
+        F.max("total_rows").cast("long").alias("n_rows"),
+        F.max("total_keys").cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        pq(0.50, "p50_cnt"),
+        pq(0.90, "p90_cnt"),
+        pq(0.99, "p99_cnt"),
+        (F.max("cnt").cast("double") / F.max("total_rows")).alias("top1_share"),
+        (
+            (F.max("cnt") * F.max("total_keys")).cast("double")
+            / F.max("total_rows")
+        ).alias("max_over_mean"),
+    )

@@ -308,3 +308,54 @@ def stream_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   extra_conf={"spark.sql.streaming.stateStore.providerClass":
 #               "org.apache.spark.sql.execution.streaming.state."
 #               "RocksDBStateStoreProvider"}
+
+
+@register(
+    "stream_scd2_apply",
+    group="2.9 ext-stream ext-warehouse",
+    # the drained stream converges to the batch SCD2 build exactly
+    # (micro-batches are time-split, so no batch carries changes older
+    # than closed history), so it shares events_scd2_intervals' FULL
+    # oracle instead of the weaker rows-only check
+    oracle=registry()["events_scd2_intervals"].oracle,
+    doc="Streaming SCD Type-2: the events changelog drained as "
+    "time-ordered micro-batches (maxFilesPerTrigger=1) through "
+    "foreachBatch into a versioned interval snapshot "
+    "(streaming/scd2.py Scd2Snapshot). Each batch closes touched "
+    "keys' open intervals and re-intervalizes ONLY those keys (open "
+    "rows + batch rows); closed history and untouched keys carry over "
+    "verbatim via an anti join. Final dimension equals the one-shot "
+    "batch build, checked by the same oracle.",
+)
+def stream_scd2_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..functions.scalar import epoch_us
+    from ..streaming.scd2 import Scd2Snapshot
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", epoch_us("ts").alias("us"), "event_id"
+    )
+    # time-split the changelog at the global midpoint: every key's
+    # batch-1 rows precede its batch-2 rows, the append-mode ordering
+    # contract of an SCD2 apply (index-metadata collect: 1 row)
+    mn, mx = ev.agg(F.min("us"), F.max("us")).first()
+    mid = (mn + mx) // 2
+    work = tempfile.mkdtemp(prefix="spark_scd2_stream_")
+    logdir = os.path.join(work, "log")
+    ev.filter(F.col("us") < mid).coalesce(1).write.mode("append").parquet(logdir)
+    ev.filter(F.col("us") >= mid).coalesce(1).write.mode("append").parquet(
+        logdir
+    )
+
+    snap = Scd2Snapshot(spark, os.path.join(work, "snap"), key="user_id")
+    snap.init_empty()
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(logdir)
+    )
+    q = snap.attach(stream, os.path.join(work, "ckpt"))
+    q.awaitTermination()
+    return snap.intervals()

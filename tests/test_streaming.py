@@ -378,3 +378,55 @@ def test_stream_file_sink_exactly_once(spark, tmp_path_factory):
 
     drain()  # same checkpoint: no new input -> no new files
     assert spark.read.parquet(out_dir).count() == n_first
+
+
+def test_stream_scd2_multi_batch_convergence(spark, tmp_path_factory):
+    """The streaming SCD2 apply must (a) actually run >= 2 micro-batches
+    (one per time-split file), (b) close intervals across the batch
+    boundary — a key whose versions straddle the split gets its batch-1
+    open row closed by a batch-2 change — and (c) converge to the batch
+    build."""
+    import os
+
+    from nba_spurs_etl_spark.functions.scalar import epoch_us
+    from nba_spurs_etl_spark.streaming.scd2 import Scd2Snapshot
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "value", epoch_us("ts").alias("us"), "event_id"
+    )
+    mn, mx = ev.agg(F.min("us"), F.max("us")).first()
+    mid = (mn + mx) // 2
+    work = str(tmp_path_factory.mktemp("scd2_stream"))
+    logdir = os.path.join(work, "log")
+    ev.filter(F.col("us") < mid).coalesce(1).write.mode("append").parquet(logdir)
+    ev.filter(F.col("us") >= mid).coalesce(1).write.mode("append").parquet(logdir)
+
+    snap = Scd2Snapshot(spark, os.path.join(work, "snap"), key="user_id")
+    snap.init_empty()
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(logdir)
+    )
+    snap.attach(stream, os.path.join(work, "ckpt")).awaitTermination()
+
+    # (a) one snapshot version per applied micro-batch, plus v0
+    assert len(snap._versions()) == 3
+
+    got = sorted(tuple(r) for r in snap.intervals().collect())
+    want = sorted(
+        tuple(r) for r in queries()["events_scd2_intervals"](spark, SF_SMOKE).collect()
+    )
+    assert got == want
+
+    # (b) at least one straddling key: closed interval ending >= mid
+    # with from < mid proves a batch-2 change closed a batch-1 open row
+    straddle = (
+        snap.intervals()
+        .filter(
+            (F.col("effective_from_us") < mid)
+            & (F.col("effective_to_us") >= mid)
+        )
+        .count()
+    )
+    assert straddle > 0
