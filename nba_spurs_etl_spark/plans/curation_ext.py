@@ -370,3 +370,115 @@ def semantic_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", F.col("label").cast("int").alias("label")
     ).join(drop, "vec_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# contrastive negative sampling
+# ---------------------------------------------------------------------------
+
+_NEG_B, _NEG_K, _NEG_PROBES = 64, 4, 8
+
+
+@register(
+    "contrastive_negatives",
+    group="ext-curation sampling",
+    oracle=f"""
+WITH reps AS (
+  SELECT {md5_long_sql("CAST(doc_id AS VARCHAR)")} % {_NEG_B} AS bucket,
+    arg_min(doc_id, doc_id) AS rep_id,
+    arg_min(source, doc_id) AS rep_source
+  FROM documents GROUP BY 1
+),
+probes AS (
+  SELECT d.doc_id, d.source, j,
+    {md5_long_sql("CAST(d.doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR)")}
+      % {_NEG_B} AS bucket
+  FROM documents d CROSS JOIN unnest(generate_series(1, {_NEG_PROBES})) t(j)
+),
+cand AS (
+  SELECT p.doc_id, r.rep_id, r.rep_source, MIN(p.j) AS first_j
+  FROM probes p JOIN reps r USING (bucket)
+  WHERE r.rep_source <> p.source AND r.rep_id <> p.doc_id
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT doc_id, rep_id, rep_source,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY first_j, rep_id)
+      AS neg_rank
+  FROM cand
+)
+SELECT doc_id AS doc, CAST(neg_rank AS INT) AS neg_rank,
+  rep_id AS neg_id, rep_source AS neg_source
+FROM ranked WHERE neg_rank <= {_NEG_K}
+""",
+    doc="Deterministic negative sampling for contrastive training: "
+    f"each anchor doc probes {_NEG_PROBES} hash-chosen buckets of a "
+    f"{_NEG_B}-bucket representative table (argmin-by-id rep per "
+    "bucket) and keeps the first "
+    f"{_NEG_K} distinct representatives from a DIFFERENT source — the "
+    "cross-source constraint that keeps negatives from being "
+    "near-positives. The rep table is |buckets| rows (kilobytes, "
+    "BROADCAST), probing is a narrow explode bounded by the probe "
+    "count, and per-anchor ranking windows over <= probes rows — no "
+    "corpus self-join, no RNG (hash identity => identical negatives "
+    "across retries, repartitionings, and engines). At 1B docs the "
+    "bucket count scales to ~sqrt(n) and reps refresh per corpus "
+    "snapshot.",
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.scalar import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    reps = (
+        docs.select(
+            (md5_long(F.col("doc_id").cast("string")) % _NEG_B).alias("bucket"),
+            F.struct("doc_id", "source").alias("ds"),
+        )
+        .groupBy("bucket")
+        .agg(F.min("ds").alias("rep"))
+        .select(
+            "bucket",
+            F.col("rep.doc_id").alias("rep_id"),
+            F.col("rep.source").alias("rep_source"),
+        )
+    )
+    probes = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), F.lit(_NEG_PROBES))).alias("j"),
+    ).select(
+        "doc_id",
+        "source",
+        "j",
+        (
+            md5_long(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("_"),
+                    F.col("j").cast("string"),
+                )
+            )
+            % _NEG_B
+        ).alias("bucket"),
+    )
+    cand = (
+        probes.join(F.broadcast(reps), "bucket")
+        .filter(
+            (F.col("rep_source") != F.col("source"))
+            & (F.col("rep_id") != F.col("doc_id"))
+        )
+        .groupBy("doc_id", "rep_id", "rep_source")
+        .agg(F.min("j").alias("first_j"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("first_j", "rep_id")
+    return (
+        cand.select(
+            F.col("doc_id").alias("doc"),
+            F.row_number().over(w).alias("neg_rank"),
+            F.col("rep_id").alias("neg_id"),
+            F.col("rep_source").alias("neg_source"),
+        )
+        .filter(F.col("neg_rank") <= _NEG_K)
+    )

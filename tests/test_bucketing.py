@@ -107,3 +107,50 @@ def test_bucketed_join_matches_shuffled_join(spark, bucketed):
         .collect()
     }
     assert got == want
+
+
+def test_zorder_layout_locality(spark, tmp_path_factory):
+    """A z-ordered layout yields files whose min/max rectangles are
+    tight in BOTH dimensions; a single-column sort leaves the other
+    column's span near-global per file. Tight per-file spans are what
+    parquet min/max pruning skips on, so mean span IS the layout's
+    skipping power."""
+    from nba_spurs_etl_spark.operators.layout import zorder_write
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day_no"),
+    )
+    n_files = 16
+    zdir = str(tmp_path_factory.mktemp("layout") / "zorder")
+    ddir = str(tmp_path_factory.mktemp("layout") / "bydate")
+    zorder_write(orders, "o_custkey", "day_no", zdir, n_files)
+    (
+        orders.repartitionByRange(n_files, "day_no")
+        .sortWithinPartitions("day_no")
+        .write.mode("overwrite")
+        .parquet(ddir)
+    )
+
+    def mean_span(path: str, col: str) -> float:
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("span"))
+        )
+        rows = per_file.collect()
+        return sum(r.span for r in rows) / len(rows)
+
+    glob_cust = orders.agg(
+        F.max("o_custkey") - F.min("o_custkey")
+    ).first()[0]
+    z_cust, d_cust = mean_span(zdir, "o_custkey"), mean_span(ddir, "o_custkey")
+    # date-sorted files see ~the whole custkey range; z-ordered files
+    # must cut it by at least 2x (typically ~4x at 16 files)
+    assert d_cust > 0.8 * glob_cust, (d_cust, glob_cust)
+    assert z_cust < 0.5 * glob_cust, (z_cust, glob_cust)
+    # and the z layout still clusters days (span < global)
+    glob_day = orders.agg(F.max("day_no") - F.min("day_no")).first()[0]
+    assert mean_span(zdir, "day_no") < 0.7 * glob_day
