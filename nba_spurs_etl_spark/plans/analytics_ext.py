@@ -990,3 +990,66 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.max("total_rows")
         ).alias("max_over_mean"),
     )
+
+
+@register(
+    "scd2_asof_enrich",
+    group="ext-events warehouse 2.3",
+    oracle="""
+WITH dim AS (
+  SELECT user_id,
+    CAST(ROW_NUMBER() OVER w AS INT) AS version,
+    CAST(epoch_us(ts) AS BIGINT) AS effective_from_us,
+    CAST(LEAD(epoch_us(ts)) OVER w AS BIGINT) AS effective_to_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+purchases AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, d.version AS dim_version
+FROM purchases p JOIN dim d
+  ON p.user_id = d.user_id
+ AND p.us >= d.effective_from_us
+ AND (d.effective_to_us IS NULL OR p.us < d.effective_to_us)
+""",
+    doc="Point-in-time (as-of) lookup against the SCD2 dimension: each "
+    "purchase joins the dimension version whose half-open validity "
+    "interval [from, to) contains the event time — the query an SCD2 "
+    "dimension exists to answer. The join is EQUI on user_id (that key "
+    "carries the shuffle/broadcast); the interval containment is a "
+    "row-local post-filter, so there is no range-only cartesian. The "
+    "half-open convention guarantees exactly one matching version per "
+    "event (the build row's own timestamp falls in its own interval).",
+)
+def scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import registry as _reg
+
+    dim = (
+        _reg()["events_scd2_intervals"]
+        .builder(spark, sf_dir)
+        .select("user_id", "version", "effective_from_us", "effective_to_us")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", epoch_us("ts").alias("us")
+    )
+    d = dim.alias("d")
+    p = purchases.alias("p")
+    return (
+        p.join(
+            d,
+            (F.col("p.user_id") == F.col("d.user_id"))
+            & (F.col("p.us") >= F.col("d.effective_from_us"))
+            & (
+                F.col("d.effective_to_us").isNull()
+                | (F.col("p.us") < F.col("d.effective_to_us"))
+            ),
+        )
+        .select(
+            F.col("p.event_id").alias("event_id"),
+            F.col("p.user_id").alias("user_id"),
+            F.col("d.version").alias("dim_version"),
+        )
+    )

@@ -12,7 +12,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import davg_sql, dbig, dbig_sql, dsum, dsum_sql, epoch_us
+from ..functions.scalar import (
+    davg_sql,
+    dbig,
+    dbig_sql,
+    dsum,
+    dsum_sql,
+    epoch_us,
+    md5_long_sql,
+)
 from ..operators.joins import asof_join_backward
 from ..sources.catalog import load_table
 from .registry import register
@@ -1126,5 +1134,68 @@ def zorder_orders_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ck").alias("max_cust"),
             F.min("day_no").alias("min_day"),
             F.max("day_no").alias("max_day"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bucketed table checksum (anti-entropy diff locator)
+# ---------------------------------------------------------------------------
+
+_CK_BUCKETS = 64
+_CK_MOD = 1 << 60
+
+
+@register(
+    "table_checksum_buckets",
+    group="ext-quality 2.11",
+    oracle=f"""
+WITH h AS (
+  SELECT {md5_long_sql(
+      "CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' || "
+      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"
+  )} AS rh
+  FROM orders
+)
+SELECT rh % {_CK_BUCKETS} AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(rh) % {_CK_MOD} AS BIGINT) AS checksum
+FROM h GROUP BY 1
+""",
+    doc="Bucketed content checksum of a keyed table: rows hash to one "
+    f"of {_CK_BUCKETS} buckets and each bucket aggregates an "
+    "order-independent additive checksum (exact decimal SUM of 60-bit "
+    "row hashes, reduced mod 2^60) plus a row count. Comparing two "
+    "table copies (replica, migration target, backup restore) then "
+    "costs one kilobyte exchange, and a mismatch pinpoints 1/"
+    f"{_CK_BUCKETS} of the keyspace to re-diff — the anti-entropy "
+    "pattern, vs diffing whole tables. The checksum value is canonical "
+    "(decimal-formatted price), so ANY engine computing the same "
+    "formula agrees; addition is commutative, so partitioning and "
+    "retry order never change it. One map-combined shuffle of "
+    f"{_CK_BUCKETS} partial rows per task.",
+)
+def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import md5_long
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    rh = md5_long(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        )
+    )
+    return (
+        orders.select(rh.alias("rh"))
+        .groupBy((F.col("rh") % _CK_BUCKETS).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(F.col("rh").cast("decimal(38,0)")) % _CK_MOD)
+            .cast("long")
+            .alias("checksum"),
         )
     )

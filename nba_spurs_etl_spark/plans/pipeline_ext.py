@@ -1452,3 +1452,130 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary build + token-id encoding
+# ---------------------------------------------------------------------------
+
+_VOCAB_V = 256
+
+
+@register(
+    "vocab_encode_docs",
+    group="ext-text tokenize",
+    oracle=f"""
+WITH toks AS (
+  -- two unnests in one SELECT zip positionally in DuckDB
+  SELECT doc_id,
+    unnest(generate_series(1, len(w))) AS pos,
+    unnest(w) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+vocab AS (
+  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS INT) AS id
+  FROM (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+  QUALIFY id <= {_VOCAB_V}
+),
+enc AS (
+  SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+  FROM toks t LEFT JOIN vocab v USING (tok)
+)
+SELECT doc_id AS doc,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos, id) AS token_ids
+FROM enc GROUP BY doc_id
+""",
+    doc="Tokenizer-style vocabulary build + corpus encoding: the top-"
+    f"{_VOCAB_V} tokens by frequency (deterministic (count DESC, token "
+    "ASC) ranking) become ids 1..V, everything else OOV id 0, and each "
+    "doc is re-emitted as its token-id sequence (space-joined string — "
+    "identical text on both engines) with token/OOV counts. Plan: one "
+    "posexplode, a map-combined vocab count whose ranking window runs "
+    "over |vocab| aggregated rows (at 100 TB swap for the per-partition "
+    "top-k merge global_rank_topk uses), a BROADCAST left join of the "
+    "V-row vocab onto the token stream, and one doc-keyed agg whose "
+    "in-order reassembly is an array_sort fold, not an "
+    "order-dependent collect.",
+)
+def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("tok", F.row_number().over(w).cast("int").alias("id"))
+        .filter(F.col("id") <= _VOCAB_V)
+    )
+    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id")
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("id") == 0).cast("bigint")).alias("n_oov"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                    lambda s: s["id"].cast("string"),
+                ),
+                " ",
+            ).alias("token_ids"),
+        )
+        .select(
+            F.col("doc_id").alias("doc"), "n_tokens", "n_oov", "token_ids"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# balanced per-class sample (exact k per group, hash-ranked)
+# ---------------------------------------------------------------------------
+
+_BAL_K = 50
+
+
+@register(
+    "balanced_class_sample",
+    group="ext-sampling",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY {md5_long_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+    ) AS rk
+  FROM documents
+)
+SELECT lang, doc_id AS doc FROM ranked WHERE rk <= {_BAL_K}
+""",
+    doc=f"Balanced per-class sampling: EXACTLY min({_BAL_K}, n) docs "
+    "per language, chosen by ranking each class on a content hash of "
+    "the id — a deterministic shuffle-order that behaves like a "
+    "uniform draw but is identical across retries, repartitionings, "
+    "and engines (df.sampleBy gives only EXPECTED fractions and is "
+    "partition-order-dependent). One window shuffle partitioned by "
+    "class — parallel across classes; at 100 TB swap the full "
+    "per-class sort for a per-partition top-k heap + merge on the "
+    "hash key (same trick as global_rank_topk).",
+)
+def balanced_class_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        md5_long(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _BAL_K)
+        .select("lang", F.col("doc_id").alias("doc"))
+    )
