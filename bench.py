@@ -10,9 +10,14 @@ stdout line carries a priority-ordered subset of per-query timings
 trimmed to fit; the FULL per-query map is always written to
 ``BENCH_DETAIL.json`` next to this script.
 
-Per-query time is wall time of execution (df.count() forces the full
-plan) measured after the shared SparkSession is up — session startup is
-amortized across the suite, matching BASELINE.md's interpretation.
+Per-query time is wall time of FULL execution: results are drained to
+the noop sink (``df.write.format("noop")``), which materializes every
+row and column. ``count()`` would let Catalyst prune per-row
+expressions that don't change cardinality (projections, window
+functions), silently timing only scan+count for those queries —
+measured e.g. window_dist_functions 0.15 s via count vs the real
+expression cost via noop. Session startup is amortized across the
+suite, matching BASELINE.md's interpretation.
 """
 
 from __future__ import annotations
@@ -92,7 +97,7 @@ def main() -> int:
     for name, fn in queries().items():
         t0 = time.perf_counter()
         try:
-            fn(spark, sf_dir).count()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as e:  # keep the suite going; surface on stderr
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)

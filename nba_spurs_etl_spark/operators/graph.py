@@ -69,3 +69,45 @@ def integer_pagerank(
             F.expr(f"{base} + ({damp_num} * s) div {damp_den}").alias("rank"),
         )
     return ranks.select("node", F.col("rank").cast("long").alias("rank"))
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an (doc_a < doc_b) pair list.
+
+    Standard ordered-wedge algorithm: with every edge stored once in
+    id order, each triangle a<b<c is found EXACTLY once by joining
+    wedges (a,b)+(b,c) and closing with a semi join on (a,c) — no
+    /6 dedup factor, and the join volume is sum of ordered-degree
+    squares rather than full-degree squares. In a near-dup graph
+    triangles measure clique density: dup CLUSTERS are triangle-rich,
+    chance pair collisions are triangle-free — a cheap cluster-purity
+    signal on top of the pair list.
+
+    Scale: two equi-joins keyed by node ids; the known failure mode is
+    hub skew (one node in millions of pairs). Production fix is degree
+    orientation — order edge endpoints by (degree, id), not id, which
+    provably bounds the wedge count by O(m^1.5); with id ordering the
+    bound holds in expectation for hash-uniform ids (true for the
+    md5-keyed dup graphs here).
+    """
+    e = pairs.select("doc_a", "doc_b")
+    wedge = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    tri = wedge.join(
+        e.alias("e3"),
+        (F.col("a") == F.col("e3.doc_a")) & (F.col("c") == F.col("e3.doc_b")),
+        "left_semi",
+    )
+    nodes = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("doc")
+    )
+    return nodes.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("triangles")
+    )

@@ -482,3 +482,56 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("neg_rank") <= _NEG_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# graph: triangle counts over the minhash dup-pair graph
+# ---------------------------------------------------------------------------
+
+
+def _triangles_oracle() -> str:
+    from .pipeline_ext import _minhash_pairs_ctes
+
+    return f"""
+WITH {_minhash_pairs_ctes()},
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM cand e1
+  JOIN cand e2 ON e1.doc_b = e2.doc_a
+  WHERE EXISTS (SELECT 1 FROM cand e3
+                WHERE e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+),
+nodes AS (
+  SELECT a AS doc FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM nodes GROUP BY doc
+"""
+
+
+@register(
+    "graph_triangles_dups",
+    group="ext-graph",
+    oracle=_triangles_oracle(),
+    doc="Per-node triangle counts over the minhash dup-pair graph "
+    "(operators/graph.triangle_counts): ordered-wedge join + closing "
+    "semi join finds each triangle a<b<c exactly once. Triangle "
+    "density separates true dup cliques from chance band collisions — "
+    "the cluster-purity signal next to connected_components' cluster "
+    "ids. Two id-keyed equi-joins; hub skew is the failure mode, "
+    "degree orientation the production fix (docstring).",
+)
+def graph_triangles_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+    from .pipeline_ext import _BAND_SIZE, _NUM_HASHES
+
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=_NUM_HASHES,
+        band_size=_BAND_SIZE,
+    )
+    return triangle_counts(pairs)

@@ -1199,3 +1199,46 @@ def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("checksum"),
         )
     )
+
+
+@register(
+    "window_dist_functions",
+    group="2.5 ext-window",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  percent_rank() OVER w AS pr,
+  cume_dist() OVER w AS cd,
+  nth_value(o_totalprice, 2) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  ) AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    doc="Distribution window functions (completes the analytic-function "
+    "surface next to window_analytics' lag/lead/ntile/first/last): "
+    "percent_rank and cume_dist over each customer's order history, "
+    "plus nth_value with an EXPLICIT full frame (default frames stop "
+    "at CURRENT ROW, where nth_value(2) would be NULL on each "
+    "partition's first row — the classic frame trap). Both ratios are "
+    "single IEEE divisions of exact integer rank/count operands, so "
+    "engines agree bit-for-bit. One window shuffle shared by all "
+    "three functions (same partitioning + ordering).",
+)
+def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
+    )

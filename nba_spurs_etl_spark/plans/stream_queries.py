@@ -359,3 +359,66 @@ def stream_scd2_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = snap.attach(stream, os.path.join(work, "ckpt"))
     q.awaitTermination()
     return snap.intervals()
+
+
+@register(
+    "stream_incremental_agg",
+    group="2.9 ext-stream ext-warehouse",
+    # state algebra is commutative, so ANY micro-batch split of the
+    # changelog converges to the from-scratch rebuild — share the
+    # batch query's FULL oracle
+    oracle=registry()["incremental_agg_orders"].oracle,
+    doc="Streaming materialized-view maintenance: the signed orders "
+    "changelog drained as micro-batches (maxFilesPerTrigger=1) "
+    "through foreachBatch into mergeable (count, exact-decimal-sum) "
+    "state (streaming/incremental.py AggStateSnapshot, seeded from "
+    "the base aggregate — the last full scan the view ever needs). "
+    "Each batch costs one map-combined aggregation of the batch plus "
+    "a state-only merge; the finalized state equals the from-scratch "
+    "rebuild, checked by incremental_agg_orders' oracle.",
+)
+def stream_incremental_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.incremental import AggStateSnapshot
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias(
+            "order_month"
+        ),
+    )
+    k = F.col("o_orderkey")
+    base = orders.filter(k % 10 != 9)
+    changelog = base.filter(k % 100 == 3).withColumn(
+        "sign", F.lit(-1)
+    ).unionByName(orders.filter(k % 10 == 9).withColumn("sign", F.lit(1)))
+
+    work = tempfile.mkdtemp(prefix="spark_incr_stream_")
+    logdir = os.path.join(work, "log")
+    # commutative state: an arbitrary (parity) split still converges
+    changelog.filter(k % 2 == 0).coalesce(1).write.mode("append").parquet(
+        logdir
+    )
+    changelog.filter(k % 2 != 0).coalesce(1).write.mode("append").parquet(
+        logdir
+    )
+
+    snap = AggStateSnapshot(
+        spark,
+        os.path.join(work, "snap"),
+        keys=["o_orderstatus", "order_month"],
+        amount="o_totalprice",
+        sign="sign",
+    )
+    snap.init_from(base)
+    stream = (
+        spark.readStream.schema(changelog.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(logdir)
+    )
+    snap.attach(stream, os.path.join(work, "ckpt")).awaitTermination()
+    return snap.result()

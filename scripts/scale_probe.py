@@ -31,6 +31,10 @@ NAMES = [
     "events_click_purchase_join", "rolling_7d_customer_revenue",
     "dedup_simhash_banded", "dedup_ngram_jaccard", "graph_pagerank_dups",
     "corpus_decontaminate",
+    # round-3 additions
+    "incremental_agg_orders", "key_skew_profile", "contrastive_negatives",
+    "zorder_orders_buckets", "vocab_encode_docs", "balanced_class_sample",
+    "table_checksum_buckets", "scd2_asof_enrich", "window_dist_functions",
 ]
 
 
@@ -68,11 +72,19 @@ def main() -> int:
         build(spark, dst, k)
     q = queries()
     for sf_dir, label in [(SRC, "sf0.1"), (dst, f"sf0.1x{k}")]:
+        def run(name: str) -> None:
+            # noop sink: full evaluation (count() lets Catalyst prune
+            # cardinality-preserving expressions — see bench.py)
+            q[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
         for name in NAMES:
-            q[name](spark, sf_dir).count()  # warm
+            run(name)  # warm
             t0 = time.perf_counter()
-            c = q[name](spark, sf_dir).count()
+            run(name)
             t1 = time.perf_counter()
+            c = q[name](spark, sf_dir).count()
             print(f"{label} {name}: rows={c} t={round(t1 - t0, 2)}")
     return 0
 

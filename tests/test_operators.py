@@ -765,3 +765,37 @@ def test_incremental_merge_is_order_insensitive(spark):
     )
     assert fwd == rev
     assert ("a", 2, 5.0, 2.5) in fwd
+
+
+# ---------------------------------------------------------------------------
+# triangle counts vs brute-force model
+# ---------------------------------------------------------------------------
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        max_size=20,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_triangle_counts_match_model(spark, edges):
+    from itertools import combinations
+
+    from nba_spurs_etl_spark.operators.graph import triangle_counts
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    if not pairs:
+        return
+    eset = set(pairs)
+    model: dict[int, int] = {}
+    nodes = sorted({n for p in pairs for n in p})
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for n in (a, b, c):
+                model[n] = model.get(n, 0) + 1
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    got = {r.doc: r.triangles for r in triangle_counts(df).collect()}
+    assert got == model

@@ -430,3 +430,40 @@ def test_stream_scd2_multi_batch_convergence(spark, tmp_path_factory):
         .count()
     )
     assert straddle > 0
+
+
+def test_stream_incremental_agg_multi_batch(spark, tmp_path_factory):
+    """The streaming agg-state maintenance must apply >= 2 micro-batches
+    (one per changelog file) and converge to the direct aggregation of
+    the post-changelog set — including dropping fully retracted keys."""
+    import os
+
+    from nba_spurs_etl_spark.streaming.incremental import AggStateSnapshot
+
+    base = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 5.0), ("c", 4, 1.0)],
+        ["k", "rid", "amt"],
+    )
+    chg = spark.createDataFrame(
+        [("a", 5, 30.0, 1), ("b", 3, 5.0, -1), ("d", 6, 7.0, 1)],
+        ["k", "rid", "amt", "sign"],
+    )
+    work = str(tmp_path_factory.mktemp("incr_stream"))
+    logdir = os.path.join(work, "log")
+    chg.filter(F.col("rid") % 2 == 0).coalesce(1).write.mode("append").parquet(logdir)
+    chg.filter(F.col("rid") % 2 != 0).coalesce(1).write.mode("append").parquet(logdir)
+
+    snap = AggStateSnapshot(
+        spark, os.path.join(work, "snap"), keys=["k"], amount="amt", sign="sign"
+    )
+    snap.init_from(base)
+    stream = (
+        spark.readStream.schema(chg.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(logdir)
+    )
+    snap.attach(stream, os.path.join(work, "ckpt")).awaitTermination()
+
+    assert len(snap._versions()) == 3  # v0 + one per micro-batch
+    got = {r.k: (r.n_rows, r.sum_amount) for r in snap.result().collect()}
+    assert got == {"a": (3, 60.0), "c": (1, 1.0), "d": (1, 7.0)}  # b retracted
