@@ -28,7 +28,7 @@ import re
 import sys
 import time
 
-MAX_LINE = 1800  # stay under the driver's stdout tail buffer
+MAX_LINE = 1750  # stay comfortably under the driver's stdout tail buffer
 
 # Queries whose timings go on the stdout line first (BASELINE.md's gold
 # models, the TPC-H suite, then flagship data-prep/stream operators).

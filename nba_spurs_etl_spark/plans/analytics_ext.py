@@ -1053,3 +1053,117 @@ def scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d.version").alias("dim_version"),
         )
     )
+
+
+@register(
+    "events_drift_chi2",
+    group="ext-events quality monitoring",
+    oracle="""
+WITH s AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+b AS (
+  SELECT CAST(CAST(date_trunc('week', ts) AS TIMESTAMP) AS VARCHAR) AS wk,
+    LEAST(CAST(floor((value - mn) / (mx - mn) * 10) AS INT), 9) AS bucket
+  FROM events CROSS JOIN s
+),
+base AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS base_cnt,
+    SUM(COUNT(*)) OVER () AS base_total
+  FROM b GROUP BY bucket
+),
+wk_tot AS (
+  SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_events FROM b GROUP BY wk
+),
+obs AS (
+  SELECT wk, bucket, CAST(COUNT(*) AS BIGINT) AS o FROM b GROUP BY wk, bucket
+),
+grid AS (
+  SELECT w.wk, w.n_events, bb.bucket, bb.base_cnt, bb.base_total,
+    COALESCE(o.o, 0) AS o
+  FROM wk_tot w CROSS JOIN base bb
+  LEFT JOIN obs o ON o.wk = w.wk AND o.bucket = bb.bucket
+),
+terms AS (
+  SELECT wk, n_events, bucket,
+    power(o - n_events * base_cnt / CAST(base_total AS DOUBLE), 2)
+      / (n_events * base_cnt / CAST(base_total AS DOUBLE)) AS term
+  FROM grid
+)
+SELECT wk, n_events,
+  list_reduce(
+    list_transform(
+      list_sort(list({'b': bucket, 't': term})), x -> x['t']),
+    (a, x) -> a + x) AS chi2
+FROM terms GROUP BY wk, n_events
+""",
+    doc="Distribution-drift monitor: weekly chi-square statistic of the "
+    "event-value histogram against the whole-corpus baseline — the "
+    "data-quality check a training pipeline runs to catch upstream "
+    "shifts before they poison a training run. Buckets are global-min/"
+    "max equi-width (one broadcast scalar frame); expected counts are "
+    "rational expressions of integer counts; missing buckets "
+    "contribute their full (0-e)^2/e via a weeks x buckets grid "
+    "(|weeks|*10 rows — tiny). The per-week sum runs as an IN-ORDER "
+    "fold over the bucket-sorted term list, so both engines add the "
+    "10 IEEE terms in the identical order (a bare SUM() is "
+    "partition-order-dependent at the last ulp). Two fact passes "
+    "(bucket+count), everything downstream kilobyte-scale.",
+)
+def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    s = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    b = ev.crossJoin(F.broadcast(s)).select(
+        F.date_trunc("week", F.col("ts")).cast("string").alias("wk"),
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * 10
+            ).cast("int"),
+            F.lit(9),
+        ).alias("bucket"),
+    )
+    from pyspark.sql import Window
+
+    base = (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("base_cnt"))
+        .withColumn(
+            "base_total",
+            F.sum("base_cnt").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    wk_tot = b.groupBy("wk").agg(F.count(F.lit(1)).alias("n_events"))
+    obs = b.groupBy("wk", "bucket").agg(F.count(F.lit(1)).alias("o"))
+    grid = (
+        wk_tot.crossJoin(F.broadcast(base))
+        .join(obs, ["wk", "bucket"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+    )
+    exp = (
+        F.col("n_events")
+        * F.col("base_cnt")
+        / F.col("base_total").cast("double")
+    )
+    terms = grid.select(
+        "wk",
+        "n_events",
+        "bucket",
+        (F.pow(F.col("o") - exp, 2) / exp).alias("term"),
+    )
+    return (
+        terms.groupBy("wk", "n_events")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+                    lambda x: x["term"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("chi2")
+        )
+    )

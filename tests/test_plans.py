@@ -311,3 +311,49 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_contrastive_negatives_broadcasts_reps(spark, catalog):
+    """The bucket-representative table must broadcast onto the probe
+    stream — a shuffled rep join would move the corpus for a
+    kilobyte-sized table."""
+    plan = fmt_plan(catalog["contrastive_negatives"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_encode_broadcasts_vocab(spark, catalog):
+    """The V-row vocabulary joins the token stream as a broadcast; the
+    token stream itself must not shuffle for the join."""
+    plan = fmt_plan(catalog["vocab_encode_docs"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_checksum_single_exchange(spark, catalog):
+    """The bucketed checksum is one map-combined aggregation: exactly
+    one exchange, carrying |buckets| partial rows per task."""
+    plan = fmt_plan(catalog["table_checksum_buckets"](spark, SF_SMOKE))
+    assert plan.count("Exchange (") == 1, plan  # tree lines only
+    assert plan.count("HashAggregate (") >= 2  # partial + final
+
+
+def test_zorder_key_is_narrow(spark, catalog):
+    """The z-key computation itself adds no data shuffle: the
+    bucket-profile query's exchanges are the profile groupBy plus the
+    4-number scalar min/max partial (which then broadcasts) — the
+    interleave expression never moves rows."""
+    plan = fmt_plan(catalog["zorder_orders_buckets"](spark, SF_SMOKE))
+    assert plan.count("BroadcastExchange (") == 1  # min/max frame
+    # tree "Exchange (" lines: scalar-agg partial + profile groupBy
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 2, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_scd2_asof_join_is_hash_on_key(spark, catalog):
+    """The point-in-time dimension lookup must join hash/broadcast on
+    user_id with the interval containment as a residual — never a
+    nested-loop over intervals."""
+    plan = fmt_plan(catalog["scd2_asof_enrich"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
