@@ -62,18 +62,30 @@ def norm_to_bits(c: Column, mn: Column, mx: Column, bits: int) -> Column:
     values; heavily skewed columns should use rank/range-id
     normalization instead (what table formats compute from sketches).
     """
-    top = F.lit((1 << bits) - 1)
-    span = mx.cast("long") - mn.cast("long")
-    return F.when(span == 0, F.lit(0)).otherwise(
-        ((c.cast("long") - mn.cast("long")) * top).cast("long") / span
-    ).cast("long")
+    # decimal(38,0) arithmetic end-to-end: the (c-mn)*top product can
+    # exceed both 2^53 (where a double-division quotient misrounds) and
+    # 2^63 (where a long multiply wraps); decimal multiply/mod are
+    # exact, and (num - num%span)/span divides exactly, so the scale-6
+    # division result is integer-valued and the long cast is lossless.
+    dec = "decimal(38,0)"
+    top = F.lit((1 << bits) - 1).cast(dec)
+    cd, mnd, mxd = c.cast(dec), mn.cast(dec), mx.cast(dec)
+    span = mxd - mnd
+    num = (cd - mnd) * top
+    exact = (num - num % span) / span
+    return F.when(mxd == mnd, F.lit(0).cast("long")).otherwise(
+        exact.cast("long")
+    )
 
 
 def norm_to_bits_sql(c: str, mn: str, mx: str, bits: int) -> str:
+    # HUGEINT mirrors the Spark decimal path: 128-bit exact multiply +
+    # true integer floor division
     top = (1 << bits) - 1
     return (
         f"(CASE WHEN {mx} = {mn} THEN 0 "
-        f"ELSE (({c} - {mn}) * {top}) // ({mx} - {mn}) END)"
+        f"ELSE CAST((CAST({c} AS HUGEINT) - {mn}) * {top} "
+        f"// (CAST({mx} AS HUGEINT) - {mn}) AS BIGINT) END)"
     )
 
 

@@ -935,8 +935,8 @@ SELECT CAST(MAX(total_rows) AS BIGINT) AS n_rows,
   CAST(MIN(CASE WHEN cum_keys >= ceil(0.99 * total_keys) THEN cnt END)
     AS BIGINT) AS p99_cnt,
   CAST(MAX(cnt) AS DOUBLE) / MAX(total_rows) AS top1_share,
-  CAST(MAX(cnt) * MAX(total_keys) AS DOUBLE) / MAX(total_rows)
-    AS max_over_mean
+  CAST(MAX(cnt) AS DOUBLE) * CAST(MAX(total_keys) AS DOUBLE)
+    / MAX(total_rows) AS max_over_mean
 FROM h
 """,
     doc="Key-skew diagnostic — the profile you run BEFORE choosing a "
@@ -985,8 +985,11 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq(0.90, "p90_cnt"),
         pq(0.99, "p99_cnt"),
         (F.max("cnt").cast("double") / F.max("total_rows")).alias("top1_share"),
+        # cast BEFORE multiplying: max_cnt * n_keys can exceed int64 at
+        # large scale (silent wrap in Spark, error in DuckDB)
         (
-            (F.max("cnt") * F.max("total_keys")).cast("double")
+            F.max("cnt").cast("double")
+            * F.max("total_keys").cast("double")
             / F.max("total_rows")
         ).alias("max_over_mean"),
     )
@@ -1124,9 +1127,18 @@ def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # ONE fact aggregation; base and week totals are re-aggregations of
+    # the kilobyte-sized (weeks x buckets) frame, not extra fact scans.
+    # localCheckpoint pins obs so the three consumers share the
+    # materialized frame instead of re-executing the scan subtree.
+    obs = (
+        b.groupBy("wk", "bucket")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
     base = (
-        b.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("base_cnt"))
+        obs.groupBy("bucket")
+        .agg(F.sum("o").alias("base_cnt"))
         .withColumn(
             "base_total",
             F.sum("base_cnt").over(
@@ -1136,8 +1148,7 @@ def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    wk_tot = b.groupBy("wk").agg(F.count(F.lit(1)).alias("n_events"))
-    obs = b.groupBy("wk", "bucket").agg(F.count(F.lit(1)).alias("o"))
+    wk_tot = obs.groupBy("wk").agg(F.sum("o").alias("n_events"))
     grid = (
         wk_tot.crossJoin(F.broadcast(base))
         .join(obs, ["wk", "bucket"], "left")

@@ -998,21 +998,39 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+INCR_KEYS = ["o_orderstatus", "order_month"]
+
+
+def orders_incremental_frames(orders: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(base, signed changelog) split shared by incremental_agg_orders
+    and stream_incremental_agg — both register the SAME oracle, so the
+    split must live in exactly one place."""
+    orders = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias(
+            "order_month"
+        ),
+    )
+    k = F.col("o_orderkey")
+    base = orders.filter(k % 10 != 9)
+    changelog = base.filter(k % 100 == 3).withColumn(
+        "sign", F.lit(-1)
+    ).unionByName(orders.filter(k % 10 == 9).withColumn("sign", F.lit(1)))
+    return base, changelog
+
+
 @register(
     "incremental_agg_orders",
     group="ext-warehouse 2.4",
-    oracle="""
+    oracle=f"""
 SELECT o_orderstatus,
   substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS order_month,
   CAST(COUNT(*) AS BIGINT) AS n_rows,
-  (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) AS DOUBLE)
-   + CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-     - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) AS DOUBLE))
-    AS sum_amount,
-  (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) AS DOUBLE)
-   + CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-     - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) AS DOUBLE))
-    / COUNT(*) AS avg_amount
+  {dbig_sql("SUM(CAST(o_totalprice AS DECIMAL(18,2)))")} AS sum_amount,
+  {dbig_sql("SUM(CAST(o_totalprice AS DECIMAL(18,2)))")} / COUNT(*)
+    AS avg_amount
 FROM orders
 WHERE (o_orderkey % 10 <> 9 AND o_orderkey % 100 <> 3)
    OR o_orderkey % 10 = 9
@@ -1032,22 +1050,11 @@ GROUP BY 1, 2
 def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import incremental as inc
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_totalprice",
-        F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias(
-            "order_month"
-        ),
+    base, changelog = orders_incremental_frames(
+        load_table(spark, sf_dir, "orders")
     )
-    k = F.col("o_orderkey")
-    keys = ["o_orderstatus", "order_month"]
-    base = orders.filter(k % 10 != 9)
-    state0 = inc.agg_state(base, keys, "o_totalprice")
-    changelog = base.filter(k % 100 == 3).withColumn(
-        "sign", F.lit(-1)
-    ).unionByName(orders.filter(k % 10 == 9).withColumn("sign", F.lit(1)))
-    delta = inc.agg_state(changelog, keys, "o_totalprice", sign="sign")
+    state0 = inc.agg_state(base, INCR_KEYS, "o_totalprice")
+    delta = inc.agg_state(changelog, INCR_KEYS, "o_totalprice", sign="sign")
     return inc.finalize(inc.merge_states(state0, delta))
 
 

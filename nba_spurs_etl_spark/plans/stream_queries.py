@@ -331,8 +331,10 @@ def stream_scd2_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    import glob
+
     from ..functions.scalar import epoch_us
-    from ..streaming.scd2 import Scd2Snapshot
+    from ..streaming.scd2 import Scd2Snapshot, stamp_file_order
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "value", epoch_us("ts").alias("us"), "event_id"
@@ -345,9 +347,14 @@ def stream_scd2_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="spark_scd2_stream_")
     logdir = os.path.join(work, "log")
     ev.filter(F.col("us") < mid).coalesce(1).write.mode("append").parquet(logdir)
+    first = set(glob.glob(os.path.join(logdir, "*.parquet")))
     ev.filter(F.col("us") >= mid).coalesce(1).write.mode("append").parquet(
         logdir
     )
+    second = set(glob.glob(os.path.join(logdir, "*.parquet"))) - first
+    # SCD2 is order-SENSITIVE: pin the file source's intake order
+    # (mtime has ms granularity — back-to-back writes can tie/invert)
+    stamp_file_order([sorted(first), sorted(second)])
 
     snap = Scd2Snapshot(spark, os.path.join(work, "snap"), key="user_id")
     snap.init_empty()
@@ -382,24 +389,16 @@ def stream_incremental_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..streaming.incremental import AggStateSnapshot
+    from .olap_ext import INCR_KEYS, orders_incremental_frames
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_totalprice",
-        F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias(
-            "order_month"
-        ),
+    base, changelog = orders_incremental_frames(
+        load_table(spark, sf_dir, "orders")
     )
-    k = F.col("o_orderkey")
-    base = orders.filter(k % 10 != 9)
-    changelog = base.filter(k % 100 == 3).withColumn(
-        "sign", F.lit(-1)
-    ).unionByName(orders.filter(k % 10 == 9).withColumn("sign", F.lit(1)))
 
     work = tempfile.mkdtemp(prefix="spark_incr_stream_")
     logdir = os.path.join(work, "log")
     # commutative state: an arbitrary (parity) split still converges
+    k = F.col("o_orderkey")
     changelog.filter(k % 2 == 0).coalesce(1).write.mode("append").parquet(
         logdir
     )
@@ -410,7 +409,7 @@ def stream_incremental_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = AggStateSnapshot(
         spark,
         os.path.join(work, "snap"),
-        keys=["o_orderstatus", "order_month"],
+        keys=INCR_KEYS,
         amount="o_totalprice",
         sign="sign",
     )

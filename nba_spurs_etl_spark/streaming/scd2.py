@@ -119,3 +119,22 @@ class Scd2Snapshot(CdcSnapshot):
             "effective_to_us",
             "is_current",
         )
+
+
+def stamp_file_order(groups: list[list[str]]) -> None:
+    """Force strictly increasing modification times across file groups.
+
+    FileStreamSource orders unprocessed files by lastModified with
+    millisecond granularity and no documented tiebreak; two parquet
+    writes landing in the same millisecond (or on a coarse-mtime
+    filesystem) can be picked up in either order. Order-SENSITIVE
+    drains (SCD2's append-mode contract) must pin the intake order
+    explicitly; commutative drains (CDC merge, agg-state) don't care.
+    """
+    import os
+    import time
+
+    t0 = time.time() - 60.0 * (len(groups) + 1)
+    for i, files in enumerate(groups):
+        for f in files:
+            os.utime(f, (t0 + 60.0 * i, t0 + 60.0 * i))

@@ -72,19 +72,15 @@ def main() -> int:
         build(spark, dst, k)
     q = queries()
     for sf_dir, label in [(SRC, "sf0.1"), (dst, f"sf0.1x{k}")]:
-        def run(name: str) -> None:
+        for name in NAMES:
+            c = q[name](spark, sf_dir).count()  # warm (and row count)
+            t0 = time.perf_counter()
             # noop sink: full evaluation (count() lets Catalyst prune
             # cardinality-preserving expressions — see bench.py)
             q[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-
-        for name in NAMES:
-            run(name)  # warm
-            t0 = time.perf_counter()
-            run(name)
             t1 = time.perf_counter()
-            c = q[name](spark, sf_dir).count()
             print(f"{label} {name}: rows={c} t={round(t1 - t0, 2)}")
     return 0
 

@@ -388,8 +388,13 @@ def test_stream_scd2_multi_batch_convergence(spark, tmp_path_factory):
     build."""
     import os
 
+    import glob
+
     from nba_spurs_etl_spark.functions.scalar import epoch_us
-    from nba_spurs_etl_spark.streaming.scd2 import Scd2Snapshot
+    from nba_spurs_etl_spark.streaming.scd2 import (
+        Scd2Snapshot,
+        stamp_file_order,
+    )
 
     ev = load_table(spark, SF_SMOKE, "events").select(
         "user_id", "value", epoch_us("ts").alias("us"), "event_id"
@@ -399,7 +404,10 @@ def test_stream_scd2_multi_batch_convergence(spark, tmp_path_factory):
     work = str(tmp_path_factory.mktemp("scd2_stream"))
     logdir = os.path.join(work, "log")
     ev.filter(F.col("us") < mid).coalesce(1).write.mode("append").parquet(logdir)
+    first = set(glob.glob(os.path.join(logdir, "*.parquet")))
     ev.filter(F.col("us") >= mid).coalesce(1).write.mode("append").parquet(logdir)
+    second = set(glob.glob(os.path.join(logdir, "*.parquet"))) - first
+    stamp_file_order([sorted(first), sorted(second)])
 
     snap = Scd2Snapshot(spark, os.path.join(work, "snap"), key="user_id")
     snap.init_empty()
