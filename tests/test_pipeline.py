@@ -217,3 +217,51 @@ def test_live_datasource_retry_and_partitioning():
     with pytest.raises(ConnectionError):
         fetch_with_retry(dead, 1, "2024", sleep=sleeps.append)
     assert sleeps == [4.0, 8.0, 10.0, 10.0]
+
+
+def test_repack_layout_equivalence(spark):
+    """ensure_repacked (bench ingest step) must produce a drop-in sf_dir:
+    large tables split into order-preserving per-core part-files with
+    byte-identical rows, small tables + events symlinked through, and a
+    second call a no-op (mtime-keyed)."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from nba_spurs_etl_spark.sources.repack import ensure_repacked
+
+    sf = "/root/testdata/sf0.01"
+    # min_rows=1000 forces the split path for the fact tables at sf0.01
+    out = ensure_repacked(sf, 8, min_rows=1000)
+
+    # events stays a single file (streaming pathGlobFilter contract)
+    ev = os.path.join(out, "events.parquet")
+    assert os.path.islink(ev) and os.path.isfile(ev)
+
+    for t in ("region", "nation", "customer", "lineitem", "orders"):
+        src = os.path.join(sf, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        n_src = pq.ParquetFile(src).metadata.num_rows
+        if n_src >= 1000:
+            assert os.path.isdir(dst), t
+            parts = [p for p in os.listdir(dst) if p.endswith(".parquet")]
+            assert len(parts) > 1, t
+        else:
+            assert os.path.islink(dst), t
+        a = spark.read.parquet(src)
+        b = spark.read.parquet(dst)
+        assert a.schema == b.schema, t
+        assert b.count() == n_src, t
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), t
+
+    # idempotence: second call rewrites nothing (marker mtimes stable)
+    li = os.path.join(out, "lineitem.parquet")
+    if os.path.isdir(li):
+        before = {p: os.stat(os.path.join(li, p)).st_mtime_ns
+                  for p in os.listdir(li)}
+        time.sleep(0.01)
+        assert ensure_repacked(sf, 8, min_rows=1000) == out
+        after = {p: os.stat(os.path.join(li, p)).st_mtime_ns
+                 for p in os.listdir(li)}
+        assert before == after
