@@ -1,0 +1,168 @@
+"""Distributed global prefix sums (running totals over a TOTAL order).
+
+The engine's other running sums are per-key windows
+(`plans.olap_ext.rolling_7d_customer_revenue`, gaps-and-islands) —
+Spark parallelizes those by the partition key. A *global* running sum
+has no partition key, and the naive form
+
+    W = Window.orderBy(...)            # no partitionBy
+    df.withColumn("run", F.sum(x).over(W))
+
+collapses the whole dataset into ONE task (Spark even warns). The
+curation operators sidestep this by packing per shard key
+(`operators/curation.py:111`); this module solves the global form
+properly with the classic two-phase scan:
+
+1. split the total order into ``num_buckets`` ordered intervals using
+   DETERMINISTIC quantile boundaries of the leading order component
+   (``percentile_approx`` — a deterministic sketch, no RNG; the
+   boundary list is bucket-count-sized driver metadata, like the IVF
+   centroids in `operators/similarity.py`);
+2. per-bucket local running sums — parallel windows keyed by the
+   bucket id, ONE data-scale hash shuffle;
+3. per-bucket totals -> exclusive prefix offsets (a window over
+   |buckets| rows — scheduler-scale, not data-scale);
+4. broadcast the offsets back on the bucket id and add.
+
+The resulting physical plan (pinned by ``tests/test_plans.py``)
+carries exactly ONE data-scale shuffle — hashpartitioning(bucket) under
+the local window. The per-bucket totals never ride that shuffle:
+Catalyst plans them as a partial HashAggregate directly over a second
+column-pruned scan, so their exchange moves |buckets|×tasks partial
+rows, not data. Cost model: two scans (one pruned to bucket+value, one
+for the boundary sketch pruned to the bucket column), one data shuffle,
+one broadcast. At 100 TB on 1000 executors this is exactly how MPP
+engines run ``SUM() OVER (ORDER BY ...)``.
+
+Why not ``repartitionByRange`` + ``spark_partition_id``? The ranged
+frame is consumed twice (local window + partials), and when the
+optimizer does NOT reuse the exchange each instance re-runs
+``RangePartitioner``'s reservoir sampling with a different RDD-id
+seed — the two sides can disagree about partition boundaries and the
+offsets silently misalign. Explicit literal boundaries make bucket
+assignment a pure row-local expression: reuse becomes an optimization,
+not a correctness requirement.
+
+Correctness contract: ``order_cols`` must be a TOTAL order (include a
+unique tiebreak key), and rows equal on the leading component always
+land in the same bucket, so no tie ever straddles a boundary. Use an
+exact value type (decimal / integer) for bit-equality with the
+sequential SQL form — bucket-major addition is a reassociation, exact
+for decimals, not for doubles.
+
+No reference analog (the reference's only window functions are
+partitioned ranks, ``/root/reference/dbt/models/*.sql``); this is a
+scale-enabling extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantile_buckets(
+    df: DataFrame, bucket_on: Column, num_buckets: int
+) -> Column:
+    """Ordered bucket id (0..num_buckets-1) from deterministic quantile
+    boundaries of a NUMERIC expression that is non-decreasing in the
+    intended order's leading component.
+
+    Boundary values are actual data quantiles, deduplicated — a
+    low-cardinality leading component yields fewer (possibly 1)
+    buckets, degrading parallelism but never correctness.
+    """
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    row = df.select(
+        F.percentile_approx(bucket_on, probs, 10_000).alias("b")
+    ).first()
+    bounds = sorted({b for b in (row["b"] or []) if b is not None})
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(bucket_on > F.lit(b), 1).otherwise(0)
+    return bucket
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value: Column | str,
+    out_col: str = "running_sum",
+    bucket_on: Column | str | None = None,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = SUM(value) OVER (ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING) without a single-task global window.
+
+    ``bucket_on``: numeric expression non-decreasing in
+    ``order_cols[0]`` (defaults to the column itself — pass an explicit
+    cast for non-numeric leading columns, e.g. a date's day number).
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    if bucket_on is None:
+        bucket_on = F.col(order_cols[0])
+    elif isinstance(bucket_on, str):
+        bucket_on = F.col(bucket_on)
+    if num_buckets is None:
+        num_buckets = df.sparkSession.sparkContext.defaultParallelism
+
+    bucketed = df.withColumn("_bkt", quantile_buckets(df, bucket_on, num_buckets))
+    local_w = (
+        Window.partitionBy("_bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_local = bucketed.withColumn("_local", F.sum(v).over(local_w))
+    # per-bucket totals over the SAME hashpartitioning(_bkt) exchange the
+    # window uses (ReuseExchange dedupes); |buckets| rows out
+    partials = bucketed.groupBy("_bkt").agg(F.sum(v).alias("_btotal"))
+    off_w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = partials.select(
+        "_bkt", F.sum("_btotal").over(off_w).alias("_offset")
+    )
+    return (
+        with_local.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            out_col, F.col("_local") + F.coalesce(F.col("_offset"), F.lit(0))
+        )
+        .drop("_bkt", "_local", "_offset")
+    )
+
+
+def interval_concurrency(
+    df: DataFrame,
+    start: Column,
+    end: Column,
+    order_tiebreak: Column,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Sweep-line concurrency: for every interval boundary, how many
+    intervals [start, end) are open just after it.
+
+    Classic event-sweep: explode each interval into (+1 at start, -1 at
+    end) boundary rows, then a global running sum over (time, delta,
+    tiebreak). Half-open semantics: at equal timestamps the -1 sorts
+    before the +1 (delta ascending), so an interval ending exactly when
+    another starts never double-counts.
+
+    ``start``/``end`` must be numeric (e.g. epoch microseconds), so the
+    time axis doubles as the bucket expression. Returns
+    (t, delta, tb, concurrency); built on ``global_running_sum``, so it
+    inherits the two-phase scale shape.
+    """
+    boundaries = df.select(
+        F.explode(
+            F.array(
+                F.struct(start.alias("t"), F.lit(1).alias("delta")),
+                F.struct(end.alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("b"),
+        order_tiebreak.alias("tb"),
+    ).select("b.t", "b.delta", "tb")
+    return global_running_sum(
+        boundaries,
+        ["t", "delta", "tb"],
+        F.col("delta").cast("bigint"),
+        out_col="concurrency",
+        num_buckets=num_buckets,
+    )

@@ -48,8 +48,11 @@ set_priority([
     "gold_spurs_player_contributions",
     "gold_streaks_and_rivals",
     "gold_players_recommendations",
-    "silver_games",
-    "silver_player_stats",
+    # r01+r02 driver-green silver_games / silver_player_stats rotated
+    # out late round 3 for the brand-new global-prefix-sum operators
+    # (both keep full pytest parity)
+    "orders_running_revenue",
+    "events_concurrency_hourly",
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "q18_large_orders",

@@ -1249,3 +1249,102 @@ def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# global running totals — two-phase distributed prefix sum
+# (operators/prefix.py; no reference analog — its windows are all
+#  partitioned ranks, dbt/models/spurs_analysis/*.sql)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_running_revenue",
+    group="2.5 ext-prefix",
+    oracle="""
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS running_revenue
+FROM orders
+""",
+    doc="GLOBAL running revenue over the (orderdate, orderkey) total "
+    "order — the window shape Spark executes as ONE task when written "
+    "naively (Window.orderBy with no partitionBy). Implemented as the "
+    "two-phase distributed prefix sum (range-partition, parallel local "
+    "windows, |partitions|-row offset pass, broadcast add): "
+    "operators/prefix.py. Decimal-exact, so the two-phase result is "
+    "bit-identical to the one-task form and the SQL oracle.",
+)
+def orders_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        # integer day index: same ordering as the date, and numeric so it
+        # doubles as the quantile-bucket axis
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("_day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("_rev"),
+    )
+    out = global_running_sum(
+        orders, ["_day", "o_orderkey"], "_rev", out_col="_run"
+    )
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("_run").cast("double").alias("running_revenue"),
+    )
+
+
+@register(
+    "events_concurrency_hourly",
+    group="2.5 ext-prefix sweep",
+    oracle="""
+WITH b AS (
+  SELECT epoch_us(ts) AS t_us, 1 AS delta, event_id AS tb FROM events
+  UNION ALL
+  SELECT epoch_us(ts) + 600000000, -1, event_id FROM events
+),
+r AS (
+  SELECT t_us,
+    SUM(delta) OVER (ORDER BY t_us, delta, tb
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM b
+)
+SELECT CAST(t_us // 3600000000 AS BIGINT) AS hour_no,
+       CAST(MAX(conc) AS BIGINT) AS max_concurrency
+FROM r GROUP BY 1
+""",
+    doc="Sweep-line max concurrency per hour: each event holds a "
+    "resource for 10 minutes ([ts, ts+10m)); boundaries become +1/-1 "
+    "deltas and a GLOBAL running sum over (time, delta, event_id) "
+    "counts open intervals at every boundary. Half-open semantics: at "
+    "equal timestamps the -1 sorts first, so back-to-back intervals "
+    "never double-count. Runs on the two-phase distributed prefix sum "
+    "(operators/prefix.py) — no single-task window. Integer-microsecond "
+    "time axis (DuckDB epoch_us == Spark unix_micros truncation of the "
+    "ns source), so both engines bucket identically.",
+)
+def events_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import interval_concurrency
+
+    ev = load_table(spark, sf_dir, "events").select(
+        epoch_us("ts").alias("t_us"), "event_id"
+    )
+    sweep = interval_concurrency(
+        ev,
+        start=F.col("t_us"),
+        end=F.col("t_us") + F.lit(600000000).cast("bigint"),
+        order_tiebreak=F.col("event_id"),
+    )
+    return (
+        sweep.groupBy(
+            # integer div — a double division then cast can misbucket at
+            # hour boundaries (us magnitudes ~1.7e15 exceed double's
+            # exact-integer range headroom for the quotient rounding)
+            F.expr("t div 3600000000").cast("bigint").alias("hour_no")
+        )
+        .agg(F.max("concurrency").cast("bigint").alias("max_concurrency"))
+    )

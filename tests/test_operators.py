@@ -799,3 +799,77 @@ def test_triangle_counts_match_model(spark, edges):
     df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
     got = {r.doc: r.triangles for r in triangle_counts(df).collect()}
     assert got == model
+
+
+# ---------------------------------------------------------------------------
+# global prefix sum: two-phase == naive single-window (exact), edge cases
+# ---------------------------------------------------------------------------
+
+
+def test_global_running_sum_matches_single_window(spark):
+    """Bucket-major reassociation must be EXACT vs the one-task window,
+    including ties on the bucket axis, nulls in the value, negative
+    deltas, and a bucket count larger than the distinct-key count."""
+    from pyspark.sql import Window
+
+    from nba_spurs_etl_spark.operators.prefix import global_running_sum
+
+    rows = [
+        # (k, tb, v) — k has heavy ties so quantile boundaries repeat
+        (1, 1, 10), (1, 2, None), (1, 3, -3),
+        (2, 4, 7), (2, 5, 7), (2, 6, 7),
+        (3, 7, 0), (3, 8, -10),
+        (10, 9, 100), (10, 10, 1),
+    ]
+    df = spark.createDataFrame(rows, "k int, tb int, v int")
+    got = {
+        r["tb"]: r["run"]
+        for r in global_running_sum(
+            df, ["k", "tb"], F.col("v").cast("bigint"),
+            out_col="run", num_buckets=7,
+        ).collect()
+    }
+    w = (
+        Window.orderBy("k", "tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["tb"]: r["run"]
+        for r in df.withColumn(
+            "run", F.sum(F.col("v").cast("bigint")).over(w)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_running_sum_constant_key_degenerates_safely(spark):
+    """A constant bucket axis collapses to one bucket (documented
+    degradation) but stays correct."""
+    from nba_spurs_etl_spark.operators.prefix import global_running_sum
+
+    df = spark.createDataFrame(
+        [(5, i, 1) for i in range(20)], "k int, tb int, v int"
+    )
+    out = global_running_sum(df, ["k", "tb"], "v", out_col="run").collect()
+    assert sorted((r["tb"], r["run"]) for r in out) == [
+        (i, i + 1) for i in range(20)
+    ]
+
+
+def test_interval_concurrency_half_open(spark):
+    """Back-to-back intervals ([0,10) then [10,20)) never overlap; true
+    overlaps count; the sweep ends at zero."""
+    from nba_spurs_etl_spark.operators.prefix import interval_concurrency
+
+    df = spark.createDataFrame(
+        [(1, 0, 10), (2, 10, 20), (3, 5, 15)], "id int, s long, e long"
+    )
+    out = interval_concurrency(
+        df, F.col("s"), F.col("e"), F.col("id"), num_buckets=3
+    ).collect()
+    by_key = {(r["t"], r["delta"], r["tb"]): r["concurrency"] for r in out}
+    assert by_key[(0, 1, 1)] == 1    # [0,10) opens
+    assert by_key[(5, 1, 3)] == 2    # [5,15) overlaps it
+    assert by_key[(10, -1, 1)] == 1  # [0,10) closes BEFORE [10,20) opens
+    assert by_key[(10, 1, 2)] == 2   # then [10,20) opens alongside [5,15)
+    assert by_key[(20, -1, 2)] == 0  # all closed

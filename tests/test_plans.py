@@ -357,3 +357,35 @@ def test_scd2_asof_join_is_hash_on_key(spark, catalog):
     plan = fmt_plan(catalog["scd2_asof_enrich"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_running_sum_avoids_single_task_window(spark, catalog):
+    """The two-phase global prefix sum must never plan the naive
+    unpartitioned data-scale window: exactly one data-scale shuffle
+    (hashpartitioning on the bucket id, feeding the bucket-partitioned
+    local window); the offsets side is map-side pre-aggregated before
+    its exchange; no rangepartitioning (whose re-sampled boundaries
+    could disagree between plan subtrees)."""
+    plan = fmt_plan(catalog["orders_running_revenue"](spark, SF_SMOKE))
+    # the local window partitions by the bucket id
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("_bkt" in s for s in win_specs), win_specs
+    # no range partitioning anywhere
+    assert "rangepartitioning" not in plan
+    # every hashpartitioning exchange is on the bucket id
+    hash_ex = re.findall(r"Arguments: hashpartitioning\(([^,]+),", plan)
+    assert hash_ex and all("_bkt" in a for a in hash_ex), hash_ex
+    # the offsets pass is partial-aggregated BEFORE its shuffle: a
+    # HashAggregate with partial_sum must sit under an Exchange
+    assert "partial_sum" in plan
+    # exactly one SinglePartition exchange (the |buckets|-row offsets
+    # window) — the data side must never collapse to one partition
+    assert plan.count("SinglePartition") == 1
+
+
+def test_concurrency_sweep_runs_on_two_phase_prefix(spark, catalog):
+    plan = fmt_plan(catalog["events_concurrency_hourly"](spark, SF_SMOKE))
+    assert "rangepartitioning" not in plan
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("_bkt" in s for s in win_specs), win_specs
+    assert plan.count("SinglePartition") == 1
