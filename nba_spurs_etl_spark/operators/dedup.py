@@ -267,6 +267,39 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """(doc, band, bkey) LSH band-bucket rows of minhash signatures —
+    the persistable dedup INDEX: store it partitioned/bucketed by
+    (band, bkey) and new batches join against it without touching the
+    historical corpus text (``incremental_minhash_pairs``).
+
+    The band rows are emitted by ONE explode over an inline
+    (band, bkey) struct array — not a per-band union, which would
+    re-evaluate the whole signature subtree once per band.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, max_shingle_freq)
+    band_structs = []
+    for b in range(num_hashes // band_size):
+        cols = [f"mh_{b * band_size + j}" for j in range(band_size)]
+        key = md5_long(
+            F.concat_ws("_", F.lit(str(b)), *[F.col(c).cast("string") for c in cols])
+        )
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), key.alias("bkey"))
+        )
+    return sig.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -283,28 +316,17 @@ def minhash_lsh_pairs(
     jaccard s collide with prob 1-(1-s^4)^4 (~0.5 at s~0.55).
     Returns distinct (doc_a < doc_b) candidates.
 
-    Scale/plan notes: the band rows are emitted by ONE explode over an
-    inline (band, bkey) struct array — not a per-band union, which would
-    re-evaluate the whole signature subtree once per band. Candidates
-    come from posting-list combination emission per bucket (one shuffle
-    keyed by bucket), not a bands-self-join, which would evaluate the
-    signature subtree twice more and shuffle the band rows twice.
-    Identical-doc mega-buckets are the only skew source; their quadratic
-    pair emission is inherent to the op's output contract.
+    Scale/plan notes: candidates come from posting-list combination
+    emission per bucket (one shuffle keyed by bucket), not a
+    bands-self-join, which would evaluate the signature subtree twice
+    more and shuffle the band rows twice (see ``minhash_bands`` for the
+    band-row emission shape). Identical-doc mega-buckets are the only
+    skew source; their quadratic pair emission is inherent to the op's
+    output contract.
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, max_shingle_freq)
-    band_structs = []
-    for b in range(num_hashes // band_size):
-        cols = [f"mh_{b * band_size + j}" for j in range(band_size)]
-        key = md5_long(
-            F.concat_ws("_", F.lit(str(b)), *[F.col(c).cast("string") for c in cols])
-        )
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), key.alias("bkey"))
-        )
-    bands = sig.select(
-        "doc", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    bands = minhash_bands(
+        df, id_col, text_col, num_hashes, band_size, n, max_shingle_freq
+    )
     return (
         bands.groupBy("band", "bkey")
         .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
@@ -313,6 +335,69 @@ def minhash_lsh_pairs(
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    index_bands: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against a persisted corpus index + itself.
+
+    The production shape for a growing corpus: signatures/bands are
+    computed ONLY for the arriving batch; the historical side is the
+    stored ``minhash_bands`` output (at scale: bucketed by
+    (band, bkey), so this join co-locates with zero index shuffle and
+    the per-ingest cost is O(|batch|), never O(|corpus|).
+
+    Returns distinct (doc_a, doc_b, src) candidates where at least one
+    side is new: src='cross' pairs (doc_a = historical, doc_b = new)
+    via a bucket equi-join that STREAMS hot buckets (same rationale as
+    ``simhash_pairs``: an index bucket can be large, and a join never
+    materializes its pair list in one row), src='new' pairs inside the
+    batch via the posting-list kernel. The union equals the full-corpus
+    ``minhash_lsh_pairs`` restricted to pairs touching the batch —
+    pinned by ``tests/test_operators.py``.
+    """
+    nb = minhash_bands(
+        new_df, id_col, text_col, num_hashes, band_size, n, max_shingle_freq
+    ).localCheckpoint(eager=False)  # consumed twice; compute once
+    cross = (
+        index_bands.alias("i")
+        .join(
+            nb.alias("n"),
+            (F.col("i.band") == F.col("n.band"))
+            & (F.col("i.bkey") == F.col("n.bkey"))
+            & (F.col("i.doc") != F.col("n.doc")),
+        )
+        .select(
+            # normalize to doc_a < doc_b like minhash_lsh_pairs, so the
+            # incremental union is set-equal to the full-corpus pairs
+            # restricted to the batch
+            F.least(F.col("i.doc"), F.col("n.doc")).alias("doc_a"),
+            F.greatest(F.col("i.doc"), F.col("n.doc")).alias("doc_b"),
+            F.lit("cross").alias("src"),
+        )
+        .distinct()
+    )
+    intra = (
+        nb.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.explode(pair_combos(F.col("docs"))).alias("p"))
+        .select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.lit("new").alias("src"),
+        )
+        .distinct()
+    )
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------

@@ -69,7 +69,9 @@ set_priority([
     "table_profile_orders",
     "stats_linear_fit",
     "outlier_orders_zscore",
-    "dedup_exact",
+    # dedup_exact (driver-green r01+r02) rotated out for the new
+    # incremental batch-vs-index dedup
+    "dedup_incremental_batch",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_banded",

@@ -166,6 +166,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental_batch",
+    group="ext-dedup incremental",
+    oracle=f"""
+WITH {_minhash_pairs_ctes()}
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+  CASE WHEN doc_a % 5 = 0 AND doc_b % 5 = 0 THEN 'new' ELSE 'cross' END AS src
+FROM cand
+WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+""",
+    doc="Incremental dedup of an arriving batch (docs with id % 5 = 0) "
+    "against the persisted minhash band INDEX of the historical corpus "
+    "(operators/dedup.py::minhash_bands / incremental_minhash_pairs): "
+    "signatures are computed only for the batch, the historical side "
+    "is an index lookup join — per-ingest cost O(|batch|), never "
+    "O(|corpus|). At scale the index is bucketed by (band, bkey) so "
+    "the lookup co-locates. Oracle: the full-corpus candidate set "
+    "restricted to pairs touching the batch — the incremental union "
+    "is provably set-equal because minhash signatures are per-doc "
+    "independent (no corpus-level frequency cap in this variant).",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 5 == 0)
+    historical = docs.filter(F.col("doc_id") % 5 != 0)
+    index = dedup.minhash_bands(
+        historical, "doc_id", "text",
+        num_hashes=_NUM_HASHES, band_size=_BAND_SIZE,
+    )
+    return dedup.incremental_minhash_pairs(
+        new_batch, index, "doc_id", "text",
+        num_hashes=_NUM_HASHES, band_size=_BAND_SIZE,
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup: simhash
 # ---------------------------------------------------------------------------

@@ -873,3 +873,51 @@ def test_interval_concurrency_half_open(spark):
     assert by_key[(10, -1, 1)] == 1  # [0,10) closes BEFORE [10,20) opens
     assert by_key[(10, 1, 2)] == 2   # then [10,20) opens alongside [5,15)
     assert by_key[(20, -1, 2)] == 0  # all closed
+
+
+# ---------------------------------------------------------------------------
+# incremental minhash dedup: batch-vs-index == full-corpus restricted
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_minhash_equals_full_restricted(spark):
+    """Candidates from (new batch x historical index) U (new x new) must
+    be SET-EQUAL to the full-corpus LSH pairs restricted to pairs that
+    touch the batch — the invariant that makes incremental ingest safe
+    to run forever without periodic full recomputes."""
+    from nba_spurs_etl_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_bands,
+        minhash_lsh_pairs,
+    )
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "the quick brown fox jumps over the lazy dog today",
+        "completely different text about distributed query engines",
+    ]
+    rows = []
+    for i in range(30):
+        t = base[i % 3] + (" extra" if i % 7 == 0 else "")
+        rows.append((i, t))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+
+    index = minhash_bands(old, "doc_id", "text", num_hashes=8, band_size=2)
+    inc = incremental_minhash_pairs(
+        new, index, "doc_id", "text", num_hashes=8, band_size=2
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in inc.collect()}
+    # src classification must match membership
+    for r in inc.collect():
+        both_new = r["doc_a"] % 4 == 0 and r["doc_b"] % 4 == 0
+        assert r["src"] == ("new" if both_new else "cross")
+
+    full = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, band_size=2)
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in full.collect()
+        if r["doc_a"] % 4 == 0 or r["doc_b"] % 4 == 0
+    }
+    assert got == want and got  # non-trivial: duplicates exist across sides
