@@ -35,6 +35,9 @@ NAMES = [
     "incremental_agg_orders", "key_skew_profile", "contrastive_negatives",
     "zorder_orders_buckets", "vocab_encode_docs", "balanced_class_sample",
     "table_checksum_buckets", "scd2_asof_enrich", "window_dist_functions",
+    # late round-3 additions
+    "orders_running_revenue", "events_concurrency_hourly",
+    "dedup_incremental_batch",
 ]
 
 
