@@ -1001,6 +1001,46 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_pipeline",
+    group="ext-multimodal",
+    oracle=None,  # decode/resize/hash of the FIMG raster is pure-python
+    # by design (codec territory); correctness is pinned by
+    # tests/test_operators.py::test_image_pipeline_decode_resize_and_error_isolation
+    # (known-dims decode, exact nearest-neighbor resample, error rows)
+    doc="Full image pipeline over synthesized FIMG raster blobs: "
+    "decode (real header parse) -> pixel stats -> aspect-fit "
+    "nearest-neighbor resize (real resampling math) -> resized-content "
+    "hash, one Arrow mapInPandas pass with per-row error isolation "
+    "(operators/multimodal.py::image_pipeline_features). Every 97th "
+    "doc carries a deliberately corrupt blob to keep the malformed "
+    "path hot.",
+)
+def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                if did % 97 == 0:
+                    payloads.append(b"corrupt")  # malformed-path coverage
+                else:
+                    w = 16 + int(did) % 48
+                    h = 16 + int(nc) % 48
+                    payloads.append(
+                        multimodal.encode_fake_image(w, h, f"img:{did}")
+                    )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return multimodal.image_pipeline_features(media, "doc_id", "payload")
+
+
+@register(
     "multimodal_frame_sample",
     group="ext-multimodal",
     oracle=f"""

@@ -921,3 +921,53 @@ def test_incremental_minhash_equals_full_restricted(spark):
         if r["doc_a"] % 4 == 0 or r["doc_b"] % 4 == 0
     }
     assert got == want and got  # non-trivial: duplicates exist across sides
+
+
+# ---------------------------------------------------------------------------
+# multimodal: deterministic fake codec exercises the REAL pipeline paths
+# ---------------------------------------------------------------------------
+
+
+def test_image_pipeline_decode_resize_and_error_isolation(spark):
+    """decode -> stats -> aspect-fit resize -> hash over mapInPandas,
+    with malformed + codec-gated blobs isolated to error rows."""
+    from nba_spurs_etl_spark.operators.multimodal import (
+        decode_image,
+        encode_fake_image,
+        image_pipeline_features,
+        resize_nearest,
+    )
+
+    # pure-python ground truth first
+    img = encode_fake_image(6, 4, "s")
+    w, h, px = decode_image(img)
+    assert (w, h, len(px)) == (6, 4, 24)
+    # nearest-neighbor 4x4 -> 2x2 picks rows/cols 0,2
+    px16 = bytes(range(16))
+    assert resize_nearest(px16, 4, 4, 2, 2) == bytes([0, 2, 8, 10])
+
+    rows = [
+        (1, encode_fake_image(448, 100, "wide")),   # landscape
+        (2, encode_fake_image(100, 448, "tall")),   # portrait
+        (3, b"\xff\xd8\xffJPEGDATA"),               # codec-gated
+        (4, b"FIMG" + (5).to_bytes(2, "big") + (5).to_bytes(2, "big") + b"xx"),  # truncated
+        (5, b"garbage"),                            # bad magic
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc"]: r
+        for r in image_pipeline_features(df, "doc_id", "payload").collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (448, 100)
+    assert (out[1]["resized_w"], out[1]["resized_h"]) == (224, 50)
+    assert (out[2]["resized_w"], out[2]["resized_h"]) == (50, 224)
+    assert out[1]["error"] is None and 0 <= out[1]["mean_px"] <= 255
+    assert out[3]["error"].startswith("needs-codec:") and out[3]["width"] is None
+    assert out[4]["error"].startswith("malformed:")
+    assert out[5]["error"].startswith("malformed:")
+    # determinism: same blob -> same resized hash across runs
+    again = {
+        r["doc"]: r["resized_hash"]
+        for r in image_pipeline_features(df, "doc_id", "payload").collect()
+    }
+    assert again[1] == out[1]["resized_hash"]
