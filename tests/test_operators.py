@@ -971,3 +971,35 @@ def test_image_pipeline_decode_resize_and_error_isolation(spark):
         for r in image_pipeline_features(df, "doc_id", "payload").collect()
     }
     assert again[1] == out[1]["resized_hash"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),   # bucket key (ties likely)
+            st.integers(min_value=-1000, max_value=1000),  # value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    buckets=st.integers(min_value=1, max_value=12),
+)
+def test_global_running_sum_property(spark, rows, buckets):
+    """For ANY key distribution and bucket count, the two-phase form
+    equals the sequential model exactly."""
+    from nba_spurs_etl_spark.operators.prefix import global_running_sum
+
+    data = [(k, i, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, tb long, v long")
+    got = {
+        r["tb"]: r["run"]
+        for r in global_running_sum(
+            df, ["k", "tb"], "v", out_col="run", num_buckets=buckets
+        ).collect()
+    }
+    acc, want = 0, {}
+    for k, tb, v in sorted(data):
+        acc += v
+        want[tb] = acc
+    assert got == want
