@@ -367,6 +367,17 @@ def incremental_minhash_pairs(
     nb = minhash_bands(
         new_df, id_col, text_col, num_hashes, band_size, n, max_shingle_freq
     ).localCheckpoint(eager=False)  # consumed twice; compute once
+    return incremental_pairs_from_bands(nb, index_bands)
+
+
+def incremental_pairs_from_bands(
+    new_bands: DataFrame, index_bands: DataFrame
+) -> DataFrame:
+    """``incremental_minhash_pairs`` with the batch's band rows already
+    computed — the streaming entry point (``streaming.dedup_stream``
+    computes bands once per micro-batch and also appends them to the
+    index, so the signature work is never done twice)."""
+    nb = new_bands
     cross = (
         index_bands.alias("i")
         .join(

@@ -298,6 +298,40 @@ def stream_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "stream_dedup_lsh_index",
+    group="2.9 ext-stream ext-dedup",
+    # the drained stream equals the full-corpus batch LSH pairs (every
+    # unordered pair emitted exactly once, in the later doc's batch), so
+    # it shares dedup_minhash_lsh's FULL oracle
+    oracle=registry()["dedup_minhash_lsh"].oracle,
+    doc="STREAMING near-dup detection with a growing LSH band index "
+    "(streaming/dedup_stream.py): per micro-batch, batch-local minhash "
+    "bands -> candidate pairs vs the index-so-far (bucket join) plus "
+    "batch-internal pairs -> append bands to the index; idempotent "
+    "bid-partitioned sinks survive foreachBatch retries. Drained over "
+    "the whole corpus it equals batch minhash_lsh_pairs (same oracle); "
+    "multi-batch equality + retry idempotency pinned by "
+    "tests/test_streaming.py.",
+)
+def stream_dedup_lsh_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.dedup_stream import (
+        StreamingLshDedup,
+        read_documents_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="spark_stream_lsh_")
+    dd = StreamingLshDedup(spark, work)
+    q = dd.attach(
+        read_documents_stream(spark, sf_dir), os.path.join(work, "ckpt")
+    )
+    q.awaitTermination()
+    return dd.pairs().select("doc_a", "doc_b")
+
+
 # NOTE: stream_user_profile_tws (transformWithStateInPandas, the
 # current-generation arbitrary-state API — streaming/stateful.py) is
 # implemented and equivalence-tested, but NOT registered here: the TWS

@@ -1,0 +1,133 @@
+"""Streaming near-dup detection with a GROWING LSH band index.
+
+The batch incremental dedup (``operators.dedup.incremental_minhash_pairs``)
+handles one arriving batch; this module runs the same logic as a
+Structured Streaming sink so a document FEED dedups continuously:
+
+per micro-batch (``foreachBatch``):
+1. compute minhash band rows for the batch's documents (batch-local —
+   signatures are per-doc, so no cross-batch state is needed for them);
+2. emit candidate pairs = (batch x index-so-far) bucket join
+   ∪ (batch x batch) posting-list pairs;
+3. append the batch's band rows to the index.
+
+Every unordered pair {a, b} is emitted EXACTLY once — in the micro-batch
+of whichever doc arrives later (cross) or their shared batch (intra) —
+so the union over batches equals the full-corpus ``minhash_lsh_pairs``
+restricted to streamed docs. With the whole corpus streamed, it equals
+the batch operator outright (same DuckDB oracle; multi-batch equality
+pinned by ``tests/test_streaming.py``).
+
+Fault tolerance: ``foreachBatch`` re-runs a micro-batch after failure,
+so both sinks are written as ``bid=<batch_id>`` partition directories
+with per-directory overwrite — a retry replaces its own output instead
+of duplicating it (the standard idempotent-foreachBatch layout). The
+checkpoint serializes batch order, so "index-so-far" is well-defined.
+
+Scale: the index is the only growing state and it lives in the TABLE,
+not in stream state — at 100 TB lay it out bucketed by (band, bkey) so
+step 2's join co-locates; per-batch cost is O(|batch|) signatures plus
+an index lookup, never a corpus rescan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import incremental_pairs_from_bands, minhash_bands
+
+
+class StreamingLshDedup:
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_hashes: int = 16,
+        band_size: int = 4,
+    ):
+        self.spark = spark
+        self.index_dir = os.path.join(work_dir, "band_index")
+        self.pairs_dir = os.path.join(work_dir, "pairs")
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_hashes = num_hashes
+        self.band_size = band_size
+
+    # -- sinks ------------------------------------------------------------
+
+    def _has_data(self, path: str) -> bool:
+        return os.path.isdir(path) and any(
+            e.startswith("bid=") for e in os.listdir(path)
+        )
+
+    def index(self) -> DataFrame:
+        return self.spark.read.parquet(self.index_dir).select(
+            "doc", "band", "bkey"
+        )
+
+    def pairs(self) -> DataFrame:
+        if not self._has_data(self.pairs_dir):
+            return self.spark.createDataFrame(
+                [], "doc_a long, doc_b long, src string"
+            )
+        return self.spark.read.parquet(self.pairs_dir).select(
+            "doc_a", "doc_b", "src"
+        )
+
+    # -- the micro-batch apply --------------------------------------------
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        bands = minhash_bands(
+            batch_df,
+            self.id_col,
+            self.text_col,
+            num_hashes=self.num_hashes,
+            band_size=self.band_size,
+        ).localCheckpoint(eager=True)  # 3 consumers: cross, intra, append
+        if self._has_data(self.index_dir):
+            # exclude this batch's OWN bid from the lookup: a retry that
+            # failed after the index write would otherwise see its own
+            # bands and re-emit every intra pair as a 'cross' duplicate
+            idx = (
+                self.spark.read.parquet(self.index_dir)
+                .filter(F.col("bid") != batch_id)
+                .select("doc", "band", "bkey")
+            )
+            out = incremental_pairs_from_bands(bands, idx)
+        else:  # first batch: no history yet, intra pairs only
+            empty = bands.filter(F.lit(False))
+            out = incremental_pairs_from_bands(bands, empty)
+        # bid=<id> overwrite => a foreachBatch RETRY replaces its own
+        # output (idempotent), and the partition column records lineage
+        out.write.mode("overwrite").parquet(
+            os.path.join(self.pairs_dir, f"bid={batch_id}")
+        )
+        bands.write.mode("overwrite").parquet(
+            os.path.join(self.index_dir, f"bid={batch_id}")
+        )
+
+    def attach(self, docs_stream: DataFrame, checkpoint: str):
+        """Start the availableNow drain; caller awaits termination."""
+        return (
+            docs_stream.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of <sf_dir>/documents.parquet (schema from a batch
+    footer read — streams cannot infer)."""
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )

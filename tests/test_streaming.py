@@ -527,3 +527,67 @@ def test_python_stream_source_exactly_once_and_restart(spark, tmp_path_factory):
     # max_day, so a second run must add NOTHING (no refetch of history)
     run_until(3 * 10 + 1, timeout=8.0)
     assert spark.read.parquet(out_dir).count() == 3 * 10
+
+
+def test_stream_lsh_dedup_multi_batch_and_retry(spark, tmp_path_factory):
+    """Streaming LSH dedup over 3 micro-batches must equal the batch
+    full-corpus pairs (every unordered pair exactly once, found in the
+    later doc's batch via the growing index), and a foreachBatch RETRY
+    must not duplicate pairs (bid-partitioned overwrite sinks)."""
+    import os
+
+    from nba_spurs_etl_spark.operators.dedup import minhash_lsh_pairs
+    from nba_spurs_etl_spark.streaming.dedup_stream import StreamingLshDedup
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    # 3 deterministic files -> 3 micro-batches (maxFilesPerTrigger=1)
+    src = str(tmp_path_factory.mktemp("docs_feed"))
+    for part in range(3):
+        (docs.filter(F.col("doc_id") % 3 == part).coalesce(1)
+             .write.mode("append").parquet(src))
+    work = str(tmp_path_factory.mktemp("lsh_work"))
+    dd = StreamingLshDedup(spark, work)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    dd.attach(stream, os.path.join(work, "ckpt")).awaitTermination()
+
+    got = {(r["doc_a"], r["doc_b"]) for r in dd.pairs().collect()}
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert got == want and want  # non-trivial corpus
+    # exactly-once across batches: no pair appears under two bids
+    per_bid = dd.spark.read.parquet(dd.pairs_dir).select(
+        "doc_a", "doc_b"
+    ).count()
+    assert per_bid == len(got)
+    # cross-batch pairs actually exercised the index path
+    assert dd.pairs().filter("src = 'cross'").count() > 0
+    assert dd.pairs().filter("src = 'new'").count() > 0
+
+    # simulate an engine retry of the LAST micro-batch: re-apply the
+    # same batch_id with the same data -> output unchanged
+    bids = sorted(
+        int(e.split("=")[1])
+        for e in os.listdir(dd.pairs_dir) if e.startswith("bid=")
+    )
+    last = bids[-1]
+    last_batch = docs.filter(F.col("doc_id") % 3 == 2)
+    # scenario A: retry AFTER the index write landed — apply_batch must
+    # not see its own bands (bid exclusion), else every intra pair of
+    # the batch would re-emit as a 'cross' duplicate
+    dd.apply_batch(last_batch, last)
+    again = {(r["doc_a"], r["doc_b"]) for r in dd.pairs().collect()}
+    assert again == got
+    assert dd.spark.read.parquet(dd.pairs_dir).count() == len(got)
+    # scenario B: retry BEFORE the index write landed
+    import shutil
+    shutil.rmtree(os.path.join(dd.index_dir, f"bid={last}"))
+    dd.apply_batch(last_batch, last)
+    again = {(r["doc_a"], r["doc_b"]) for r in dd.pairs().collect()}
+    assert again == got
+    assert dd.spark.read.parquet(dd.pairs_dir).count() == len(got)
