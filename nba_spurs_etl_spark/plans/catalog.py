@@ -84,7 +84,9 @@ set_priority([
     "corpus_pipeline",
     "embedding_kmeans_lloyd",
     "events_props_json",
-    "stream_tumbling_agg",
+    # stream_tumbling_agg (driver-green r02) rotated out for the new
+    # streaming LSH dedup
+    "stream_dedup_lsh_index",
     "quality_assertions",
     "top1_per_group",
     "global_rank_topk",

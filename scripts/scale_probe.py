@@ -37,7 +37,7 @@ NAMES = [
     "table_checksum_buckets", "scd2_asof_enrich", "window_dist_functions",
     # late round-3 additions
     "orders_running_revenue", "events_concurrency_hourly",
-    "dedup_incremental_batch",
+    "dedup_incremental_batch", "dedup_jaccard_prefix_filtered",
 ]
 
 

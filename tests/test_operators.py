@@ -1003,3 +1003,75 @@ def test_global_running_sum_property(spark, rows, buckets):
         acc += v
         want[tb] = acc
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    picks=st.lists(st.integers(min_value=0, max_value=3), min_size=4, max_size=14),
+    thr=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_prefix_filtered_jaccard_equals_plain(spark, picks, thr):
+    """Prefix filtering is an exact optimization: for arbitrary corpora
+    (heavy boilerplate overlap included) and thresholds, output equals
+    the plain inverted-index jaccard operator."""
+    from nba_spurs_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "pack my box with five dozen liquor jugs now",
+        "sphinx of black quartz judge my vow today ok",
+    ]
+    rows = [(i, base[p] + (" tail" if i % 3 == 0 else "")) for i, p in enumerate(picks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=thr).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs_prefix(df, "doc_id", "text", threshold=thr).collect()
+    }
+    assert pref == plain
+
+
+def test_prefix_filtering_bounds_boilerplate_candidates(spark):
+    """The win case for prefix filtering: a corpus where every doc
+    shares hot boilerplate but no pair meets the threshold. The plain
+    inverted index emits ~C(n,2) candidates from the hot tokens; the
+    prefix index posts only each doc's rare tail, generating ZERO
+    candidates — losslessly (unlike a frequency cap)."""
+    from nba_spurs_etl_spark.operators.dedup import (
+        exploded_shingles,
+        jaccard_prefix_candidates,
+        ngram_jaccard_pairs_prefix,
+    )
+    from pyspark.sql import functions as SF
+
+    boiler = "this document is provided as is without any warranty of any kind"
+    # the unique tail must dominate: prefix length is ~s/2 + 1, so with
+    # 9 boilerplate trigrams the tail needs >= 9 unique words for the
+    # rarest-first prefix to stay boilerplate-free (see prefix lemma)
+    tail = " ".join(f"w{{0}}x{j}" for j in range(12))
+    rows = [(i, f"{boiler} " + tail.format(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # plain inverted index: candidate pairs from every shared shingle
+    posts = exploded_shingles(df, "doc_id", "text", 3)
+    plain_cands = (
+        posts.groupBy("shingle")
+        .agg(SF.count(SF.lit(1)).alias("c"))
+        .select(SF.sum(SF.col("c") * (SF.col("c") - 1) / 2).alias("pairs"))
+        .first()["pairs"]
+    )
+    assert plain_cands > 10_000  # the quadratic boilerplate blow-up
+
+    pref_cands = jaccard_prefix_candidates(
+        df, "doc_id", "text", threshold=0.5
+    ).count()
+    assert pref_cands == 0
+    # and the exact result agrees: no pair reaches 0.5
+    assert ngram_jaccard_pairs_prefix(df, "doc_id", "text", threshold=0.5).count() == 0
