@@ -92,6 +92,99 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 5,
+    min_hits: int = 1,
+    expected_grams: int = 100_000,
+    bits_per_item: int = 10,
+    num_hashes: int = 7,
+) -> DataFrame:
+    """``decontaminate`` for eval sets too big to broadcast as a hash
+    table — EXACT same output, bloom-prefiltered plan.
+
+    At frontier scale the eval-suite gram set runs to billions of
+    entries: a broadcast hashmap is ~10x the raw key bytes and stops
+    fitting, while a bloom filter at ``bits_per_item`` bits/item is an
+    order of magnitude smaller. Built entirely with DataFrame ops
+    (Spark's internal BloomFilterAggregate is not SQL-callable):
+
+    1. benchmark grams explode into ``num_hashes`` xxhash64 bit
+       positions and BIT_OR-aggregate into a words table of
+       ``m/64`` longs — insertion-order independent (pure bit-OR), so
+       deterministic, and 64 set-bits travel as one long;
+    2. corpus grams probe the BROADCAST words table on word index —
+       the broadcast payload is the compressed bit array (~1.6
+       bytes/benchmark-gram here), never the gram keys — and survive
+       only if ALL ``num_hashes`` probed bits are set;
+    3. survivors (true hits + the fpp tail) meet the benchmark grams
+       in an exact equi-join that removes every false positive — bloom
+       filters have no false negatives, so the result is bit-identical
+       to ``decontaminate`` (shared oracle).
+
+    The survivor join is left unbroadcast deliberately: in the regime
+    this variant exists for, the bench side CANNOT broadcast; the
+    shuffle it pays carries survivors only, not the corpus.
+    """
+    bcol = bench_text_col or text_col
+    m = expected_grams * bits_per_item  # filter size in bits
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+
+    def with_probe(df_):
+        # shiftleft's shift amount must be a column-side expression:
+        # SQL-string form, since the python API only takes int literals
+        return df_.withColumn(
+            "pos", F.pmod(F.xxhash64(F.col("gh"), F.col("seed")), F.lit(m))
+        ).select(
+            *df_.columns,
+            F.expr("CAST(pos DIV 64 AS LONG)").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS LONG), CAST(pos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+
+    bench_grams = (
+        benchmark.select(F.explode(_grams(F.col(bcol), n)).alias("g"))
+        .select(md5_long(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    words = (
+        with_probe(bench_grams.select("gh", F.explode(seeds).alias("seed")))
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc"), F.explode(_grams(F.col(text_col), n)).alias("g")
+    ).select("doc", md5_long(F.col("g")).alias("gh"))
+    survivors = (
+        with_probe(doc_grams.select("doc", "gh", F.explode(seeds).alias("seed")))
+        .join(F.broadcast(words), "word_idx")
+        .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0)
+        .groupBy("doc", "gh")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == num_hashes)  # ALL probes must hit
+        .select("doc", "gh")
+    )
+    hits = (
+        survivors.join(bench_grams, "gh")  # exact: kills bloom FPs
+        .groupBy("doc")
+        .agg(F.count_distinct("gh").alias("hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            (F.coalesce("hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     id_col: str,

@@ -70,6 +70,31 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_decontaminate_bloom",
+    group="ext-curation bloom",
+    oracle=registry()["corpus_decontaminate"].oracle,
+    doc="Decontamination for eval sets too big to broadcast as a "
+    "hashmap: benchmark grams BIT_OR-aggregate into a compressed "
+    "bloom words table (~1.6 bytes/gram broadcast instead of 8+ byte "
+    "keys), corpus grams probe it with 7 xxhash64 functions and "
+    "survive only if every bit is set, and survivors alone meet the "
+    "benchmark grams in an exact join that removes bloom false "
+    "positives — bit-identical to corpus_decontaminate (shared "
+    "oracle); the corpus side never shuffles its grams.",
+)
+def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.decontaminate_bloom(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        "doc_id",
+        "text",
+        n=_DECON_N,
+        min_hits=_DECON_MIN_HITS,
+    )
+
+
 _PACK_CAPACITY = 256
 
 

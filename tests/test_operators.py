@@ -1075,3 +1075,31 @@ def test_prefix_filtering_bounds_boilerplate_candidates(spark):
     assert pref_cands == 0
     # and the exact result agrees: no pair reaches 0.5
     assert ngram_jaccard_pairs_prefix(df, "doc_id", "text", threshold=0.5).count() == 0
+
+
+def test_bloom_decontaminate_equals_exact_and_prefilters(spark):
+    """The bloom-prefiltered decontamination must equal the broadcast
+    form on corpora WITH contamination, and its exact-verify join must
+    see only the bloom survivors (a small fraction of corpus grams)."""
+    from nba_spurs_etl_spark.operators.curation import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    rows = [(i, f"clean doc number {i} with its own words entirely w{i} x{i} y{i} z{i}")
+            for i in range(1, 40)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta something else here now"),
+             (101, "prefix words then delta epsilon zeta eta theta iota tail")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kw = dict(n=5, min_hits=1)
+    exact = {(r["doc"], r["hits"], r["contaminated"])
+             for r in decontaminate(docs, bench, "doc_id", "text", **kw).collect()}
+    bloom = {(r["doc"], r["hits"], r["contaminated"])
+             for r in decontaminate_bloom(docs, bench, "doc_id", "text", **kw).collect()}
+    assert bloom == exact
+    assert any(c for _, _, c in exact)  # contamination actually present
