@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import davg_sql, dsum, dsum_sql
+from ..functions.scalar import dsum, dsum_sql
 from ..sources.catalog import load_table
 from .registry import register
 

@@ -21,7 +21,7 @@ the group key at 100 TB so merge never re-shuffles the full state.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 
 from ..operators import incremental as inc
 from .cdc import CdcSnapshot
