@@ -1220,6 +1220,79 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sessionize_capped",
+    group="ext-stream 2.5-W4 capped",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+      OR lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+    THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, value, us,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_no
+  FROM seq
+),
+capped AS (
+  SELECT user_id, event_id, value, us, island_no,
+    (us - MIN(us) OVER (PARTITION BY user_id, island_no))
+      // 7200000000 AS chunk
+  FROM sess
+)
+SELECT user_id, CAST(island_no AS BIGINT) AS island_no,
+  CAST(chunk AS BIGINT) AS chunk,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(MIN(us) AS BIGINT) AS session_start_us,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM capped
+GROUP BY 1, 2, 3
+""",
+    doc="Sessionization with BOTH rules real products use: a 30-min "
+    "inactivity gap starts a new session (gaps-and-islands) AND a "
+    "session never exceeds 2 hours — long islands split into fixed 2h "
+    "frames anchored at the island start ((us - island_start) div 2h; "
+    "the closed-form variant of the duration cap — a timer-resetting "
+    "cap is inherently sequential and not window-expressible). All "
+    "windows share one user-keyed exchange.",
+)
+def events_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", epoch_us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.withColumn(
+        "is_new",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > 1_800_000_000)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = seq.withColumn("island_no", F.sum("is_new").over(run))
+    island_w = Window.partitionBy("user_id", "island_no")
+    # integer div: a double division + cast can misbucket at exact 2h
+    # boundaries (same guard as events_concurrency_hourly)
+    capped = sess.withColumn(
+        "_elapsed", F.col("us") - F.min("us").over(island_w)
+    ).withColumn("chunk", F.expr("_elapsed div 7200000000"))
+    return capped.groupBy("user_id", "island_no", "chunk").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("session_start_us"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "session_value"
+        ),
+    )
+
+
+@register(
     "events_sliding_agg",
     group="ext-stream 2.9",
     oracle="""

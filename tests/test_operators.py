@@ -1103,3 +1103,46 @@ def test_bloom_decontaminate_equals_exact_and_prefilters(spark):
              for r in decontaminate_bloom(docs, bench, "doc_id", "text", **kw).collect()}
     assert bloom == exact
     assert any(c for _, _, c in exact)  # contamination actually present
+
+
+def test_capped_sessionize_splits_long_islands(spark, tmp_path):
+    """The 2h cap path never fires on the driver testdata (no island
+    exceeds 2h), so pin it synthetically: one user firing every 20 min
+    for 5h = ONE gap island split into 3 fixed 2h frames; a second user
+    with a 40-min gap still splits on the gap rule."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nba_spurs_etl_spark.plans.catalog import queries
+
+    t0 = 1_700_000_000_000_000  # epoch us
+    rows = []
+    # user 1: 16 events, 20-min cadence -> island of 5h -> chunks 0,1,2
+    for i in range(16):
+        rows.append((i, t0 + i * 1_200_000_000, 1, "view", 1.0, "{}"))
+    # user 2: two events 40 min apart -> two gap islands, chunk 0 each
+    rows.append((100, t0, 2, "view", 1.0, "{}"))
+    rows.append((101, t0 + 2_400_000_000, 2, "view", 1.0, "{}"))
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows]),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    out = queries()["events_sessionize_capped"](spark, str(tmp_path)).collect()
+    u1 = sorted(
+        (r["island_no"], r["chunk"], r["n_events"])
+        for r in out if r["user_id"] == 1
+    )
+    # 2h frames anchored at island start: events 0-5 (0..100min),
+    # 6-11 (120..220min), 12-15 (240..300min)
+    assert u1 == [(1, 0, 6), (1, 1, 6), (1, 2, 4)]
+    u2 = sorted(
+        (r["island_no"], r["chunk"], r["n_events"])
+        for r in out if r["user_id"] == 2
+    )
+    assert u2 == [(1, 0, 1), (2, 0, 1)]
