@@ -389,3 +389,27 @@ def test_concurrency_sweep_runs_on_two_phase_prefix(spark, catalog):
     win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert any("_bkt" in s for s in win_specs), win_specs
     assert plan.count("SinglePartition") == 1
+
+
+def test_bloom_decontaminate_probes_broadcast_bits(spark, catalog):
+    """The bloom variant must probe a BROADCAST compressed words table
+    (never a sort-merge join of corpus grams against eval grams), and
+    the corpus-gram explode must feed the bloom filter directly —
+    the gram stream dies in its own stage when bits miss."""
+    plan = fmt_plan(catalog["corpus_decontaminate_bloom"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    # the words-table probe and the exact verify join both broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "bit_or" in plan  # the compressed filter build
+
+
+def test_prefix_candidates_post_only_prefix_tokens(spark, catalog):
+    """Prefix-filtered jaccard: the posting-list pair emission must sit
+    above a rank filter (row_number <= prefix length), not the full
+    token stream, and verification must be array_intersect (row-local),
+    never a second posting self-join."""
+    plan = fmt_plan(catalog["dedup_jaccard_prefix_filtered"](spark, SF_SMOKE))
+    assert "row_number" in plan
+    assert "array_intersect" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
