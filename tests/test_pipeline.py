@@ -265,3 +265,62 @@ def test_repack_layout_equivalence(spark):
         after = {p: os.stat(os.path.join(li, p)).st_mtime_ns
                  for p in os.listdir(li)}
         assert before == after
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    """Idempotent daily backfill: re-running one day's aggregation with
+    partitionOverwriteMode=dynamic must replace ONLY that day's
+    partition, leaving every other partition byte-identical — the
+    standard INSERT OVERWRITE pattern any scheduled 100 TB pipeline
+    rests on (static overwrite mode would wipe the whole table)."""
+    import os
+
+    from nba_spurs_etl_spark.sources.catalog import load_table
+
+    out = str(tmp_path / "daily")
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("events"))
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        daily.write.mode("overwrite").partitionBy("day").parquet(out)
+        days = sorted(
+            e.split("=")[1] for e in os.listdir(out) if e.startswith("day=")
+        )
+        assert len(days) > 1
+        target, other = days[0], days[1]
+        other_mtimes = {
+            f: os.stat(os.path.join(out, f"day={other}", f)).st_mtime_ns
+            for f in os.listdir(os.path.join(out, f"day={other}"))
+            if f.endswith(".parquet")
+        }
+        before = spark.read.parquet(out)
+        total_before = before.count()
+        target_rows_before = before.filter(F.col("day") == target).count()
+
+        # backfill the first day with CORRECTED data (halved counts)
+        fixed = daily.filter(F.col("day") == target).withColumn(
+            "events", (F.col("events") / 2).cast("long")
+        )
+        fixed.write.mode("overwrite").partitionBy("day").parquet(out)
+
+        after = spark.read.parquet(out)
+        assert after.count() == total_before  # same rows overall
+        assert after.filter(F.col("day") == target).count() == target_rows_before
+        # the corrected values landed
+        a = {(r["event_type"], r["events"])
+             for r in after.filter(F.col("day") == target).collect()}
+        w = {(r["event_type"], r["events"]) for r in fixed.collect()}
+        assert a == w
+        # untouched partitions: same files, same mtimes
+        now_mtimes = {
+            f: os.stat(os.path.join(out, f"day={other}", f)).st_mtime_ns
+            for f in os.listdir(os.path.join(out, f"day={other}"))
+            if f.endswith(".parquet")
+        }
+        assert now_mtimes == other_mtimes
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
