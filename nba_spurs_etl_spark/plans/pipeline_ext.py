@@ -1369,6 +1369,66 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+@register(
+    "orders_month_spine_recursive",
+    group="2.8 ext-sql recursive-cte",
+    oracle="""
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+  FROM orders
+),
+spine(m) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+  WHERE m < (SELECT hi FROM bounds)
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+    CAST(COUNT(*) AS BIGINT) AS orders_cnt
+  FROM orders GROUP BY 1
+)
+SELECT CAST(s.m AS VARCHAR) AS month,
+  COALESCE(mo.orders_cnt, CAST(0 AS BIGINT)) AS orders_cnt
+FROM spine s LEFT JOIN monthly mo ON s.m = mo.m
+""",
+    doc="Spark 4 RECURSIVE CTE surface: a month spine generated by "
+    "linear recursion (min..max order month), left-joined to monthly "
+    "order counts so empty months surface as 0 — the densify shape "
+    "gap-fill pipelines need, run through spark.sql's recursion "
+    "engine (UNION ALL linear recursion; Spark does not yet support "
+    "UNION-distinct recursion, so cyclic closures stay on the "
+    "checkpointed label-propagation operator — see "
+    "dedup_minhash_components). Identical SQL text runs on DuckDB.",
+)
+def orders_month_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_orders_spine_rcte"
+    )
+    return spark.sql("""
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+  FROM _orders_spine_rcte
+),
+spine(m) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+  WHERE m < (SELECT hi FROM bounds)
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+    COUNT(*) AS orders_cnt
+  FROM _orders_spine_rcte GROUP BY 1
+)
+SELECT CAST(s.m AS STRING) AS month,
+  COALESCE(mo.orders_cnt, 0L) AS orders_cnt
+FROM spine s LEFT JOIN monthly mo ON s.m = mo.m
+""")
+
+
 def _dedup_filtered_oracle() -> str:
     comp = registry()["dedup_minhash_components"].oracle
     return f"""
