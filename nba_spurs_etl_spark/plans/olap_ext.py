@@ -1251,6 +1251,47 @@ def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_udf_scalar_functions",
+    group="2.8 2.10 ext-sql-udf",
+    oracle="""
+SELECT
+  CASE WHEN o_orderpriority LIKE '%-%'
+       THEN substr(o_orderpriority, 1, 1) ELSE o_orderpriority END
+    AS prio_code,
+  split_part(o_orderpriority, '-', 2) AS prio_name,
+  CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders
+GROUP BY 1, 2
+""",
+    doc="Spark 4 SQL UDF surface (CREATE FUNCTION ... RETURN): the "
+    "reference's scalar helpers — the season-normalization CASE used "
+    "as a join key (dbt team_weaknesses.sql) and the split_part "
+    "opponent extraction (streaks_and_rivals.sql) — declared as "
+    "engine-resident SQL functions instead of Python. SQL UDFs inline "
+    "into the plan as expressions (full codegen, no serialization "
+    "wall), so unlike Python UDFs they are the FAST path; the oracle "
+    "inlines the identical logic.",
+)
+def sql_udf_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION prio_code(s STRING)
+RETURNS STRING
+RETURN CASE WHEN s LIKE '%-%' THEN substr(s, 1, 1) ELSE s END""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION prio_name(s STRING)
+RETURNS STRING
+RETURN split_part(s, '-', 2)""")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_orders_sqludf"
+    )
+    return spark.sql("""
+SELECT prio_code(o_orderpriority) AS prio_code,
+       prio_name(o_orderpriority) AS prio_name,
+       COUNT(*) AS cnt
+FROM _orders_sqludf
+GROUP BY 1, 2
+""")
+
+
 # ---------------------------------------------------------------------------
 # global running totals — two-phase distributed prefix sum
 # (operators/prefix.py; no reference analog — its windows are all
