@@ -1146,3 +1146,40 @@ def test_capped_sessionize_splits_long_islands(spark, tmp_path):
         for r in out if r["user_id"] == 2
     )
     assert u2 == [(1, 0, 1), (2, 0, 1)]
+
+
+def test_edit_distance_pairs_symspell_blocking(spark):
+    """Deletion blocking must find every pair within distance 1 —
+    substitution, insertion, deletion, and exact duplicates — and
+    nothing farther away."""
+    from nba_spurs_etl_spark.operators.fuzzy import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "abcd"), (4, "xyz"), (5, "abc"),
+         (6, "bc"), (7, "")],
+        "id long, name string",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(df, "id", "name").collect()
+    )
+    # ground truth from a python model
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    rows = {1: "abc", 2: "abd", 3: "abcd", 4: "xyz", 5: "abc", 6: "bc", 7: ""}
+    want = sorted(
+        (a, b, lev(rows[a], rows[b]))
+        for a, b in itertools.combinations(sorted(rows), 2)
+        if lev(rows[a], rows[b]) <= 1
+    )
+    assert got == want
