@@ -1429,6 +1429,66 @@ FROM spine s LEFT JOIN monthly mo ON s.m = mo.m
 """)
 
 
+@register(
+    "dedup_keep_best_per_cluster",
+    group="ext-dedup representative",
+    oracle=f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+walk(doc, label) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.doc = e.src
+),
+comp AS (SELECT doc, MIN(label) AS component FROM walk GROUP BY doc),
+scored AS (
+  SELECT c.component, d.doc_id, d.n_chars,
+    ROW_NUMBER() OVER (PARTITION BY c.component
+      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+  FROM comp c JOIN documents d ON c.doc = d.doc_id
+)
+SELECT CAST(component AS BIGINT) AS component,
+  CAST(doc_id AS BIGINT) AS keep_doc,
+  CAST(n_chars AS BIGINT) AS keep_n_chars
+FROM scored WHERE rk = 1
+""",
+    doc="Cluster-representative selection POLICY: within each "
+    "near-dup cluster (minhash-LSH connected components), keep the "
+    "LONGEST member (tie -> min id) — the production alternative to "
+    "min-id keep (dedup_filtered_corpus), because boilerplate-stripped "
+    "fragments usually lose to their fullest copy. top-1-per-cluster "
+    "via a cluster-keyed window over cluster-count rows.",
+)
+def dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, band_size=_BAND_SIZE
+    )
+    comp = dedup.connected_components(pairs)
+    scored = comp.join(docs, comp["doc"] == docs["doc_id"]).select(
+        "component", "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("component").cast("bigint").alias("component"),
+            F.col("doc_id").cast("bigint").alias("keep_doc"),
+            F.col("n_chars").cast("bigint").alias("keep_n_chars"),
+        )
+    )
+
+
 def _dedup_filtered_oracle() -> str:
     comp = registry()["dedup_minhash_components"].oracle
     return f"""
