@@ -1252,6 +1252,57 @@ def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_equidepth_price_histogram",
+    group="2.4 ext-prefix histogram",
+    oracle="""
+WITH ranked AS (
+  SELECT o_totalprice,
+    ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+    COUNT(*) OVER () AS n
+  FROM orders
+)
+SELECT CAST((rn - 1) * 16 // n AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS cnt,
+  MIN(o_totalprice) AS lo,
+  MAX(o_totalprice) AS hi
+FROM ranked GROUP BY 1
+""",
+    doc="EXACT equi-depth histogram (16 buckets) without the "
+    "single-task global ntile: global row_number = a distributed "
+    "prefix COUNT over the (price, orderkey) total order "
+    "(operators/prefix.py), bucket = (rn-1)*16 div n — "
+    "floor-division bucketing identical in the SQL oracle. The "
+    "equi-depth boundaries fall out of the per-bucket MIN/MAX. "
+    "Integer div avoids float boundary misbuckets.",
+)
+def orders_equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    n = orders.count()  # scalar, one pushed-down count pass
+    ranked = global_running_sum(
+        orders,
+        ["o_totalprice", "o_orderkey"],
+        F.lit(1).cast("bigint"),
+        out_col="rn",
+        bucket_on=F.col("o_totalprice"),
+    )
+    return (
+        ranked.withColumn(
+            "bucket", F.expr(f"(rn - 1) * 16 div {n}").cast("bigint")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
     "fuzzy_match_customers",
     group="2.3 ext-fuzzy",
     oracle="""
