@@ -1403,20 +1403,24 @@ FROM spine s LEFT JOIN monthly mo ON s.m = mo.m
     "dedup_minhash_components). Identical SQL text runs on DuckDB.",
 )
 def orders_month_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
-        "_orders_spine_rcte"
-    )
-    return spark.sql("""
-WITH RECURSIVE bounds AS (
-  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
-         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
-  FROM _orders_spine_rcte
-),
-spine(m) AS (
-  SELECT lo FROM bounds
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_spine_rcte")
+    # Resolve the spine bounds ONCE (2-value driver scalar): a
+    # correlated (SELECT hi FROM bounds) inside the recursion is
+    # re-evaluated at EVERY recursion level, i.e. one full-table
+    # aggregate scan per emitted month — measured 18.5 s at sf0.1 vs
+    # ~1 s with literal bounds. The oracle keeps its bounds CTE
+    # (DuckDB evaluates it once).
+    lo, hi = orders.selectExpr(
+        "CAST(date_trunc('month', MIN(o_orderdate)) AS DATE)",
+        "CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)",
+    ).first()
+    return spark.sql(f"""
+WITH RECURSIVE spine(m) AS (
+  SELECT DATE '{lo}'
   UNION ALL
   SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
-  WHERE m < (SELECT hi FROM bounds)
+  WHERE m < DATE '{hi}'
 ),
 monthly AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
