@@ -1252,6 +1252,44 @@ def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "top1_per_group_maxby",
+    group="2.4 2.5-W3 max_by",
+    oracle="""
+SELECT o_custkey,
+  CAST(arg_max(o_orderkey,
+       (CAST(o_orderdate AS DATE) - DATE '1970-01-01') * 10000000000
+       + o_orderkey) AS BIGINT) AS latest_orderkey,
+  arg_max(o_totalprice,
+       (CAST(o_orderdate AS DATE) - DATE '1970-01-01') * 10000000000
+       + o_orderkey) AS latest_price,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_custkey
+""",
+    doc="Top-1 per key WITHOUT a window: max_by aggregates are "
+    "partial-aggregatable (map-side combine keeps one candidate per "
+    "key per task), so the shuffle carries one row per key instead of "
+    "sorting every row inside window partitions — at scale this beats "
+    "the row_number form (top1_per_group) whenever only the top row "
+    "is needed. Deterministic via a composite (day, orderkey) "
+    "ordering scalar; oracle uses DuckDB's arg_max.",
+)
+def top1_per_group_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ord_ = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint")
+        * F.lit(10_000_000_000).cast("bigint")
+        + F.col("o_orderkey")
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ord_).cast("bigint").alias("latest_orderkey"),
+        F.max_by("o_totalprice", ord_).alias("latest_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
     "orders_equidepth_price_histogram",
     group="2.4 ext-prefix histogram",
     oracle="""
