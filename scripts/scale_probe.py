@@ -38,6 +38,8 @@ NAMES = [
     # late round-3 additions
     "orders_running_revenue", "events_concurrency_hourly",
     "dedup_incremental_batch", "dedup_jaccard_prefix_filtered",
+    "fuzzy_match_customers", "orders_equidepth_price_histogram",
+    "top1_per_group_maxby",
 ]
 
 
