@@ -748,6 +748,7 @@ def connected_components(
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
+    converged_at = None
     # Seed with round 0 already applied: label = min(self, neighbors) —
     # one groupBy instead of a distinct + a full propagation round.
     labels = (
@@ -783,5 +784,123 @@ def connected_components(
         converged = new_labels.filter("moved").isEmpty()
         labels = new_labels.drop("moved")
         if converged:
+            converged_at = True
             break
+    if converged_at is None:
+        # One-hop-per-round propagation needs ~diameter rounds; dup
+        # graphs are near-cliques (2-3 rounds), but a path-shaped
+        # component longer than max_iter would previously return
+        # silently WRONG labels. Fail loudly and point at the O(log n)
+        # alternative instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); use "
+            "connected_components_star for long-chain graphs"
+        )
     return labels.select("doc", F.col("label").alias("component"))
+
+
+def connected_components_star(
+    pairs: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """(doc, component) via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds on ANY graph shape, including the
+    long chains where one-hop min-label propagation needs O(diameter).
+
+    Per round, from the undirected adjacency of the current edge set:
+    - large-star: every node u emits (v, m) for each neighbor v > u,
+      where m = min({u} ∪ N(u)) — far nodes shortcut to the current
+      minimum;
+    - small-star: every node u emits (v, m) for each v in
+      {w ∈ N(u): w < u} ∪ {u} itself, m = min over that same closed
+      set — the local star flattens.
+
+    Both steps preserve connectivity and only ever decrease attachment
+    targets, so the edge set converges to per-component stars rooted at
+    the component minimum; convergence is detected by edge-set
+    fixpoint (count + xor-hash — order-independent). Each round is two
+    groupBy-shuffles over the shrinking edge set, checkpointed to
+    truncate lineage.
+
+    Same output contract as ``connected_components`` (equality pinned
+    by property tests against a union-find model).
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                # order-independent xor over canonical pair hashes
+                F.expr(
+                    "bit_xor(hash(least(u, v), greatest(u, v)))"
+                ),
+                F.lit(0),
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def adjacency(e: DataFrame) -> DataFrame:
+        und = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        return und.groupBy("u").agg(
+            F.collect_set("v").alias("nbrs"),
+        )
+
+    fp = fingerprint(edges)
+    for _ in range(max_rounds):
+        # large-star
+        adj = adjacency(edges)
+        m_all = F.array_min(F.concat(F.array(F.col("u")), F.col("nbrs")))
+        big = F.filter(F.col("nbrs"), lambda x: x > F.col("u"))
+        edges = (
+            adj.select(
+                F.explode(big).alias("v"), m_all.alias("m")
+            )
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star
+        adj = adjacency(edges)
+        small = F.filter(F.col("nbrs"), lambda x: x < F.col("u"))
+        m_small = F.array_min(F.concat(F.array(F.col("u")), small))
+        edges = (
+            adj.select(
+                F.explode(
+                    F.array_union(small, F.array(F.col("u")))
+                ).alias("v"),
+                m_small.alias("m"),
+            )
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_fp = fingerprint(edges)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} "
+            "rounds"
+        )
+    # at the fixpoint, edges are (node, root) stars; roots label themselves
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    return (
+        nodes.join(edges, nodes["doc"] == edges["u"], "left")
+        .select("doc", F.coalesce(F.col("v"), F.col("doc")).alias("component"))
+    )

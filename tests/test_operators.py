@@ -1183,3 +1183,84 @@ def test_edit_distance_pairs_symspell_blocking(spark):
         if lev(rows[a], rows[b]) <= 1
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# connected components: star-contraction variant + convergence guard
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_star_components_on_long_chain(spark):
+    """A 200-node path has diameter 199: one-hop min-label needs ~199
+    rounds (and now FAILS LOUDLY at max_iter instead of silently
+    returning wrong labels), while star-contraction converges in
+    O(log n) rounds."""
+    from nba_spurs_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(199)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+
+    got = {
+        r["doc"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+    assert got == {i: 0 for i in range(200)}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=10)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_star_components_match_union_find(spark, edges):
+    from nba_spurs_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want = _uf_components(edges)
+    got_star = {
+        r["doc"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+    assert got_star == want
+    # and the min-label form agrees wherever it converges (30 nodes,
+    # max diameter 30 > default 25 is possible — raise max_iter)
+    got_prop = {
+        r["doc"]: r["component"]
+        for r in connected_components(df, max_iter=40).collect()
+    }
+    assert got_prop == want
