@@ -1434,6 +1434,27 @@ FROM spine s LEFT JOIN monthly mo ON s.m = mo.m
 
 
 @register(
+    "dedup_components_star",
+    group="ext-dedup iterative star",
+    oracle=registry()["dedup_minhash_components"].oracle,
+    doc="Connected components via large-star/small-star contraction "
+    "(operators/dedup.py::connected_components_star) — O(log n) "
+    "rounds on ANY graph shape vs the min-label form's O(diameter), "
+    "the variant long-chain graphs need. Identical output contract, "
+    "same recursive-CTE oracle as dedup_minhash_components.",
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=_NUM_HASHES,
+        band_size=_BAND_SIZE,
+    )
+    return dedup.connected_components_star(pairs)
+
+
+@register(
     "dedup_keep_best_per_cluster",
     group="ext-dedup representative",
     oracle=f"""
