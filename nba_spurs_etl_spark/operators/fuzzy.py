@@ -36,24 +36,58 @@ def delete_variants(s: Column) -> Column:
     return F.array_distinct(F.concat(F.array(s), dels))
 
 
+def delete2_variants(s: Column) -> Column:
+    """delete_variants plus every two-character deletion (delete at
+    original positions i < j) — the SymSpell key set for distance 2.
+    ~|s|^2/2 keys per string: the quadratic key volume IS the cost
+    knob that makes distance-2 blocking an explicit opt-in.
+
+    Guards: strings shorter than 2 contribute no delete-2 keys, and
+    ``sequence(1, 0)`` would be DESCENDING (same trap as
+    ``shingles_from_tokens``), so both ranges are length-guarded.
+    """
+    L = F.length(s)
+    empty = F.array().cast("array<string>")
+    d2 = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(L - 1, F.lit(1))),
+            lambda i: F.when(
+                L >= i + 1,
+                F.transform(
+                    F.sequence(i + 1, L),
+                    lambda j: F.concat(
+                        F.substring(s, 1, i - 1),
+                        F.substring(s, (i + 1).cast("int"), (j - i - 1).cast("int")),
+                        F.substring(s, (j + 1).cast("int"), L),
+                    ),
+                ),
+            ).otherwise(empty),
+        )
+    )
+    return F.array_distinct(
+        F.concat(delete_variants(s), F.when(L >= 2, d2).otherwise(empty))
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame, id_col: str, s_col: str, max_dist: int = 1
 ) -> DataFrame:
     """(id_a < id_b, levenshtein) for all pairs within ``max_dist``.
 
-    Only ``max_dist=1`` blocking is implemented (delete-1 keys); the
-    verify step accepts any threshold <= 1. Distance-2 blocking is the
-    same construction over delete-2 keys (|s|^2/2 keys per string) —
-    noted, not built, because the key volume is the real cost knob.
+    ``max_dist=1`` posts delete-1 keys (|s|+1 per string);
+    ``max_dist=2`` posts delete-<=2 keys (~|s|^2/2 per string — the
+    quadratic key volume is the cost knob, so distance 2 is an
+    explicit opt-in, typically over a blocked/slimmed column).
     """
-    if max_dist > 1:
+    if max_dist > 2:
         raise NotImplementedError(
-            "delete-1 blocking guarantees recall only for max_dist<=1; "
-            "use delete-2 keys for distance 2"
+            "deletion blocking is built for distance <= 2; deeper radii "
+            "need delete-d key sets whose volume (~|s|^d) rarely pays"
         )
+    variants = delete2_variants if max_dist == 2 else delete_variants
     base = df.select(F.col(id_col).alias("rid"), F.col(s_col).alias("s"))
     keys = base.select(
-        "rid", F.explode(delete_variants(F.col("s"))).alias("k")
+        "rid", F.explode(variants(F.col("s"))).alias("k")
     )
     cand = (
         keys.groupBy("k")

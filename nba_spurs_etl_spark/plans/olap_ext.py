@@ -1370,6 +1370,38 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_match_customers_d2",
+    group="2.3 ext-fuzzy d2",
+    oracle="""
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+WHERE a.c_custkey % 50 = 0 AND b.c_custkey % 50 = 0
+  AND levenshtein(a.c_name, b.c_name) <= 2
+""",
+    doc="Distance-2 fuzzy matching via delete-<=2 SymSpell keys "
+    "(~|s|^2/2 keys/string — the quadratic key volume makes d2 an "
+    "explicit opt-in, run here over a 1-in-50 blocked slice exactly "
+    "as production would pre-block). Same exact-superset guarantee "
+    "and naive-oracle cross-check as the distance-1 form.",
+)
+def fuzzy_match_customers_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import edit_distance_pairs
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 50 == 0)
+        .select("c_custkey", "c_name")
+    )
+    return edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=2).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+@register(
     "sql_udf_scalar_functions",
     group="2.8 2.10 ext-sql-udf",
     oracle="""

@@ -1264,3 +1264,44 @@ def test_star_components_match_union_find(spark, edges):
         for r in connected_components(df, max_iter=40).collect()
     }
     assert got_prop == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcx", min_size=0, max_size=6),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_edit_distance2_blocking_property(spark, words):
+    """Delete-<=2 blocking must be exactly the naive levenshtein<=2
+    self-join for arbitrary short strings (including empties and
+    duplicates)."""
+    import itertools
+
+    from nba_spurs_etl_spark.operators.fuzzy import edit_distance_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    rows = list(enumerate(words))
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(df, "id", "name", max_dist=2).collect()
+    )
+    m = dict(rows)
+    want = sorted(
+        (a, b, lev(m[a], m[b]))
+        for a, b in itertools.combinations(sorted(m), 2)
+        if lev(m[a], m[b]) <= 2
+    )
+    assert got == want
