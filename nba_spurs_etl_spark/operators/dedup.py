@@ -800,6 +800,62 @@ def connected_components(
     return labels.select("doc", F.col("label").alias("component"))
 
 
+def _undirect(e: DataFrame) -> DataFrame:
+    """Both directions of an edge list: (u, v) for every v ∈ N(u)."""
+    return e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _large_star_step(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node u attaches each strictly-greater
+    neighbor v to m = min({u} ∪ N(u)).
+
+    Array-free: the closed-neighborhood minimum is a plain
+    ``groupBy(u).agg(min(v))`` (map-side-combinable, O(1) state per
+    key) re-attached to the >-filtered edge list by an equi-join on u —
+    a 10M-neighbor hub is 10M small rows across tasks, never one
+    10M-element array in one task.
+    """
+    und = _undirect(edges)
+    mins = (
+        und.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("u", "_mn").alias("m"))
+    )
+    return (
+        und.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star_step(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node u attaches each
+    strictly-smaller neighbor (and itself) to m = min of that closed
+    set. Same min+join shape as ``_large_star_step`` — no arrays.
+    """
+    und = _undirect(edges)
+    mins = (
+        und.groupBy("u")
+        .agg(
+            F.min(F.when(F.col("v") < F.col("u"), F.col("v"))).alias("_mn")
+        )
+        .select("u", F.least("u", F.coalesce("_mn", "u")).alias("m"))
+    )
+    return (
+        und.filter(F.col("v") < F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("t"), F.col("m"))
+        .unionByName(mins.select(F.col("u").alias("t"), F.col("m")))
+        .filter(F.col("t") != F.col("m"))
+        .select(F.col("t").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
 def connected_components_star(
     pairs: DataFrame, max_rounds: int = 20
 ) -> DataFrame:
@@ -819,12 +875,24 @@ def connected_components_star(
     Both steps preserve connectivity and only ever decrease attachment
     targets, so the edge set converges to per-component stars rooted at
     the component minimum; convergence is detected by edge-set
-    fixpoint (count + xor-hash — order-independent). Each round is two
-    groupBy-shuffles over the shrinking edge set, checkpointed to
-    truncate lineage.
+    fixpoint (count + 64-bit xor-hash — order-independent, and wide
+    enough that a false fixpoint is ~2^-64 per round). Each round is
+    two shuffles over the shrinking edge set (a groupBy-min plus an
+    equi-join keyed on the same node id), checkpointed to truncate
+    lineage.
+
+    HUB-SAFE BY CONSTRUCTION: per-node neighborhood minima come from
+    ``groupBy(u).agg(min(v))`` and are re-attached to the edge list by
+    an equi-join — no ``collect_set`` adjacency arrays anywhere. By the
+    late rounds a component root's neighborhood IS the whole component;
+    an array representation would put a |component|-element array in a
+    single row/task (the same hot-bucket OOM ``simhash_pairs``
+    documents), while min+join keeps every row O(1) no matter how large
+    the hub grows. Plan pinned by ``test_star_step_plans_are_array_free``.
 
     Same output contract as ``connected_components`` (equality pinned
-    by property tests against a union-find model).
+    by property tests against a union-find model, including a 100k-leaf
+    single-hub star).
     """
     spark = pairs.sparkSession
     edges = (
@@ -838,52 +906,22 @@ def connected_components_star(
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
-                # order-independent xor over canonical pair hashes
+                # order-independent xor over canonical 64-bit pair
+                # hashes (xxhash64, not 32-bit Murmur3: with 32 bits a
+                # colliding xor between consecutive differing edge sets
+                # would silently stop contraction early)
                 F.expr(
-                    "bit_xor(hash(least(u, v), greatest(u, v)))"
+                    "bit_xor(xxhash64(least(u, v), greatest(u, v)))"
                 ),
                 F.lit(0),
             ).alias("h"),
         ).first()
         return (row["n"], row["h"])
 
-    def adjacency(e: DataFrame) -> DataFrame:
-        und = e.unionByName(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        return und.groupBy("u").agg(
-            F.collect_set("v").alias("nbrs"),
-        )
-
     fp = fingerprint(edges)
     for _ in range(max_rounds):
-        # large-star
-        adj = adjacency(edges)
-        m_all = F.array_min(F.concat(F.array(F.col("u")), F.col("nbrs")))
-        big = F.filter(F.col("nbrs"), lambda x: x > F.col("u"))
-        edges = (
-            adj.select(
-                F.explode(big).alias("v"), m_all.alias("m")
-            )
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
-        )
-        # small-star
-        adj = adjacency(edges)
-        small = F.filter(F.col("nbrs"), lambda x: x < F.col("u"))
-        m_small = F.array_min(F.concat(F.array(F.col("u")), small))
-        edges = (
-            adj.select(
-                F.explode(
-                    F.array_union(small, F.array(F.col("u")))
-                ).alias("v"),
-                m_small.alias("m"),
-            )
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
+        edges = _small_star_step(_large_star_step(edges)).localCheckpoint(
+            eager=True
         )
         new_fp = fingerprint(edges)
         if new_fp == fp:

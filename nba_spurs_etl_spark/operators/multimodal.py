@@ -85,6 +85,12 @@ def decode_image(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("not a raster blob (bad magic)")
     w = int.from_bytes(data[4:6], "big")
     h = int.from_bytes(data[6:8], "big")
+    if w == 0 or h == 0:
+        # w=0,h>0 passes the w*h==0 length check below but then blows
+        # up as an uncaught numpy IndexError in resize_nearest — which
+        # per-row error isolation does NOT catch, failing the whole
+        # task instead of producing an error row (ADVICE r03)
+        raise ValueError(f"degenerate dimensions: {w}x{h}")
     px = data[8:]
     if len(px) != w * h:
         raise ValueError(f"truncated pixels: want {w * h}, got {len(px)}")

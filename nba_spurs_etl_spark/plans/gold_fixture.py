@@ -8,6 +8,8 @@ model — end-to-end reference parity, driver-checkable.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import synth
@@ -24,11 +26,16 @@ _SEASON2 = "CASE WHEN season LIKE '2024' THEN '2024-25' ELSE season END"
 # tables; build + cache them once per session so each query starts from
 # the materialized ~2.5k-row silver instead of re-deriving the hash
 # synthesis plans (measured 2-3x per gold model on the bench suite).
-_SILVER_CACHE: dict[int, dict[str, DataFrame]] = {}
+# Keyed by the session object itself via WeakKeyDictionary (NOT
+# id(spark): ids are reused after garbage collection, which could
+# silently serve frames from a dead session — VERDICT r03 item 4).
+_SILVER_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _silver(spark: SparkSession):
-    key = id(spark)
+    key = spark
     if key not in _SILVER_CACHE:
         # coalesce(1): these are FIXTURE-sized tables (30-10800 rows —
         # the reference's whole dataset is ~2.4k rows), so one cached
@@ -50,11 +57,13 @@ def _silver(spark: SparkSession):
 # timings read that table, they never recompute the upstream subtree.
 # Mirror that lifecycle: cache the weaknesses frame per session so the
 # downstream model starts from materialized rows, exactly like ref().
-_WEAKNESS_CACHE: dict[int, DataFrame] = {}
+_WEAKNESS_CACHE: "weakref.WeakKeyDictionary[SparkSession, DataFrame]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _weaknesses(spark: SparkSession) -> DataFrame:
-    key = id(spark)
+    key = spark
     if key not in _WEAKNESS_CACHE:
         _WEAKNESS_CACHE[key] = (
             gold.team_weaknesses_unpivoted(_silver(spark)).coalesce(1).cache()

@@ -1415,6 +1415,14 @@ def orders_month_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(date_trunc('month', MIN(o_orderdate)) AS DATE)",
         "CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)",
     ).first()
+    if lo is None or hi is None:
+        # empty orders: MIN/MAX are NULL and the f-string below would
+        # interpolate the literal DATE 'None' — a confusing parse error
+        # instead of a clear diagnosis (ADVICE r03)
+        raise ValueError(
+            "orders_month_spine_recursive: orders table is empty — "
+            "no o_orderdate bounds to build the month spine from"
+        )
     return spark.sql(f"""
 WITH RECURSIVE spine(m) AS (
   SELECT DATE '{lo}'

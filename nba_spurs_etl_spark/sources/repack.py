@@ -39,10 +39,13 @@ from .catalog import TESTDATA_TABLES
 #: tables below this row count scan in negligible time; symlink them.
 MIN_REPACK_ROWS = 100_000
 
-#: events must stay a single file: the streaming reader narrows its
-#: directory listing with ``pathGlobFilter=events.parquet``, which a
-#: part-file directory would never match (zero-file stream).
-KEEP_SINGLE_FILE = frozenset({"events"})
+#: events and documents must stay single files: the streaming readers
+#: narrow their directory listings with ``pathGlobFilter=events.parquet``
+#: / ``documents.parquet`` (streaming/events.py, streaming/
+#: dedup_stream.py), which a part-file directory's leaf names would
+#: never match — the stream would silently read ZERO files and report
+#: an empty near-instant result instead of failing (ADVICE r03).
+KEEP_SINGLE_FILE = frozenset({"events", "documents"})
 
 
 def _repack_root() -> str:

@@ -123,8 +123,22 @@ class StreamingLshDedup:
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of <sf_dir>/documents.parquet (schema from a batch
-    footer read — streams cannot infer)."""
-    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    footer read — streams cannot infer).
+
+    The pathGlobFilter matches the FILE named documents.parquet only;
+    if ingest ever rewrites documents into a part-file directory the
+    stream would list zero files and silently emit nothing, so fail
+    loudly here instead (repack keeps documents in KEEP_SINGLE_FILE
+    for the same reason — ADVICE r03).
+    """
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.isfile(path):
+        raise FileNotFoundError(
+            f"read_documents_stream: {path} must be a single parquet "
+            "FILE (pathGlobFilter matches the leaf name; a part-file "
+            "directory would stream zero files)"
+        )
+    schema = spark.read.parquet(path).schema
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")

@@ -21,6 +21,7 @@ Scale notes:
 from __future__ import annotations
 
 import itertools
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,8 +30,12 @@ _name_counter = itertools.count()
 
 _ckpt_root: str | None = None
 
-#: (session id, sf_dir) -> raw events schema (footer read, once)
-_SCHEMA_CACHE: dict[tuple[int, str], object] = {}
+#: session -> {sf_dir: raw events schema} (footer read, once). Weakly
+#: keyed by the session object — id(spark) can be reused after GC and
+#: would serve a stale schema to an unrelated new session.
+_SCHEMA_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, object]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _drain_checkpoint_dir(name: str) -> str:
@@ -77,12 +82,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # footer-read once per (session, path): 13 stream queries re-deriving
     # the same schema cost a batch listing + footer read each (~0.2-0.3s
     # per query on the bench suite)
-    ck = (id(spark), sf_dir)
-    if ck not in _SCHEMA_CACHE:
-        _SCHEMA_CACHE[ck] = spark.read.parquet(
+    per_session = _SCHEMA_CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
+        per_session[sf_dir] = spark.read.parquet(
             os.path.join(sf_dir, "events.parquet")
         ).schema
-    raw_schema = _SCHEMA_CACHE[ck]
+    raw_schema = per_session[sf_dir]
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")

@@ -1305,3 +1305,78 @@ def test_edit_distance2_blocking_property(spark, words):
         if lev(m[a], m[b]) <= 2
     )
     assert got == want
+
+
+def test_star_components_mega_hub(spark):
+    """Single-hub star with 100k leaves — the shape VERDICT r03 flagged:
+    with collect_set adjacency the hub row would hold a 100k-element
+    array; the min+join rewrite keeps every row O(1). Must converge
+    fast and label everything with the hub (node 0)."""
+    from pyspark.sql import functions as F
+
+    from nba_spurs_etl_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 100_000
+    pairs = (
+        spark.range(1, n + 1)
+        .select(F.lit(0).alias("doc_a"), F.col("id").alias("doc_b"))
+    )
+    out = connected_components_star(pairs)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("component") == 0, 1)).alias("zeros"),
+    ).first()
+    assert agg["n"] == n + 1
+    assert agg["zeros"] == n + 1
+
+
+def test_delete2_length_guard(spark):
+    """VERDICT r03 item 3: distance-2 deletion blocking must refuse
+    document-length strings (quadratic key volume) with a row-level
+    raise, and accept the boundary length exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from nba_spurs_etl_spark.operators.fuzzy import (
+        MAX_D2_LEN,
+        delete2_variants,
+        edit_distance_pairs,
+    )
+
+    s64 = "".join(chr(33 + i) for i in range(MAX_D2_LEN))  # distinct chars
+    ok = spark.createDataFrame([(1, s64)], "id long, name string")
+    # boundary length passes (and produces the full key set:
+    # 1 + L + L*(L-1)/2 distinct deletions for distinct characters)
+    n_keys = ok.select(
+        F.size(delete2_variants(F.col("name"))).alias("n")
+    ).first()["n"]
+    assert n_keys == 1 + MAX_D2_LEN + MAX_D2_LEN * (MAX_D2_LEN - 1) // 2
+
+    bad = spark.createDataFrame(
+        [(1, "x" * (MAX_D2_LEN + 1))], "id long, name string"
+    )
+    with pytest.raises(Exception, match="MAX_D2_LEN"):
+        edit_distance_pairs(bad, "id", "name", max_dist=2).collect()
+    # distance-1 blocking has no such ceiling (|s|+1 keys is linear)
+    assert (
+        edit_distance_pairs(bad, "id", "name", max_dist=1).count() == 0
+    )
+
+
+def test_decode_image_degenerate_dimensions():
+    """ADVICE r03: w=0,h>0 passes the w*h==0 length check but breaks
+    resize_nearest with an uncaught IndexError — decode must raise
+    ValueError so per-row isolation turns it into an error row."""
+    from nba_spurs_etl_spark.operators.multimodal import (
+        FAKE_MAGIC,
+        decode_image,
+    )
+
+    blob = FAKE_MAGIC + (0).to_bytes(2, "big") + (4).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="degenerate"):
+        decode_image(blob)
+    blob2 = FAKE_MAGIC + (4).to_bytes(2, "big") + (0).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="degenerate"):
+        decode_image(blob2)

@@ -324,3 +324,31 @@ def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
         assert now_mtimes == other_mtimes
     finally:
         spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+
+def test_session_caches_are_weakly_keyed(spark):
+    """VERDICT r03 item 4: the silver/weakness fixture caches must key
+    on the session OBJECT (WeakKeyDictionary), not id(spark) — ids are
+    reused after GC, so an id-keyed dict could serve a dead session's
+    frames to an unrelated new one. With object keys that confusion is
+    impossible: lookup is by identity, and a key the GC can reach is by
+    definition still the same live session. (Entries whose value still
+    references the key — cached DataFrames hold their session — are
+    retained, which also pins the session alive: the id-reuse hazard
+    cannot occur by construction.)"""
+    from nba_spurs_etl_spark.plans import gold_fixture as gf
+
+    s2 = spark.newSession()
+    a = gf._silver(spark)
+    b = gf._silver(s2)
+    assert a is not b  # no crossover between live sessions
+    assert spark in gf._SILVER_CACHE and s2 in gf._SILVER_CACHE
+    # same session -> same cached dict (the cache actually caches)
+    assert gf._silver(spark) is a
+    assert gf._silver(s2) is b
+
+    # cleanup: drop the scratch session's entry + cached frames
+    for df in b.values():
+        df.unpersist()
+    del gf._SILVER_CACHE[s2]
+    assert spark in gf._SILVER_CACHE and s2 not in gf._SILVER_CACHE

@@ -413,3 +413,27 @@ def test_prefix_candidates_post_only_prefix_tokens(spark, catalog):
     assert "array_intersect" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_star_step_plans_are_array_free(spark):
+    """VERDICT r03 item 1: large-star/small-star rounds must compute
+    neighborhood minima via groupBy-min + equi-join, never collect_set
+    adjacency arrays — by late rounds a component root's neighborhood
+    IS the whole component, and an array form puts a |component|-sized
+    array in one task (hub OOM). Pin: no collect_set / collect_list in
+    either step's physical plan, no cartesian, and a partial (map-side)
+    min aggregate is present."""
+    from nba_spurs_etl_spark.operators.dedup import (
+        _large_star_step,
+        _small_star_step,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "u long, v long"
+    )
+    for step in (_large_star_step, _small_star_step):
+        plan = fmt_plan(step(edges))
+        assert "collect_set" not in plan, plan
+        assert "collect_list" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "partial_min" in plan, plan
