@@ -20,7 +20,11 @@ expression cost via noop. Session startup is amortized across the
 suite, matching BASELINE.md's interpretation; per-query Janino JIT is
 amortized the same way (each query runs twice, the warm run is
 reported, the cold run is recorded in BENCH_DETAIL.json's
-cold_queries — see the comment at the timing loop).
+cold_queries — see the comment at the timing loop). Queries whose
+previous committed warm timing was already sub-threshold run once and
+report that (cold, upper-bound) run — ``single_run`` in the detail
+file — keeping bench wall sub-linear in catalog size without ever
+hiding a regression.
 """
 
 from __future__ import annotations
@@ -133,13 +137,50 @@ def main() -> int:
     # against a warm Postgres backend) is implemented literally.
     # Streams re-drain fully on the second run (fresh checkpoint per
     # drain), so stream timings stay full-execution both times.
+    # Known-fast single-run protocol (sub-linear bench wall as the
+    # catalog grows): a query whose previous committed warm timing was
+    # under SINGLE_RUN_THRESHOLD runs ONCE and that (cold) run is
+    # reported. This can only bias the reported number UP (cold >= warm
+    # — the skipped warm run is the faster one), so no regression is
+    # ever hidden; a query that regresses past the threshold shows its
+    # full cold time immediately and automatically returns to the
+    # double-run set next round. The headline comparison set (gold
+    # models + flagship, i.e. everything BASELINE.md is compared
+    # against) always double-runs. Names whose reported value is a
+    # single cold run are listed in BENCH_DETAIL's ``single_run``.
+    SINGLE_RUN_THRESHOLD = 0.8
+    prev_warm: dict[str, float] = {}
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path) as f:
+            prev = json.load(f)
+        # seed only from a detail file at the SAME scale factor — an
+        # sf0.01 map would wrongly mark nearly the whole sf0.1 suite
+        # as known-fast
+        if prev.get("sf") == sf:
+            prev_warm = prev.get("queries", {})
+    except (OSError, ValueError):
+        pass
+
+    def _always_double(name: str) -> bool:
+        return name.startswith(("gold_", "summary_rank", "pricing_summary"))
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    single_run: list[str] = []
     for name, fn in queries().items():
         try:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             cold[name] = round(time.perf_counter() - t0, 4)
+            if (
+                not _always_double(name)
+                and 0 <= prev_warm.get(name, -1.0) < SINGLE_RUN_THRESHOLD
+            ):
+                timings[name] = cold[name]
+                single_run.append(name)
+                continue
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 4)
@@ -151,8 +192,6 @@ def main() -> int:
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     n_failed = sum(1 for t in timings.values() if t < 0)
 
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(
             {
@@ -161,6 +200,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "cold_queries": cold,
+                "single_run": sorted(single_run),
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_failed": n_failed,

@@ -111,8 +111,134 @@ def resize_nearest(px: bytes, w: int, h: int, tw: int, th: int) -> bytes:
     return a[np.ix_(rows, cols)].tobytes()
 
 
-def decode_audio(data: bytes) -> object:
-    raise NotImplementedError("audio decode requires librosa/ffmpeg")
+#: deterministic fake audio format (the FIMG analog): b"FAUD" +
+#: u32be sample_rate + u32be n_samples + n_samples i16be PCM samples.
+#: Gives ``decode_audio`` a genuine parse path — header validation,
+#: degenerate-rate/truncation errors, real signal math downstream —
+#: while compressed bitstreams (WAV/MP3/OGG/FLAC) stay env-gated.
+FAKE_AUDIO_MAGIC = b"FAUD"
+_REAL_AUDIO_MAGICS = {
+    b"RIFF": "riff/wav",
+    b"ID3": "mp3",
+    b"\xff\xfb": "mp3",
+    b"OggS": "ogg",
+    b"fLaC": "flac",
+}
+
+
+def encode_fake_audio(sample_rate: int, n_samples: int, seed: str) -> bytes:
+    """Deterministic FAUD blob: md5-stream PCM (test/data synth)."""
+    need = n_samples * 2
+    out = bytearray()
+    i = 0
+    while len(out) < need:
+        out.extend(hashlib.md5(f"{seed}:{i}".encode()).digest())
+        i += 1
+    return (
+        FAKE_AUDIO_MAGIC
+        + sample_rate.to_bytes(4, "big")
+        + n_samples.to_bytes(4, "big")
+        + bytes(out[:need])
+    )
+
+
+def decode_audio(data: bytes) -> tuple[int, "object"]:
+    """Decode an audio blob to (sample_rate, int16 sample array).
+
+    FAUD blobs decode for real (header parse + degenerate/truncation
+    validation — ValueError, the malformed-media path). Compressed
+    formats are recognized by magic and raise NotImplementedError until
+    an audio codec (librosa/ffmpeg) is wired in — the caller-visible
+    contract is identical either way, mirroring ``decode_image``.
+    """
+    import numpy as np
+
+    for magic, fmt in _REAL_AUDIO_MAGICS.items():
+        if data[: len(magic)] == magic:
+            raise NotImplementedError(
+                f"{fmt} decode requires an audio codec (librosa/ffmpeg); "
+                "FAUD blobs exercise the same pipeline codec-free"
+            )
+    if data[:4] != FAKE_AUDIO_MAGIC or len(data) < 12:
+        raise ValueError("not an audio blob (bad magic)")
+    sr = int.from_bytes(data[4:8], "big")
+    n = int.from_bytes(data[8:12], "big")
+    if sr == 0 or n == 0:
+        # same guard class as decode_image's degenerate dims: a zero
+        # rate would divide-by-zero in duration math downstream
+        raise ValueError(f"degenerate audio header: rate={sr} samples={n}")
+    pcm = data[12:]
+    if len(pcm) != 2 * n:
+        raise ValueError(f"truncated samples: want {2 * n} bytes, got {len(pcm)}")
+    return sr, np.frombuffer(pcm, dtype=">i2")
+
+
+def resample_nearest_audio(samples, src_rate: int, dst_rate: int):
+    """Nearest-neighbor resample to ``dst_rate`` — the audio analog of
+    ``resize_nearest`` (same floor-index grid, real DSP-free math)."""
+    import numpy as np
+
+    n_out = max(1, (len(samples) * dst_rate) // src_rate)
+    idx = (np.arange(n_out) * src_rate * len(samples)) // (src_rate * n_out)
+    return samples[np.minimum(idx, len(samples) - 1)]
+
+
+AUDIO_SCHEMA = (
+    "doc bigint, sample_rate int, n_samples int, duration_s double, "
+    "rms double, peak int, zero_crossings int, resampled_hash bigint, "
+    "error string"
+)
+
+
+def audio_pipeline_features(
+    df: DataFrame, id_col: str, bin_col: str, target_rate: int = 8000
+) -> DataFrame:
+    """decode -> signal stats -> nearest resample -> resampled-content
+    hash, one Arrow-batched ``mapInPandas`` pass (no shuffle) — the
+    audio twin of ``image_pipeline_features``, with identical per-row
+    error isolation (corrupt/codec-gated blobs become ``error`` rows,
+    never task failures).
+    """
+    import numpy as np
+
+    src = df.select(F.col(id_col).alias("doc"), F.col(bin_col).alias("data"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc, blob in zip(pdf["doc"], pdf["data"]):
+                b = bytes(blob)
+                try:
+                    sr, s = decode_audio(b)
+                    f = s.astype(np.float64)
+                    zc = int(np.count_nonzero(np.signbit(f[1:]) != np.signbit(f[:-1])))
+                    rz = resample_nearest_audio(s, sr, target_rate)
+                    rows.append(
+                        (doc, sr, len(s), len(s) / sr,
+                         float(np.sqrt(np.mean(f * f))),
+                         int(np.abs(f).max()), zc,
+                         _hash60(rz.tobytes()), None)
+                    )
+                except NotImplementedError as e:
+                    rows.append(
+                        (doc, None, None, None, None, None, None, None,
+                         f"needs-codec:{e}")
+                    )
+                except ValueError as e:
+                    rows.append(
+                        (doc, None, None, None, None, None, None, None,
+                         f"malformed:{e}")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc", "sample_rate", "n_samples", "duration_s",
+                    "rms", "peak", "zero_crossings", "resampled_hash",
+                    "error",
+                ],
+            )
+
+    return src.mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
 def _hash60(b: bytes) -> int:

@@ -149,3 +149,45 @@ def weighted_sample(
         .filter(u < F.col("p_incl"))
         .drop("_n", "_tw")
     )
+
+
+def weighted_sample_exact_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "aes",
+) -> DataFrame:
+    """Exact-k weighted sampling without replacement (Efraimidis &
+    Spirakis A-ES, "Weighted random sampling with a reservoir", IPL
+    2006): rank every row by ``key = ln(u) / w`` with hash-uniform
+    ``u ∈ (0, 1]`` and keep the global top ``k`` — the classic
+    monotone transform of ``u^(1/w)``, under which each row's
+    inclusion probability is exactly its A-ES reservoir probability.
+
+    Deterministic like every sampler here: ``u`` derives from the
+    salted md5 of the row id, so retries, repartitionings, and the
+    DuckDB oracle select the identical k rows (60-bit hashes make key
+    collisions ~2^-60; ties still break on id for full determinism).
+    Rows with non-positive weight are excluded (ln(u)/w flips sign —
+    documented contract, matching the Poisson sampler's w>0 domain).
+
+    Scale: ``orderBy(key).limit(k)`` compiles to
+    ``TakeOrderedAndProject`` — per-partition top-k + a driver merge of
+    ``partitions × k`` rows, never a global sort; the only libm call
+    (ln) is row-local JVM codegen.
+    """
+    w = F.col(weight_col).cast("double")
+    u = (
+        md5_long(
+            F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_TWO60)
+    key = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("es_key", key)
+        .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

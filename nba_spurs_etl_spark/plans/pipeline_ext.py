@@ -1901,3 +1901,80 @@ def balanced_class_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _BAL_K)
         .select("lang", F.col("doc_id").alias("doc"))
     )
+
+
+@register(
+    "orders_sample_aes_topk",
+    group="ext-sampling weighted",
+    oracle=f"""
+SELECT o_orderkey, o_totalprice AS weight
+FROM (
+  SELECT o_orderkey, o_totalprice,
+    ln((CAST({md5_long_sql("'aes_' || CAST(o_orderkey AS VARCHAR)")} AS DOUBLE) + 1)
+       / 1152921504606846976.0) / o_totalprice AS es_key
+  FROM orders WHERE o_totalprice > 0
+)
+ORDER BY es_key DESC, o_orderkey
+LIMIT 100
+""",
+    doc="Exact-k weighted sample without replacement (Efraimidis-"
+    "Spirakis A-ES): top-100 orders by ln(u)/w rank with hash-uniform "
+    "u, weight = o_totalprice. Deterministic (salted md5 u) so the "
+    "oracle reselects the identical rows; es_key itself is excluded "
+    "from the output (the ln ulp is engine-specific, the SELECTION is "
+    "not — boundary gaps are ~1e9 ulps at this k/n). Compiles to "
+    "TakeOrderedAndProject: per-partition top-k + driver merge, no "
+    "global sort (operators/sampling.py).",
+)
+def orders_sample_aes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return sampling.weighted_sample_exact_k(
+        o, "o_orderkey", "o_totalprice", k=100
+    ).select(
+        "o_orderkey", F.col("o_totalprice").alias("weight")
+    )
+
+
+@register(
+    "multimodal_audio_pipeline",
+    group="ext-multimodal",
+    oracle=None,  # decode/stats/resample of the FAUD PCM is pure-python
+    # by design (codec territory); correctness is pinned by
+    # tests/test_operators.py::test_audio_pipeline_decode_stats_and_error_isolation
+    # (hand-computed stats on a crafted blob, exact nearest resample,
+    # error rows for corrupt/codec-gated/degenerate blobs)
+    doc="Full audio pipeline over synthesized FAUD PCM blobs: decode "
+    "(real header parse) -> duration/RMS/peak/zero-crossing stats -> "
+    "nearest-neighbor resample to 8 kHz (real index math) -> "
+    "resampled-content hash, one Arrow mapInPandas pass with per-row "
+    "error isolation (operators/multimodal.py::audio_pipeline_features)."
+    " Every 89th doc carries a deliberately corrupt blob and every "
+    "97th a codec-gated RIFF header to keep both error paths hot.",
+)
+def multimodal_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                if did % 89 == 0:
+                    payloads.append(b"corrupt")  # malformed-path coverage
+                elif did % 97 == 0:
+                    payloads.append(b"RIFF....WAVE")  # codec-gate coverage
+                else:
+                    sr = 4000 + (int(did) % 4) * 2000
+                    n = 64 + int(nc) % 192
+                    payloads.append(
+                        multimodal.encode_fake_audio(sr, n, f"aud:{did}")
+                    )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return multimodal.audio_pipeline_features(media, "doc_id", "payload")

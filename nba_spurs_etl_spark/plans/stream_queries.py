@@ -189,24 +189,67 @@ def stream_dedup_within_watermark_q(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "stream_stream_left_join",
     group="2.9 ext-stream 2.3",
-    oracle=None,
-    # no oracle BY DESIGN: outer emission is cut by the final
-    # watermark position, which SQL over the static table cannot
-    # express; containment vs the batch left join is tested instead
+    # FULL oracle on the watermark-CLOSED region (VERDICT r03 item 5):
+    # restricted to clicks whose 30-min join window lies a safety
+    # minute below the final global watermark (min of both sides'
+    # max event time minus the 10-min delay), outer emission is
+    # decided — matches emitted as found, unmatched clicks flushed by
+    # the no-data finalization batch — so the drain equals the batch
+    # left join there. The still-open frontier (clicks newer than the
+    # cut) is excluded from BOTH sides identically; its behavior stays
+    # covered by the containment test against the unrestricted batch
+    # left join.
+    oracle="""
+WITH p AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS p_us, value
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS c_us
+  FROM events WHERE event_type = 'click'
+),
+mx AS (
+  SELECT LEAST((SELECT MAX(p_us) FROM p), (SELECT MAX(c_us) FROM c))
+         - 600000000 AS final_wm
+)
+SELECT c.user_id,
+  c.c_us AS click_us,
+  p.p_us AS purchase_us,
+  p.value AS purchase_value
+FROM c CROSS JOIN mx
+LEFT JOIN p ON p.user_id = c.user_id
+  AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 1800000000
+WHERE c.c_us + 1800000000 <= mx.final_wm - 60000000
+""",
     doc="LEFT OUTER stream-stream interval join: matches emit as "
-    "found; unmatched clicks emit once the other side's watermark "
-    "passes their window. Drained result = inner matches + "
-    "watermark-expired unmatched prefix (tested by containment "
-    "against the batch left join).",
+    "found; unmatched clicks emit once the watermark passes their "
+    "window. The catalog entry compares the watermark-closed region "
+    "(click window fully below the final watermark, 1-min margin "
+    "for ms-truncation/boundary semantics) against the batch left "
+    "join — full value oracle; the open frontier is additionally "
+    "covered by a containment test.",
 )
 def stream_stream_left_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import epoch_us
     from ..streaming.events import stream_click_purchase_left_join
 
-    return run_stream_to_table(
+    drained = run_stream_to_table(
         stream_click_purchase_left_join(spark, sf_dir),
         spark,
         output_mode="append",
         state_partitions=8,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    maxes = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max(epoch_us("ts")).alias("mx"))
+        .agg(F.min("mx").alias("m"))
+        .first()
+    )
+    final_wm = maxes["m"] - 600_000_000  # 10-min watermark delay
+    return drained.filter(
+        F.col("click_us") + 1_800_000_000 <= final_wm - 60_000_000
     )
 
 

