@@ -40,6 +40,9 @@ NAMES = [
     "dedup_incremental_batch", "dedup_jaccard_prefix_filtered",
     "fuzzy_match_customers", "orders_equidepth_price_histogram",
     "top1_per_group_maxby",
+    # round-4 additions
+    "dedup_components_star", "corpus_decontaminate_bloom",
+    "orders_sample_aes_topk",
 ]
 
 
@@ -70,14 +73,17 @@ def build(spark, dst: str, k: int) -> None:
 
 
 def main() -> int:
+    # usage: scale_probe.py [K] [name ...] — names restrict the probe
+    # to a subset (default: the full NAMES list)
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:] or NAMES
     dst = f"/tmp/sfx{k}"
     spark = get_spark("scale-probe")
     if not os.path.isdir(dst):
         build(spark, dst, k)
     q = queries()
     for sf_dir, label in [(SRC, "sf0.1"), (dst, f"sf0.1x{k}")]:
-        for name in NAMES:
+        for name in names:
             c = q[name](spark, sf_dir).count()  # warm (and row count)
             t0 = time.perf_counter()
             # noop sink: full evaluation (count() lets Catalyst prune
