@@ -408,3 +408,65 @@ def quality_quantile_filter(
         .filter(F.col("score") >= F.col("threshold"))
         .select("grp", "doc", "score", "threshold")
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    ref_text_col: str | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """Per-doc novelty report vs a reference corpus:
+    (doc, n_grams, known_grams, novelty) with novelty = 1 - known/total
+    over distinct word n-grams (NULL for docs too short to have any).
+
+    ``decontaminate``'s scoring complement: instead of flagging docs
+    that overlap an eval set, this SCORES how much of each doc is
+    already present in a reference corpus — the dedup-aware freshness
+    signal used for data mixing (prefer high-novelty docs) and
+    memorization studies (low novelty = near-verbatim of training
+    data).
+
+    Plan: identical to decontaminate — reference grams md5-folded,
+    distinct, BROADCAST; corpus grams probe map-side; one per-doc
+    count exchange. Integer counts divide into an exact double, so the
+    oracle is bit-identical.
+    """
+    rcol = ref_text_col or text_col
+    ref_grams = (
+        reference.select(F.explode(_grams(F.col(rcol), n)).alias("g"))
+        .select(md5_long(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_grams(F.col(text_col), n)).alias("g"),
+    ).select("doc", md5_long(F.col("g")).alias("gh"))
+    counts = (
+        doc_grams.join(
+            F.broadcast(ref_grams.withColumn("known", F.lit(1))),
+            "gh",
+            "left",
+        )
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("known").alias("known_grams"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(counts, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("known_grams", F.lit(0)).alias("known_grams"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.lit(1.0)
+                - F.col("known_grams").cast("double") / F.col("n_grams"),
+            ).alias("novelty"),
+        )
+    )

@@ -216,6 +216,74 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Directed containment pairs: (src, dst, containment) where
+    C(src→dst) = |S_src ∩ S_dst| / |S_src| >= threshold.
+
+    The asymmetric companion to ``ngram_jaccard_pairs``: a short doc
+    fully quoted inside a long one has containment ~1.0 in that
+    direction but low jaccard (the union is dominated by the long
+    doc), so symmetric measures miss subset-duplication — quotes,
+    boilerplate wrapping, chunk-of-a-longer-doc reposts. Standard
+    text-dedup practice (e.g. the containment variant of broder-style
+    resemblance) scores both directions from ONE symmetric
+    intersection count.
+
+    Plan: identical inverted-index kernel as jaccard (one shuffle
+    keyed by shingle, array-HOF pair emission, posting cap), with BOTH
+    directed rows emitted from the same exploded pair — a
+    union-of-selects over the symmetric counts would make Spark
+    recompute the whole posting aggregation once per branch (no
+    cross-branch subtree reuse above an exchange), doubling the
+    dominant shuffle; the plan pin
+    ``test_containment_single_posting_pass`` holds it to one pass.
+    """
+    pairs = exploded_shingles(df, id_col, text_col, n, max_shingle_freq)
+    sizes = pairs.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    directed = (
+        pairs.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.explode(pair_combos(F.col("docs"))).alias("p"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("p.doc_a").alias("src"),
+                        F.col("p.doc_b").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("p.doc_b").alias("src"),
+                        F.col("p.doc_a").alias("dst"),
+                    ),
+                )
+            ).alias("d")
+        )
+        .groupBy(F.col("d.src").alias("src"), F.col("d.dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        directed.join(
+            sizes.select(F.col("doc").alias("src"), F.col("n_sh")), "src"
+        )
+        .select(
+            "src",
+            "dst",
+            (F.col("common").cast("double") / F.col("n_sh")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def _hashed_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:

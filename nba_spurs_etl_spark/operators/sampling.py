@@ -16,7 +16,7 @@ per language/source/bucket).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import md5_long
@@ -190,4 +190,43 @@ def weighted_sample_exact_k(
         .withColumn("es_key", key)
         .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def weighted_sample_exact_k_per_group(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "aesg",
+) -> DataFrame:
+    """A-ES exact-k weighted sampling WITHIN each group: top ``k``
+    rows per ``group_col`` by the same ln(u)/w rank as
+    ``weighted_sample_exact_k`` — per-stratum weighted downsampling
+    (e.g. k best-quality docs per source/language) in one pass.
+
+    Scale: one shuffle keyed by the group, then a row_number window —
+    rank state is O(1) per row; per-group skew is the usual window
+    skew, bounded by the group's row count (salt the group key first
+    if one group dominates). Deterministic like the global form, so
+    the oracle reselects identical rows; es_key stays internal
+    (libm-ulp discipline — the SELECTION is robust, the double isn't).
+    """
+    w = F.col(weight_col).cast("double")
+    u = (
+        md5_long(
+            F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_TWO60)
+    key = F.log(u) / w
+    win = Window.partitionBy(group_col).orderBy(
+        key.desc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(w > 0)
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
     )

@@ -560,3 +560,43 @@ def graph_triangles_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_size=_BAND_SIZE,
     )
     return triangle_counts(pairs)
+
+
+@register(
+    "corpus_ngram_novelty",
+    group="ext-curation novelty",
+    oracle=f"""
+WITH {_grams_cte("WHERE doc_id % 10 = 0", 3, "ref_grams")},
+{_grams_cte("WHERE doc_id % 10 <> 0", 3, "doc_grams")},
+ref AS (SELECT DISTINCT {md5_long_sql("gram")} AS gh FROM ref_grams),
+cnt AS (
+  SELECT doc, COUNT(*) AS n_grams, COUNT(r.gh) AS known_grams
+  FROM (SELECT doc, {md5_long_sql("gram")} AS gh FROM doc_grams) dg
+  LEFT JOIN ref r USING (gh) GROUP BY doc
+)
+SELECT d.doc_id AS doc,
+  CAST(COALESCE(c.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(COALESCE(c.known_grams, 0) AS BIGINT) AS known_grams,
+  CASE WHEN COALESCE(c.n_grams, 0) > 0
+       THEN 1.0 - CAST(c.known_grams AS DOUBLE) / c.n_grams END AS novelty
+FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc
+WHERE d.doc_id % 10 <> 0
+""",
+    doc="Per-doc novelty vs a reference corpus (fixture reference = "
+    "doc_id % 10 == 0 slice): fraction of the doc's distinct 3-grams "
+    "NOT already present in the reference — decontaminate's scoring "
+    "complement, the freshness signal for data mixing and "
+    "memorization studies. Reference grams broadcast; corpus grams "
+    "probe map-side; one per-doc count exchange; integer-ratio "
+    "doubles are bit-exact "
+    "(operators/curation.py::ngram_novelty).",
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.ngram_novelty(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        n=3,
+    )

@@ -1978,3 +1978,138 @@ def multimodal_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
     return multimodal.audio_pipeline_features(media, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# round 4: containment dedup, BM25 search, per-group A-ES
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_containment",
+    group="ext-dedup containment",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc, COUNT(*) AS n FROM shingle_pairs GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS c
+  FROM shingle_pairs a JOIN shingle_pairs b
+    ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+directed AS (
+  SELECT doc_a AS src, doc_b AS dst, c FROM common
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst, c FROM common
+)
+SELECT src, dst, CAST(c AS DOUBLE) / s.n AS containment
+FROM directed JOIN sizes s ON src = s.doc
+WHERE CAST(c AS DOUBLE) / s.n >= 0.6
+""",
+    doc="Directed containment pairs C(src->dst) = |S_src ∩ S_dst| / "
+    "|S_src| >= 0.6 over 3-gram shingles — the asymmetric dedup "
+    "jaccard misses: a short doc quoted inside a long one contains "
+    "~fully in that direction while the union-dominated jaccard stays "
+    "low. Same single-shuffle inverted-index kernel as "
+    "dedup_ngram_jaccard; both directions fan out from ONE symmetric "
+    "intersection count (operators/dedup.py::containment_pairs).",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.6,
+    )
+
+
+@register(
+    "search_bm25_topk",
+    group="ext-search",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+dl AS (SELECT doc_id AS doc, len(w) AS dlen FROM d),
+post AS (SELECT doc_id AS doc, t AS term, COUNT(*) AS tf
+         FROM d, UNNEST(w) AS u(t) GROUP BY 1, 2),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dlen) AS avgdl FROM dl),
+qt AS (SELECT DISTINCT doc_id AS query_id, t AS term
+       FROM (SELECT doc_id, UNNEST(w[1:3]) AS t FROM d WHERE doc_id % 100 = 0)
+       WHERE t <> ''),
+dfreq AS (SELECT term, COUNT(DISTINCT doc) AS df FROM post
+          WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, post.doc,
+    SUM( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (post.tf * 2.2)
+         / (post.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
+  FROM qt
+  JOIN post ON post.term = qt.term
+  JOIN dfreq ON dfreq.term = qt.term
+  JOIN dl ON dl.doc = post.doc
+  CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT query_id, doc, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, doc,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+    doc="BM25 top-10 retrieval (Lucene-style idf, k1=1.2 b=0.75) for "
+    "queries synthesized from every 100th doc's first 3 words — the "
+    "lexical complement to the ANN family, used for eval mining and "
+    "contamination forensics. Term frequencies computed ROW-LOCALLY "
+    "(array HOFs, no posting groupBy shuffle); query terms broadcast "
+    "and pruned map-side so only matching postings ever shuffle; "
+    "scores stay internal (ulp discipline), output is (query, doc, "
+    "rank) (operators/search.py::bm25_topk).",
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import search
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(F.split(F.col("text"), " "), 1, 3)).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    return search.bm25_topk(docs, q, "doc_id", "text", k=10)
+
+
+@register(
+    "orders_sample_aes_per_priority",
+    group="ext-sampling weighted",
+    oracle=f"""
+SELECT o_orderkey, o_orderpriority, o_totalprice AS weight
+FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY
+      ln((CAST({md5_long_sql("'aesg_' || CAST(o_orderkey AS VARCHAR)")} AS DOUBLE) + 1)
+         / 1152921504606846976.0) / o_totalprice DESC,
+      o_orderkey) AS rk
+  FROM orders WHERE o_totalprice > 0
+) WHERE rk <= 3
+""",
+    doc="A-ES exact-k weighted sampling per stratum: top-3 orders per "
+    "o_orderpriority by ln(u)/w rank, weight = o_totalprice — "
+    "per-source/per-language weighted downsampling in one "
+    "group-keyed window pass "
+    "(operators/sampling.py::weighted_sample_exact_k_per_group).",
+)
+def orders_sample_aes_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return sampling.weighted_sample_exact_k_per_group(
+        o, "o_orderkey", "o_totalprice", "o_orderpriority", k=3
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").alias("weight"),
+    )

@@ -1480,3 +1480,102 @@ def test_audio_pipeline_decode_stats_and_error_isolation(spark):
     assert got[4]["error"] is None and got[4]["n_samples"] == 32
     # np only used to silence the unused-import linter heuristics
     assert np.int16 is not None
+
+
+def test_containment_pairs_asymmetric(spark):
+    """A short doc fully quoted inside a long one: containment ~1.0 in
+    the short->long direction only; jaccard misses it (union-dominated)."""
+    from nba_spurs_etl_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = [
+        (1, "a b c d e"),                  # 3 shingles, all inside doc 2
+        (2, "a b c d e f g h"),            # 6 shingles
+        (3, "x y z w"),                    # unrelated
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["src"], r["dst"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    # the reverse direction scores 3/6 and both jaccards 0.5 — below 0.8
+    both = {
+        (r["src"], r["dst"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "text", threshold=0.4).collect()
+    }
+    assert both[(2, 1)] == 0.5
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert (1, 2) not in jac  # symmetric measure misses the quote
+
+
+def test_bm25_topk_ranks_exact_term_match_first(spark):
+    from nba_spurs_etl_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra runs fast"),
+            (2, "the cat sat on the mat"),
+            (3, "the dog sat on the log and the dog barked"),
+            (4, "zebra zebra zebra in the zoo"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(100, "zebra"), (200, "dog")], "query_id long, term string"
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["doc"]
+        for r in bm25_topk(docs, q, "doc_id", "text", k=2).collect()
+    }
+    # 'zebra': doc 4 has tf=3 (saturating but higher), doc 1 tf=1;
+    # 'dog' appears only in doc 3
+    assert got[(100, 1)] == 4 and got[(100, 2)] == 1
+    assert got[(200, 1)] == 3 and (200, 2) not in got
+
+
+def test_weighted_sample_per_group_counts(spark):
+    from nba_spurs_etl_spark.operators.sampling import (
+        weighted_sample_exact_k,
+        weighted_sample_exact_k_per_group,
+    )
+
+    rows = [
+        (i, "g%d" % (i % 3), float(1 + i % 7)) for i in range(1, 61)
+    ] + [(100, "tiny", 5.0)]  # group with fewer rows than k
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    out = weighted_sample_exact_k_per_group(df, "id", "w", "g", k=4)
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"g0": 4, "g1": 4, "g2": 4, "tiny": 1}
+    # restricted to one group, per-group == global A-ES on that slice
+    g0 = df.filter("g = 'g0'")
+    per = {r["id"] for r in weighted_sample_exact_k_per_group(
+        g0, "id", "w", "g", k=4, salt="s").collect()}
+    glb = {r["id"] for r in weighted_sample_exact_k(
+        g0, "id", "w", k=4, salt="s").collect()}
+    assert per == glb
+
+
+def test_ngram_novelty_extremes(spark):
+    from nba_spurs_etl_spark.operators.curation import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [(10, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # verbatim -> novelty 0
+            (2, "completely different words here now"),  # disjoint -> 1
+            (3, "too short"),                   # no 3-grams -> NULL
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc"]: r for r in ngram_novelty(docs, ref, "doc_id", "text").collect()}
+    assert got[1]["novelty"] == 0.0 and got[1]["known_grams"] == got[1]["n_grams"] > 0
+    assert got[2]["novelty"] == 1.0 and got[2]["known_grams"] == 0
+    assert got[3]["n_grams"] == 0 and got[3]["novelty"] is None

@@ -445,3 +445,24 @@ def test_aes_topk_avoids_global_sort(spark, catalog):
     never a global Sort+Exchange."""
     plan = fmt_plan(catalog["orders_sample_aes_topk"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_prunes_corpus_via_broadcast_terms(spark, catalog):
+    """BM25's corpus stream must be pruned to query terms by a
+    BROADCAST join before any aggregation exchange, and term
+    frequencies must come from row-local array HOFs — no groupBy over
+    the full token stream, no sort-merge join anywhere."""
+    plan = fmt_plan(catalog["search_bm25_topk"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_containment_single_posting_pass(spark, catalog):
+    """Both containment directions must fan out from one symmetric
+    intersection count — a second posting-list self-join would double
+    the dominant shuffle. Pin: exactly one partial collect_list
+    aggregation (the posting-bucket pair emission) in the plan."""
+    plan = fmt_plan(catalog["dedup_containment"](spark, SF_SMOKE))
+    assert plan.count("partial_collect_list") == 1, plan
+    assert "CartesianProduct" not in plan, plan
