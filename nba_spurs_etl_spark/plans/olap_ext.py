@@ -1539,3 +1539,170 @@ def events_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.max("concurrency").cast("bigint").alias("max_concurrency"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: changepoint detection + winsorized robust stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cusum_changepoint",
+    group="ext-stats changepoint",
+    oracle="""
+WITH hourly AS (
+  SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+    CAST(COUNT(*) AS BIGINT) AS k
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(k) AS DOUBLE) / COUNT(*) AS mean_k,
+               CAST(COUNT(*) AS BIGINT) AS n_hours FROM hourly),
+dev AS (
+  SELECT h.bucket_us,
+    ABS(CAST(SUM(h.k) OVER (ORDER BY h.bucket_us) AS DOUBLE)
+        - (ROW_NUMBER() OVER (ORDER BY h.bucket_us)) * t.mean_k) AS d,
+    t.n_hours
+  FROM hourly h CROSS JOIN tot t
+)
+SELECT bucket_us AS changepoint_us, d AS max_dev, n_hours
+FROM dev ORDER BY d DESC, bucket_us LIMIT 1
+""",
+    doc="Offline mean-shift changepoint (the non-resetting CUSUM "
+    "statistic): hour i's deviation = |prefix_sum(counts) - i*mean|, "
+    "maximized over hours — the classic argmax-of-cumulative-"
+    "deviation estimator for a single level shift. Hourly counts are "
+    "one map-combined agg; the prefix sum runs over the TINY hourly "
+    "frame (744 rows at sf0.1 — a single-task window over an "
+    "already-aggregated series is the correct plan, unlike the "
+    "row-level global sums in operators/prefix.py); counts are exact "
+    "ints and mean one exact division, so max_dev is bit-identical. "
+    "Top-1 via TakeOrdered, no global sort.",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = epoch_us("ts")
+    hourly = (
+        ev.select((us - us % 3_600_000_000).alias("bucket_us"))
+        .groupBy("bucket_us")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    tot = hourly.agg(
+        (F.sum("k").cast("double") / F.count(F.lit(1))).alias("mean_k"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    w = Window.orderBy("bucket_us")
+    dev = hourly.crossJoin(F.broadcast(tot)).select(
+        "bucket_us",
+        F.abs(
+            F.sum("k").over(w).cast("double")
+            - F.row_number().over(w) * F.col("mean_k")
+        ).alias("d"),
+        "n_hours",
+    )
+    return (
+        dev.orderBy(F.col("d").desc(), F.col("bucket_us").asc())
+        .limit(1)
+        .select(
+            F.col("bucket_us").alias("changepoint_us"),
+            F.col("d").alias("max_dev"),
+            "n_hours",
+        )
+    )
+
+
+@register(
+    "orders_winsorized_stats",
+    group="ext-stats robust",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS rn,
+    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+bounds AS (
+  SELECT o_orderpriority,
+    MIN(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.01 * n) AS BIGINT))
+        THEN o_totalprice END) AS p01,
+    MIN(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+        THEN o_totalprice END) AS p99
+  FROM ranked GROUP BY 1
+)
+SELECT r.o_orderpriority,
+  CAST(MAX(r.n) AS BIGINT) AS n,
+  MAX(b.p01) AS p01,
+  MAX(b.p99) AS p99,
+  CAST(SUM(CASE WHEN r.o_totalprice < b.p01 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clipped_low,
+  CAST(SUM(CASE WHEN r.o_totalprice > b.p99 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clipped_high,
+  CAST(SUM(CAST(LEAST(GREATEST(r.o_totalprice, b.p01), b.p99)
+      AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS winsorized_mean
+FROM ranked r JOIN bounds b USING (o_orderpriority)
+GROUP BY 1
+""",
+    doc="Per-group winsorized statistics: DISC percentiles (the exact "
+    "order-statistic ELEMENT at ceil(p*n), immune to interpolation-"
+    "formula drift between engines), clip counts, and the winsorized "
+    "mean via exact decimal sums (davg pattern). One group-keyed "
+    "window ranks the rows; bounds reduce to |groups| rows and join "
+    "back broadcast. The robust-moments companion to "
+    "outlier_orders_zscore for heavy-tailed value columns.",
+)
+def orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("o_orderpriority").agg(
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.greatest(
+                    F.lit(1), F.ceil(0.01 * F.col("n")).cast("bigint")
+                ),
+                F.col("o_totalprice"),
+            )
+        ).alias("p01"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(0.99 * F.col("n")).cast("bigint"),
+                F.col("o_totalprice"),
+            )
+        ).alias("p99"),
+    )
+    clipped = ranked.join(F.broadcast(bounds), "o_orderpriority")
+    return clipped.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n"),
+        F.max("p01").alias("p01"),
+        F.max("p99").alias("p99"),
+        F.sum(
+            F.when(F.col("o_totalprice") < F.col("p01"), 1).otherwise(0)
+        ).alias("n_clipped_low"),
+        F.sum(
+            F.when(F.col("o_totalprice") > F.col("p99"), 1).otherwise(0)
+        ).alias("n_clipped_high"),
+        (
+            F.sum(
+                F.least(
+                    F.greatest(F.col("o_totalprice"), F.col("p01")),
+                    F.col("p99"),
+                ).cast("decimal(18,2)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("winsorized_mean"),
+    )

@@ -1579,3 +1579,71 @@ def test_ngram_novelty_extremes(spark):
     assert got[1]["novelty"] == 0.0 and got[1]["known_grams"] == got[1]["n_grams"] > 0
     assert got[2]["novelty"] == 1.0 and got[2]["known_grams"] == 0
     assert got[3]["n_grams"] == 0 and got[3]["novelty"] is None
+
+
+def test_cusum_changepoint_detects_step(spark):
+    """A clean level shift: 10 hours at rate 2 then 10 hours at rate 8
+    — the max cumulative deviation lands exactly at the shift
+    boundary (end of the low regime)."""
+    from nba_spurs_etl_spark.plans.catalog import queries
+    import pyspark.sql.functions as F
+
+    rows = []
+    eid = 0
+    for h in range(20):
+        rate = 2 if h < 10 else 8
+        for j in range(rate):
+            eid += 1
+            rows.append((eid, h * 3_600_000_000))
+    df = spark.createDataFrame(rows, "event_id long, us long")
+    ev = df.select("event_id", F.timestamp_micros(F.col("us")).alias("ts"))
+    # inline twin of the catalog query over a crafted frame
+    from pyspark.sql import Window
+
+    hourly = (
+        ev.select((F.unix_micros("ts") - F.unix_micros("ts") % 3_600_000_000).alias("b"))
+        .groupBy("b").agg(F.count(F.lit(1)).alias("k"))
+    )
+    tot = hourly.agg((F.sum("k").cast("double") / F.count(F.lit(1))).alias("m"))
+    w = Window.orderBy("b")
+    top = (
+        hourly.crossJoin(F.broadcast(tot))
+        .select("b", F.abs(F.sum("k").over(w).cast("double")
+                           - F.row_number().over(w) * F.col("m")).alias("d"))
+        .orderBy(F.col("d").desc(), "b").limit(1).first()
+    )
+    # hour 9 (0-based) closes the low regime: |20 - 10*5| = 30 is max
+    assert top["b"] == 9 * 3_600_000_000
+    assert top["d"] == 30.0
+
+
+def test_winsorized_stats_known_values(spark):
+    from nba_spurs_etl_spark.plans.catalog import registry as _reg
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    # one group, values 1..100: p01 = element at ceil(1) = 1,
+    # p99 = element at ceil(99) = 99; one row clipped high (100), none low
+    rows = [(i, "g", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_orderpriority string, o_totalprice double")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = df.select(
+        "o_orderpriority", "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("rn") == F.greatest(F.lit(1), F.ceil(0.01 * F.col("n")).cast("bigint")), F.col("o_totalprice"))).alias("p01"),
+        F.min(F.when(F.col("rn") == F.ceil(0.99 * F.col("n")).cast("bigint"), F.col("o_totalprice"))).alias("p99"),
+    ).first()
+    assert bounds["p01"] == 1.0 and bounds["p99"] == 99.0
+    # winsorized mean: sum(1..99) + 99 (the clipped 100) = 5049 -> 50.49
+    got = ranked.join(
+        F.broadcast(df.sparkSession.createDataFrame([("g", 1.0, 99.0)], "o_orderpriority string, p01 double, p99 double")),
+        "o_orderpriority",
+    ).agg(
+        (F.sum(F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99")).cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("wm"),
+        F.sum(F.when(F.col("o_totalprice") > F.col("p99"), 1).otherwise(0)).alias("hi"),
+    ).first()
+    assert got["wm"] == 50.49 and got["hi"] == 1
