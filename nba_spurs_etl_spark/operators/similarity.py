@@ -527,3 +527,156 @@ def label_centroids(
         )
         .select("label", "n_vecs", F.col("dim").cast("int").alias("dim"), "c", "l2")
     )
+
+
+def pq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Product-quantization (PQ) approximate top-k with ADC scoring
+    (Jegou/Douze/Schmid, "Product quantization for nearest neighbor
+    search", PAMI 2011).
+
+    Codebooks: the vector splits into ``m`` subspaces; each subspace's
+    ``n_codes`` codewords are the corresponding slices of n_codes
+    corpus vectors chosen by smallest md5(id) — the same seeded-sample-
+    in-disguise as ``ivf_topk``, so the DuckDB oracle re-derives them
+    (production swaps in per-subspace k-means; the plan shape is
+    unchanged). Encode: argmin-L2 fold over the LITERAL codebook per
+    subspace — a narrow map that compresses each vector to m small
+    codes (64 floats -> 4 codes here: the ~64x index-memory trick real
+    PQ deployments bank on). ADC: each query precomputes its
+    m x n_codes lookup table of subspace dot products row-locally from
+    the same literals; a (query, candidate) score is then m table
+    lookups + adds instead of d multiplies.
+
+    Scoring is EXHAUSTIVE over candidates by contract — PQ is a
+    compression scheme, not a pruning scheme; compose with IVF cells
+    (or LSH buckets) for candidate pruning at scale. All folds are
+    sequential left-folds in double, so adc_score is bit-reproducible
+    by the oracle.
+    """
+    v = F.col(vec_col)
+    cent_rows = sorted(
+        candidates.select(F.col(id_col).alias("cid"), v.alias("cv"))
+        .orderBy(md5_long(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n_codes)
+        .collect(),
+        key=lambda r: r["cid"],
+    )
+    d = len(cent_rows[0]["cv"])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub = d // m
+    # ONE nested literal [m][n_codes][sub] and data-driven HOF loops:
+    # an earlier formulation unrolled m x n_codes separate fold
+    # expressions in Python, which blew past the whole-stage-codegen
+    # method limit and fell back to interpreted evaluation — measured
+    # 33s vs ~1s for identical math at sf0.1
+    cb_lit = F.lit(
+        [
+            [[float(x) for x in r["cv"][s * sub:(s + 1) * sub]]
+             for r in cent_rows]
+            for s in range(m)
+        ]
+    )
+
+    def _subvec(vec, s):
+        # element_at arithmetic instead of slice(): start offsets are
+        # lambda-variable Columns, which slice() does not accept
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(sub)),
+            lambda i: F.element_at(vec, (s * sub + i).cast("int")).cast(
+                "double"
+            ),
+        )
+
+    def encode(vec):
+        init = F.struct(
+            F.lit(float("inf")).alias("d2"), F.lit(-1).alias("j")
+        )
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                    lambda j: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                _subvec(vec, s),
+                                F.element_at(
+                                    F.element_at(cb_lit, (s + 1).cast("int")),
+                                    (j + 1).cast("int"),
+                                ),
+                                lambda x, c: (x - c) * (x - c),
+                            ),
+                            F.lit(0.0),
+                            lambda a, t: a + t,
+                        ).alias("d2"),
+                        j.cast("int").alias("j"),
+                    ),
+                ),
+                init,
+                lambda acc, sc: F.when(
+                    (sc["d2"] < acc["d2"])
+                    | ((sc["d2"] == acc["d2"]) & (sc["j"] < acc["j"])),
+                    sc,
+                ).otherwise(acc),
+            )["j"],
+        )
+
+    cands = spread_for_compute(candidates, id_col).select(
+        F.col(id_col).alias("cand_id"), encode(v).alias("code")
+    )
+
+    def lut(vec):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                lambda j: F.aggregate(
+                    F.zip_with(
+                        _subvec(vec, s),
+                        F.element_at(
+                            F.element_at(cb_lit, (s + 1).cast("int")),
+                            (j + 1).cast("int"),
+                        ),
+                        lambda x, c: x * c,
+                    ),
+                    F.lit(0.0),
+                    lambda a, t: a + t,
+                ),
+            ),
+        )
+
+    q = queries.select(F.col(id_col).alias("query_id"), lut(v).alias("lut"))
+    scored = (
+        cands.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("code"),
+                    F.col("lut"),
+                    lambda c, row: F.element_at(row, c + 1),
+                ),
+                F.lit(0.0),
+                lambda a, t: a + t,
+            ).alias("adc_score"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "adc_score", "rnk")
+    )

@@ -678,6 +678,20 @@ def test_ann_recall_floors(spark):
     assert r_ivf4 >= 0.30, r_ivf4
     assert r_ivf8 >= r_ivf4, (r_ivf4, r_ivf8)
 
+    # PQ scores every candidate through a compressed code, so its
+    # recall is about quantization error, not candidate pruning: the
+    # structural property is monotone improvement with finer subspaces
+    # and bigger codebooks (measured 0.18 -> 0.54 on the 2026-08
+    # corpus with untrained md5-sampled codewords)
+    r_pq_coarse = recall(topk_map(similarity.pq_topk(
+        emb, q, "vec_id", "embedding", k=K, m=4, n_codes=16)))
+    r_pq_fine = recall(topk_map(similarity.pq_topk(
+        emb, q, "vec_id", "embedding", k=K, m=16, n_codes=32)))
+    assert r_pq_coarse >= 0.08, r_pq_coarse
+    assert r_pq_fine >= 0.30 and r_pq_fine >= r_pq_coarse, (
+        r_pq_coarse, r_pq_fine,
+    )
+
 
 def test_shard_write_layout(spark, tmp_path):
     """The shard manifest must translate into the physical layout it
