@@ -680,3 +680,210 @@ def pq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "adc_score", "rnk")
     )
+
+
+def ivf_pq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    n_codes: int = 32,
+) -> DataFrame:
+    """IVF-PQ: the classic production ANN layout — IVF cells PRUNE the
+    candidate set (each query scores ~nprobe/n_cells of the corpus),
+    PQ codes COMPRESS the scoring inside the probed cells (m table
+    lookups per pair instead of d multiplies, and the index stores m
+    small codes per vector instead of d floats).
+
+    Both quantizers use the md5-smallest corpus sample as their
+    deterministic codebook stand-in (``ivf_topk`` / ``pq_topk``
+    conventions, so the DuckDB oracle re-derives everything); corpus
+    cell assignment and PQ encoding are one narrow map over literal
+    codebooks — an index build with zero corpus shuffle. The only
+    exchange is the broadcast probe join keyed by cell.
+    """
+    v = F.col(vec_col)
+    # ---- IVF coarse quantizer (cosine argmax, ivf_topk convention)
+    cent_rows = (
+        candidates.select(
+            F.col(id_col).alias("cid"),
+            v.alias("cv"),
+            F.sqrt(_dot(v, v)).alias("cn"),
+        )
+        .orderBy(md5_long(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(r["cid"]).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["cv"]])
+                .cast("array<double>")
+                .alias("cv"),
+                F.lit(r["cn"]).alias("cn"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def _cell_cos(c, vec_c: str, nrm_c: str):
+        return _dot(c["cv"], F.col(vec_c)) / (c["cn"] * F.col(nrm_c))
+
+    cell_scores = F.transform(
+        cents,
+        lambda c: F.struct(
+            _cell_cos(c, "v", "nrm").alias("cos"), c["cid"].alias("cid")
+        ),
+    )
+    init = F.struct(
+        F.lit(-2.0).alias("cos"), F.lit(None).cast("long").alias("cid")
+    )
+    best_cell = F.aggregate(
+        cell_scores,
+        init,
+        lambda acc, s: F.when(
+            (s["cos"] > acc["cos"])
+            | ((s["cos"] == acc["cos"]) & (s["cid"] < acc["cid"])),
+            s,
+        ).otherwise(acc),
+    )["cid"]
+
+    # ---- PQ fine quantizer (pq_topk convention: cid-ordered sample)
+    code_rows = sorted(
+        candidates.select(F.col(id_col).alias("cid"), v.alias("cv"))
+        .orderBy(md5_long(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n_codes)
+        .collect(),
+        key=lambda r: r["cid"],
+    )
+    d = len(code_rows[0]["cv"])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub = d // m
+    cb_lit = F.lit(
+        [
+            [[float(x) for x in r["cv"][s * sub:(s + 1) * sub]]
+             for r in code_rows]
+            for s in range(m)
+        ]
+    )
+
+    def _subvec(vec, s):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(sub)),
+            lambda i: F.element_at(vec, (s * sub + i).cast("int")).cast(
+                "double"
+            ),
+        )
+
+    def encode(vec):
+        e_init = F.struct(
+            F.lit(float("inf")).alias("d2"), F.lit(-1).alias("j")
+        )
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                    lambda j: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                _subvec(vec, s),
+                                F.element_at(
+                                    F.element_at(cb_lit, (s + 1).cast("int")),
+                                    (j + 1).cast("int"),
+                                ),
+                                lambda x, c: (x - c) * (x - c),
+                            ),
+                            F.lit(0.0),
+                            lambda a, t: a + t,
+                        ).alias("d2"),
+                        j.cast("int").alias("j"),
+                    ),
+                ),
+                e_init,
+                lambda acc, sc: F.when(
+                    (sc["d2"] < acc["d2"])
+                    | ((sc["d2"] == acc["d2"]) & (sc["j"] < acc["j"])),
+                    sc,
+                ).otherwise(acc),
+            )["j"],
+        )
+
+    assigned = spread_for_compute(candidates, id_col).select(
+        F.col(id_col).alias("cand_id"),
+        v.alias("v"),
+        F.sqrt(_dot(v, v)).alias("nrm"),
+    ).select(
+        "cand_id", best_cell.alias("cell"), encode(F.col("v")).alias("code")
+    )
+
+    def lut(vec):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                lambda j: F.aggregate(
+                    F.zip_with(
+                        _subvec(vec, s),
+                        F.element_at(
+                            F.element_at(cb_lit, (s + 1).cast("int")),
+                            (j + 1).cast("int"),
+                        ),
+                        lambda x, c: x * c,
+                    ),
+                    F.lit(0.0),
+                    lambda a, t: a + t,
+                ),
+            ),
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        v.alias("v"),
+        F.sqrt(_dot(v, v)).alias("nrm"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = (
+        q.select("query_id", "v", F.explode(cents).alias("c"),
+                 F.col("nrm"))
+        .select(
+            "query_id",
+            "v",
+            F.col("c.cid").alias("cell"),
+            _cell_cos(F.col("c"), "v", "nrm").alias("ccos"),
+        )
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", "cell", lut(F.col("v")).alias("lut"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("code"),
+                    F.col("lut"),
+                    lambda c, row: F.element_at(row, c + 1),
+                ),
+                F.lit(0.0),
+                lambda a, t: a + t,
+            ).alias("adc_score"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "adc_score", "rnk")
+    )

@@ -2198,3 +2198,106 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, _queries_df(spark, sf_dir), "vec_id", "embedding",
         k=_TOPK, m=_PQ_M, n_codes=_PQ_CODES,
     )
+
+
+def _ivf_pq_oracle() -> str:
+    m, nc, sub = _PQ_M, _PQ_CODES, _PQ_SUB
+    cells, nprobe = _IVF_CELLS, _IVF_NPROBE
+
+    def _l2_terms(vec: str, cw: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {sub}), "
+            f"i -> (CAST({vec}[s*{sub}+i] AS DOUBLE) - CAST({cw}[s*{sub}+i] AS DOUBLE))"
+            f" * (CAST({vec}[s*{sub}+i] AS DOUBLE) - CAST({cw}[s*{sub}+i] AS DOUBLE))), "
+            f"(x, y) -> x + y)"
+        )
+
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding AS v, sqrt({_dot_sql("embedding", "embedding")}) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM base
+  ORDER BY {md5_long_sql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT {cells}
+),
+pqs AS (
+  SELECT vec_id AS cid, v AS cv FROM base
+  ORDER BY {md5_long_sql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT {nc}
+),
+cb AS (SELECT list(cv ORDER BY cid) AS cbl FROM pqs),
+assigned AS (
+  SELECT cand_id, candv, cell FROM (
+    SELECT b.vec_id AS cand_id, b.v AS candv, c.cid AS cell,
+      ROW_NUMBER() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY {_dot_sql("c.cv", "b.v")} / (c.cn * b.nrm) DESC, c.cid ASC
+      ) AS rn
+    FROM base b CROSS JOIN cents c
+  ) t WHERE rn = 1
+),
+coded AS (
+  SELECT a.cand_id, a.cell,
+    list_transform(generate_series(0, {m - 1}), s ->
+      list_reduce(
+        list_transform(generate_series(1, {nc}), j -> {{
+          'd2': {_l2_terms("a.candv", "cb.cbl[j]")},
+          'j': j - 1 }}),
+        (x, c) -> CASE WHEN c.d2 < x.d2 OR (c.d2 = x.d2 AND c.j < x.j)
+                  THEN c ELSE x END).j) AS code
+  FROM assigned a CROSS JOIN cb
+),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, c.cid AS cell,
+      ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_dot_sql("c.cv", "q.v")} / (c.cn * q.nrm) DESC, c.cid ASC
+      ) AS rn
+    FROM base q CROSS JOIN cents c WHERE q.vec_id % 100 = 0
+  ) t WHERE rn <= {nprobe}
+),
+qlut AS (
+  SELECT p.query_id, p.cell,
+    list_transform(generate_series(0, {m - 1}), s ->
+      list_transform(generate_series(1, {nc}), j ->
+        list_reduce(list_transform(generate_series(1, {sub}),
+          i -> CAST(p.qv[s*{sub}+i] AS DOUBLE) * CAST(cb.cbl[j][s*{sub}+i] AS DOUBLE)),
+          (x, y) -> x + y))) AS lut
+  FROM probes p CROSS JOIN cb
+),
+scored AS (
+  SELECT ql.query_id, c.cand_id,
+    list_reduce(list_transform(generate_series(1, {m}), s ->
+      ql.lut[s][c.code[s] + 1]), (x, y) -> x + y) AS adc_score
+  FROM coded c JOIN qlut ql ON c.cell = ql.cell
+  WHERE c.cand_id != ql.query_id
+)
+SELECT query_id, cand_id, adc_score, CAST(rn AS INT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_score DESC, cand_id ASC) AS rn
+  FROM scored
+) t WHERE rn <= {_TOPK}
+"""
+
+
+@register(
+    "similarity_topk_ivf_pq",
+    group="ext-similarity ivf-pq",
+    oracle=_ivf_pq_oracle(),
+    doc="IVF-PQ composition, the classic production ANN index layout: "
+    "IVF cells PRUNE (each query scores ~nprobe/n_cells of the "
+    "corpus via the broadcast cell join) while PQ codes COMPRESS the "
+    "scoring inside probed cells (16 LUT lookups per pair, 16 small "
+    "codes per vector in the index instead of 64 floats). Cell "
+    "assignment and PQ encode are one narrow literal-codebook map — "
+    "an index build with zero corpus shuffle "
+    "(operators/similarity.py::ivf_pq_topk).",
+)
+def similarity_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        emb, _queries_df(spark, sf_dir), "vec_id", "embedding",
+        k=_TOPK, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE,
+        m=_PQ_M, n_codes=_PQ_CODES,
+    )

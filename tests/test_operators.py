@@ -692,6 +692,14 @@ def test_ann_recall_floors(spark):
         r_pq_coarse, r_pq_fine,
     )
 
+    # IVF-PQ composes pruning and compression: recall loses a little
+    # to each (missed cells + quantization; measured 0.46 vs 0.56
+    # IVF-alone and 0.54 PQ-alone) but keeps both cost wins
+    r_ivfpq = recall(topk_map(similarity.ivf_pq_topk(
+        emb, q, "vec_id", "embedding", k=K,
+        n_cells=16, nprobe=4, m=16, n_codes=32)))
+    assert r_ivfpq >= 0.25, r_ivfpq
+
 
 def test_shard_write_layout(spark, tmp_path):
     """The shard manifest must translate into the physical layout it
