@@ -43,6 +43,9 @@ NAMES = [
     # round-4 additions
     "dedup_components_star", "corpus_decontaminate_bloom",
     "orders_sample_aes_topk",
+    "search_bm25_topk", "dedup_containment", "corpus_ngram_novelty",
+    "orders_winsorized_stats", "events_cusum_changepoint",
+    "similarity_topk_pq", "similarity_topk_ivf_pq",
 ]
 
 
