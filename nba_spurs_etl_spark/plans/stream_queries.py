@@ -498,3 +498,40 @@ def stream_incremental_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snap.attach(stream, os.path.join(work, "ckpt")).awaitTermination()
     return snap.result()
+
+
+@register(
+    "stream_novelty_index",
+    group="2.9 ext-stream ext-curation",
+    # the catalog drain streams the corpus as ONE batch (documents is a
+    # single file; repack keeps it that way) over a seeded static
+    # reference, which equals the batch scorer exactly — FULL shared
+    # oracle. The growing-index multi-batch semantics (novelty vs
+    # reference + earlier batches) is batch-boundary-dependent by
+    # design and is pinned by the explicit-batches test in
+    # tests/test_streaming.py.
+    oracle=registry()["corpus_ngram_novelty"].oracle,
+    doc="STREAMING novelty scoring with a growing gram index "
+    "(streaming/novelty.py): per micro-batch, distinct batch grams -> "
+    "per-doc known/novelty vs the index-so-far -> append grams to the "
+    "index; idempotent bid-partitioned sinks survive foreachBatch "
+    "retries. The dedup-aware ingestion shape: near-verbatim arrivals "
+    "are flagged the moment they land.",
+)
+def stream_novelty_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.dedup_stream import read_documents_stream
+    from ..streaming.novelty import StreamingNovelty
+
+    work = tempfile.mkdtemp(prefix="spark_stream_novelty_")
+    nv = StreamingNovelty(spark, work)
+    docs = load_table(spark, sf_dir, "documents")
+    nv.seed(docs.filter(F.col("doc_id") % 10 == 0))
+    stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 10 != 0
+    )
+    q = nv.attach(stream, os.path.join(work, "ckpt"))
+    q.awaitTermination()
+    return nv.scores()

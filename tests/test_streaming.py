@@ -591,3 +591,58 @@ def test_stream_lsh_dedup_multi_batch_and_retry(spark, tmp_path_factory):
     again = {(r["doc_a"], r["doc_b"]) for r in dd.pairs().collect()}
     assert again == got
     assert dd.spark.read.parquet(dd.pairs_dir).count() == len(got)
+
+
+def test_streaming_novelty_multi_batch_and_retry(spark, tmp_path):
+    """The growing-index contract: batch k scores against the seeded
+    reference PLUS all earlier batches' grams (checked against the
+    batch operator applied cumulatively), and a foreachBatch RETRY of
+    the same bid neither double-counts its own grams nor duplicates
+    sink rows."""
+    from nba_spurs_etl_spark.operators.curation import ngram_novelty
+    from nba_spurs_etl_spark.streaming.novelty import StreamingNovelty
+
+    ref = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    batches = [
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps high"),
+             (2, "completely fresh words arrive here")],
+            "doc_id long, text string",
+        ),
+        spark.createDataFrame(
+            [(3, "completely fresh words arrive here too"),  # overlaps b0
+             (4, "short one")],                              # no 3-grams
+            "doc_id long, text string",
+        ),
+    ]
+
+    nv = StreamingNovelty(spark, str(tmp_path / "nv"))
+    nv.seed(ref)
+    nv.apply_batch(batches[0], 0)
+    nv.apply_batch(batches[1], 1)
+    got = {r["doc"]: r for r in nv.scores().collect()}
+
+    # model: batch k vs reference + union of earlier batches
+    want = {}
+    seen = ref
+    for b in batches:
+        for r in ngram_novelty(b, seen, "doc_id", "text").collect():
+            want[r["doc"]] = r
+        seen = seen.unionByName(b)
+    assert set(got) == set(want)
+    for doc in want:
+        for c in ("n_grams", "known_grams", "novelty"):
+            assert got[doc][c] == want[doc][c], (doc, c, got[doc], want[doc])
+    # doc 3 overlaps batch 0's doc 2 -> partially known; doc 4 gramless
+    assert 0.0 < got[3]["novelty"] < 1.0
+    assert got[4]["novelty"] is None
+
+    # retry of bid=1: same result, no duplicate rows, self-grams excluded
+    nv.apply_batch(batches[1], 1)
+    retried = {r["doc"]: r for r in nv.scores().collect()}
+    assert len(nv.scores().collect()) == 4
+    for doc in want:
+        assert retried[doc]["novelty"] == want[doc]["novelty"]
