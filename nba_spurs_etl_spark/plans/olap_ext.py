@@ -1706,3 +1706,55 @@ def orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("winsorized_mean"),
     )
+
+
+@register(
+    "events_seasonal_anomaly",
+    group="ext-stats seasonal",
+    oracle="""
+WITH hourly AS (
+  SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+    CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hod,
+    CAST(COUNT(*) AS BIGINT) AS k
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT hod, CAST(SUM(k) AS DOUBLE) / COUNT(*) AS baseline
+  FROM hourly GROUP BY 1
+)
+SELECT h.bucket_us, h.hod, h.k, b.baseline,
+  (h.k - b.baseline) / b.baseline AS rel_residual
+FROM hourly h JOIN base b USING (hod)
+WHERE ABS((h.k - b.baseline) / b.baseline) > 0.5
+""",
+    doc="Seasonal-naive anomaly scan: per-hour event counts vs the "
+    "hour-of-day baseline (mean count over all days at that hour); "
+    "hours deviating more than 50% from their seasonal baseline "
+    "surface with their relative residual. Two map-combined "
+    "aggregations — the hourly frame and the 24-row baseline — then a "
+    "broadcast join; integer counts and one exact division keep the "
+    "residual bit-identical. The time-series companion to the "
+    "global-shift events_cusum_changepoint.",
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = epoch_us("ts")
+    hourly = (
+        ev.select(
+            (us - us % 3_600_000_000).alias("bucket_us"),
+            ((us % 86_400_000_000) / 3_600_000_000)
+            .cast("bigint")
+            .alias("hod"),
+        )
+        .groupBy("bucket_us", "hod")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    base = hourly.groupBy("hod").agg(
+        (F.sum("k").cast("double") / F.count(F.lit(1))).alias("baseline")
+    )
+    res = (F.col("k") - F.col("baseline")) / F.col("baseline")
+    return (
+        hourly.join(F.broadcast(base), "hod")
+        .select("bucket_us", "hod", "k", "baseline", res.alias("rel_residual"))
+        .filter(F.abs(res) > 0.5)
+    )
