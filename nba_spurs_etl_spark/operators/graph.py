@@ -111,3 +111,46 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     return nodes.groupBy("doc").agg(
         F.count(F.lit(1)).alias("triangles")
     )
+
+
+def label_propagation(pairs: DataFrame, rounds: int = 3) -> DataFrame:
+    """Deterministic synchronous label propagation (LPA) communities.
+
+    label_0(v) = v; label_{k+1}(v) = the most frequent label among
+    v's neighbors at round k, ties broken toward the SMALLEST label —
+    the (count DESC, label ASC) rule that makes synchronous LPA fully
+    deterministic (plain LPA's random tie-break is irreproducible
+    across partitionings). On a near-dup pair graph the communities
+    are the dup clusters, but unlike connected components LPA splits
+    chains of weak links between dense cores — the
+    template-vs-coincidence separation components can't give.
+
+    Scale: per round, one join of the label frame onto the edge list
+    (both keyed by node id) and a two-level aggregate — (node, label)
+    vote counts map-side combined, then a node-keyed ``max_by(label,
+    (count, -label))`` pick, which is an aggregate, NOT a window: no
+    per-node row sort, no row_number exchange. The edge frame is
+    localCheckpoint'ed once so pair generation doesn't re-run per
+    round; rounds is fixed and small so lineage stays bounded. The
+    DuckDB oracle unrolls rounds as chained CTEs with a row_number
+    tie-break (same (c DESC, label ASC) order).
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(rounds):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = votes.groupBy("dst").agg(
+            F.max_by(
+                "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("label")
+        ).select(F.col("dst").alias("node"), "label")
+    return labels

@@ -1178,3 +1178,117 @@ def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2")
         )
     )
+
+
+@register(
+    "events_markov_transitions",
+    group="ext-events markov",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+    lead(event_type) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst,
+    lead(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dus
+  FROM events
+),
+pair AS (
+  SELECT event_type AS src_type, dst AS dst_type FROM seq
+  WHERE dst IS NOT NULL AND dus - us <= 1800000000
+),
+c AS (
+  SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pair GROUP BY 1, 2
+)
+SELECT src_type, dst_type, n,
+  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src_type) AS DOUBLE)
+    AS p
+FROM c
+""",
+    doc="First-order Markov transition matrix over per-user event "
+    "streams: consecutive (type -> next type) pairs within a 30-min "
+    "gap, counted globally, with row-normalized transition "
+    "probabilities. One user-keyed window pass emits the pairs, then "
+    "a map-combined count; the normalizing window runs over the "
+    "k*k-row matrix, not the events. p is one IEEE division of two "
+    "exact integer counts — bit-identical across engines.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pair = (
+        ev.select(
+            F.col("event_type").alias("src_type"),
+            F.lead("event_type").over(w).alias("dst_type"),
+            (F.lead("us").over(w) - F.col("us")).alias("gap"),
+        )
+        .filter(F.col("dst_type").isNotNull() & (F.col("gap") <= 1_800_000_000))
+    )
+    c = pair.groupBy("src_type", "dst_type").agg(F.count(F.lit(1)).alias("n"))
+    norm = Window.partitionBy("src_type")
+    return c.select(
+        "src_type",
+        "dst_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(norm).cast("double"))
+        .alias("p"),
+    )
+
+
+@register(
+    "events_path_trigrams",
+    group="ext-events markov",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS t0, epoch_us(ts) AS us,
+    lead(event_type, 1) OVER w AS t1,
+    lead(event_type, 2) OVER w AS t2,
+    lead(epoch_us(ts), 1) OVER w AS us1,
+    lead(epoch_us(ts), 2) OVER w AS us2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT t0 || '>' || t1 || '>' || t2 AS path,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM seq
+WHERE t2 IS NOT NULL
+  AND us1 - us <= 1800000000 AND us2 - us1 <= 1800000000
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT 20
+""",
+    doc="Clickstream path mining: the 20 most frequent 3-step "
+    "event-type paths across users, steps at most 30 min apart "
+    "(path = 'a>b>c'). Same single user-keyed window exchange as "
+    "sessionize (two leads share one sort), map-combined counting, "
+    "then a global top-20 via TakeOrdered on the tiny path-count "
+    "frame — deterministic (n DESC, path ASC) tie-break.",
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        (F.lead("us", 1).over(w) - F.col("us")).alias("g1"),
+        (F.lead("us", 2).over(w) - F.lead("us", 1).over(w)).alias("g2"),
+    )
+    return (
+        seq.filter(
+            F.col("t2").isNotNull()
+            & (F.col("g1") <= 1_800_000_000)
+            & (F.col("g2") <= 1_800_000_000)
+        )
+        .select(
+            F.concat_ws(">", "t0", "t1", "t2").alias("path"),
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )

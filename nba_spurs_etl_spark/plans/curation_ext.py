@@ -600,3 +600,64 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n=3,
     )
+
+
+# ---------------------------------------------------------------------------
+# graph: deterministic label-propagation communities over the dup graph
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    from .pipeline_ext import _minhash_pairs_ctes
+
+    step = (
+        "c{n} AS (SELECT e.dst AS node, r.label, COUNT(*) AS c\n"
+        "  FROM edges e JOIN r{p} r ON e.src = r.node GROUP BY 1, 2),\n"
+        "r{n} AS (SELECT node, label FROM (\n"
+        "  SELECT node, label, ROW_NUMBER() OVER (\n"
+        "    PARTITION BY node ORDER BY c DESC, label) AS rn FROM c{n})\n"
+        "  WHERE rn = 1)"
+    )
+    iters = ",\n".join(
+        step.format(n=i + 1, p=i) for i in range(_LPA_ROUNDS)
+    )
+    return f"""
+WITH {_minhash_pairs_ctes()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+r0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{iters}
+SELECT node, label FROM r{_LPA_ROUNDS}
+"""
+
+
+@register(
+    "graph_label_propagation",
+    group="ext-graph iterative",
+    oracle=_lpa_oracle(),
+    doc="Deterministic synchronous label propagation (3 rounds, "
+    "(count DESC, label ASC) tie-break) over the minhash dup-pair "
+    "graph (operators/graph.label_propagation): communities split "
+    "weakly-linked chains of dense dup cores that connected "
+    "components merges. The winner pick is a max_by aggregate over "
+    "(vote count, -label) — no per-node window sort; per round one "
+    "id-keyed join plus a map-combined two-level aggregate. Oracle "
+    "unrolls the rounds as chained CTEs.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+    from .pipeline_ext import _BAND_SIZE, _NUM_HASHES
+
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=_NUM_HASHES,
+        band_size=_BAND_SIZE,
+    )
+    return label_propagation(pairs, rounds=_LPA_ROUNDS)

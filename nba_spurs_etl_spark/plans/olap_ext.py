@@ -1758,3 +1758,105 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket_us", "hod", "k", "baseline", res.alias("rel_residual"))
         .filter(F.abs(res) > 0.5)
     )
+
+
+@register(
+    "orders_hhi_concentration",
+    group="ext-stats concentration",
+    oracle=f"""
+WITH spend AS (
+  SELECT o_orderpriority, o_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      AS s
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  {dsum_sql("s")} AS total_spend,
+  {dbig_sql("SUM(s * s)")}
+    / ({dsum_sql("s")} * {dsum_sql("s")}) AS hhi,
+  CAST(MAX(s) AS DOUBLE) / {dsum_sql("s")} AS top_share
+FROM spend GROUP BY 1
+""",
+    doc="Herfindahl-Hirschman concentration of customer spend within "
+    "each order priority: HHI = sum(share_i^2) computed as "
+    "sum(s_i^2)/total^2 so every aggregate is an EXACT decimal sum "
+    "(sum of per-customer squared spend, decimal(37,4)) and the only "
+    "float ops are the final casts/divide — bit-identical across "
+    "engines where a per-share float sum would drift with partition "
+    "order. dbig handles the >2^53-unscaled squared sum. Two "
+    "map-combined aggregations, no window, no join.",
+)
+def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    spend = od.groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("s")
+    )
+    tot = F.sum(F.col("s").cast("decimal(18,2)")).cast("double")
+    return spend.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        tot.alias("total_spend"),
+        (dbig(F.sum(F.col("s") * F.col("s"))) / (tot * tot)).alias("hhi"),
+        (F.max("s").cast("double") / tot).alias("top_share"),
+    )
+
+
+@register(
+    "orders_skyline_pareto",
+    group="ext-olap skyline",
+    oracle="""
+WITH d AS (
+  SELECT o_orderpriority AS prio, o_orderdate AS od,
+    MAX(o_totalprice) AS maxp
+  FROM orders GROUP BY 1, 2
+),
+s AS (
+  SELECT prio, od, maxp,
+    MAX(maxp) OVER (PARTITION BY prio ORDER BY od DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_later
+  FROM d
+)
+SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice, o.o_orderdate
+FROM orders o
+JOIN s ON o.o_orderpriority = s.prio AND o.o_orderdate = s.od
+WHERE o.o_totalprice = s.maxp
+  AND (s.best_later IS NULL OR s.maxp > s.best_later)
+""",
+    doc="2-D skyline (Pareto frontier) per order priority, maximizing "
+    "(o_totalprice, o_orderdate): an order survives iff no other "
+    "order in its priority has both a later-or-equal date and a "
+    "higher-or-equal price with one strict. The 2-D maxima scan "
+    "collapses to per-date MAX plus a running max over STRICTLY later "
+    "dates (grouped frame -> ROWS 1 PRECEDING is exactly 'later "
+    "dates'), then a join back keyed on (priority, date) — no "
+    "quadratic NOT EXISTS. The window runs over the per-(priority, "
+    "date) frame (~distinct dates), not the fact table, and the join "
+    "back broadcasts it; ties at the frontier price all survive, "
+    "matching dominance with no-strict-equality.",
+)
+def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    d = od.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").alias("od"),
+    ).agg(F.max("o_totalprice").alias("maxp"))
+    w = (
+        Window.partitionBy("prio")
+        .orderBy(F.col("od").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = d.withColumn("best_later", F.max("maxp").over(w)).filter(
+        F.col("best_later").isNull() | (F.col("maxp") > F.col("best_later"))
+    )
+    return (
+        od.join(
+            F.broadcast(sky),
+            (od.o_orderpriority == sky.prio) & (od.o_orderdate == sky.od),
+        )
+        .filter(F.col("o_totalprice") == F.col("maxp"))
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate")
+    )
