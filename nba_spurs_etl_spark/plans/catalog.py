@@ -53,11 +53,31 @@ set_priority([
     # (both keep full pytest parity)
     "orders_running_revenue",
     "events_concurrency_hourly",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q18_large_orders",
-    "q9_product_profit",
-    "q21_waiting_supplier",
+    # ROTATED again mid round 4: sixteen twice-or-thrice-driver-green
+    # entries (q3/q6/q18/q9/q21, asof_purchase_click, merge_cdc_orders,
+    # corpus_pipeline, dedup_embedding_cosine, dedup_minhash_components,
+    # dedup_minhash_lsh, embedding_kmeans_lloyd,
+    # similarity_topk_bruteforce, similarity_topk_ivf, text_c4_filters,
+    # text_profile) rotated out for the sixteen operators built THIS
+    # round, which have only pytest-oracle evidence so far. Everything
+    # rotated out keeps its full DuckDB-oracle parity test in
+    # tests/test_parity.py.
+    "search_bm25_topk",
+    "dedup_containment",
+    "corpus_ngram_novelty",
+    "orders_sample_aes_topk",
+    "orders_sample_aes_per_priority",
+    "events_cusum_changepoint",
+    "orders_winsorized_stats",
+    "similarity_topk_pq",
+    "similarity_topk_ivf_pq",
+    "stream_novelty_index",
+    "events_seasonal_anomaly",
+    "graph_label_propagation",
+    "events_markov_transitions",
+    "events_path_trigrams",
+    "orders_hhi_concentration",
+    "orders_skyline_pareto",
     # ROTATED round 4 (VERDICT r03 item 2): eleven twice-driver-green
     # entries (corpus_decontaminate, semantic_dedup_corpus,
     # join_semi_anti, range_join_user_windows, hypertable_rollup_1h,
@@ -71,10 +91,8 @@ set_priority([
     "fuzzy_match_customers_d2",
     "orders_equidepth_price_histogram",
     "scd2_asof_enrich",
-    "asof_purchase_click",
     "stream_scd2_apply",
     "stream_incremental_agg",
-    "merge_cdc_orders",
     "dedup_jaccard_prefix_filtered",
     "corpus_decontaminate_bloom",
     "gold_team_weaknesses_wide",
@@ -82,16 +100,7 @@ set_priority([
     # dedup_exact (driver-green r01+r02) rotated out for the new
     # incremental batch-vs-index dedup
     "dedup_incremental_batch",
-    "dedup_minhash_lsh",
     "dedup_simhash_banded",
-    "dedup_embedding_cosine",
-    "dedup_minhash_components",
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
-    "text_profile",
-    "text_c4_filters",
-    "corpus_pipeline",
-    "embedding_kmeans_lloyd",
     # stream_tumbling_agg (driver-green r02) rotated out for the new
     # streaming LSH dedup
     "stream_dedup_lsh_index",
