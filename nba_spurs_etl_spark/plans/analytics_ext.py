@@ -1292,3 +1292,84 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+@register(
+    "events_last_touch_attribution",
+    group="ext-events attribution",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, value, epoch_us(ts) AS us,
+    max(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END)
+      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_us
+  FROM events
+),
+pur AS (
+  SELECT user_id, value,
+    CASE WHEN us - last_us <= 1800000000 THEN last_us END AS touch_us
+  FROM seq WHERE event_type = 'purchase'
+),
+ch AS (
+  SELECT user_id, epoch_us(ts) AS us, MIN(event_type) AS channel
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+)
+SELECT COALESCE(ch.channel, 'direct') AS channel,
+  CAST(COUNT(*) AS BIGINT) AS purchases,
+  CAST(SUM(CAST(pur.value AS DECIMAL(18,2))) AS DOUBLE)
+    AS attributed_value
+FROM pur
+LEFT JOIN ch ON pur.user_id = ch.user_id AND pur.touch_us = ch.us
+GROUP BY 1
+""",
+    doc="Last-touch attribution: each purchase credits the most "
+    "recent non-purchase event of the same user within 30 minutes "
+    "(else 'direct'); output is per-channel purchase count and "
+    "exact-decimal attributed revenue. The 'most recent strictly "
+    "earlier' lookup is a RANGE frame (UNBOUNDED..1 PRECEDING over "
+    "integer microseconds = strictly earlier timestamps — no "
+    "self-as-of join), so one user-keyed window exchange does the "
+    "lookup; simultaneous touches resolve deterministically to the "
+    "MIN event_type at that timestamp before the join back.",
+)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", epoch_us("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn(
+        "last_us",
+        F.max(
+            F.when(F.col("event_type") != "purchase", F.col("us"))
+        ).over(w),
+    )
+    pur = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "value",
+        F.when(
+            F.col("us") - F.col("last_us") <= 1_800_000_000, F.col("last_us")
+        ).alias("touch_us"),
+    )
+    ch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "us")
+        .agg(F.min("event_type").alias("channel"))
+    )
+    return (
+        pur.join(
+            ch,
+            (pur.user_id == ch.user_id) & (pur.touch_us == ch.us),
+            "left",
+        )
+        .groupBy(F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )

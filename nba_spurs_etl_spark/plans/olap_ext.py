@@ -1860,3 +1860,163 @@ def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") == F.col("maxp"))
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate")
     )
+
+
+@register(
+    "part_copurchase_lift",
+    group="ext-basket association",
+    oracle="""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lp),
+pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM lp
+       GROUP BY 1),
+pair AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+    CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT p1, p2, c_ab,
+  CAST(c_ab AS DOUBLE) / CAST(c1.c AS DOUBLE) AS conf_1to2,
+  CAST(c_ab AS DOUBLE) / CAST(c2.c AS DOUBLE) AS conf_2to1,
+  CAST(n.n_orders * c_ab AS DOUBLE)
+    / CAST(c1.c * c2.c AS DOUBLE) AS lift
+FROM pair
+JOIN pc c1 ON pair.p1 = c1.l_partkey
+JOIN pc c2 ON pair.p2 = c2.l_partkey
+CROSS JOIN n
+""",
+    doc="Market-basket association rules over order baskets: part "
+    "pairs co-purchased in >= 3 orders, with both confidences and "
+    "lift = N*c_ab/(c_a*c_b). Every ratio is ONE IEEE division (or "
+    "exact BIGINT products) of exact counts — bit-identical across "
+    "engines. The self-join is keyed on l_orderkey, so its volume is "
+    "sum of per-basket line counts squared (baskets are <= 13 lines "
+    "here; bounded per-key fan-out, not quadratic in the table); part "
+    "counts attach via two part-keyed joins of a parts-sized frame "
+    "and the scalar N via a 1-row broadcast cross join.",
+)
+def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    n = lp.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    pc = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = lp.alias("a"), lp.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    c1 = pc.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
+    c2 = pc.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
+    return (
+        pair.join(c1, "p1")
+        .join(c2, "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "c_ab",
+            (F.col("c_ab").cast("double") / F.col("c1").cast("double"))
+            .alias("conf_1to2"),
+            (F.col("c_ab").cast("double") / F.col("c2").cast("double"))
+            .alias("conf_2to1"),
+            (
+                (F.col("n_orders") * F.col("c_ab")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    step = (
+        "n{n} AS (SELECT src FROM e{p} GROUP BY src "
+        "HAVING COUNT(*) >= {k}),\n"
+        "e{n} AS (SELECT e.src, e.dst FROM e{p} e "
+        "JOIN n{n} a ON e.src = a.src JOIN n{n} b ON e.dst = b.src)"
+    )
+    iters = ",\n".join(
+        step.format(n=i + 1, p=i, k=_KCORE_K)
+        for i in range(_KCORE_ROUNDS)
+    )
+    return f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+{iters}
+SELECT src AS l_partkey, CAST(COUNT(*) AS BIGINT) AS deg
+FROM e{_KCORE_ROUNDS} GROUP BY 1
+"""
+
+
+@register(
+    "part_copurchase_kcore",
+    group="ext-graph iterative",
+    oracle=_kcore_oracle(),
+    doc="Fixed-round k-core peeling (k=3, 3 rounds) of the part "
+    "co-purchase graph (edges = part pairs sharing >= 2 baskets): "
+    "each round drops nodes whose degree in the INDUCED subgraph "
+    "fell below k and re-restricts the edge list — the truncated "
+    "form of full k-core decomposition (data-dependent round counts "
+    "don't unroll into a SQL oracle; 3 rounds is the deterministic "
+    "contract, and the remaining frontier shrinks geometrically). "
+    "Per round: one map-combined degree count plus two node-keyed "
+    "semi-join restrictions; the edge frame is localCheckpoint'ed "
+    "once so the basket self-join never re-runs.",
+)
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("src")
+        )
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+        )
+    return edges.groupBy(F.col("src").alias("l_partkey")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
