@@ -466,3 +466,44 @@ def test_containment_single_posting_pass(spark, catalog):
     plan = fmt_plan(catalog["dedup_containment"](spark, SF_SMOKE))
     assert plan.count("partial_collect_list") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_skyline_joins_frontier_by_broadcast(spark, catalog):
+    """The skyline join-back attaches a per-(priority, date) frontier
+    frame (~distinct dates) to the fact table: it must broadcast, and
+    the 2-D maxima scan must never degenerate into a cartesian
+    NOT-EXISTS product."""
+    plan = fmt_plan(catalog["orders_skyline_pareto"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_label_propagation_picks_winner_without_window(spark, catalog):
+    """LPA's per-node winner is a max_by AGGREGATE over (count,
+    -label), not a row_number window: the plan must contain no Window
+    operator (a per-node sort exchange per round would dominate at
+    scale)."""
+    plan = fmt_plan(catalog["graph_label_propagation"](spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_copurchase_lift_broadcasts_scalar_n(spark, catalog):
+    """The basket-count scalar N attaches via a 1-row broadcast
+    nested-loop join; the basket self-join itself is keyed on
+    l_orderkey (hash join), never a cartesian product."""
+    plan = fmt_plan(catalog["part_copurchase_lift"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_markov_normalizer_windows_aggregated_frame(spark, catalog):
+    """The transition-probability normalizer must window the k*k
+    aggregated matrix, not the event stream: exactly one Window in the
+    plan (the per-user lead) plus partial aggregation before the
+    final count exchange."""
+    plan = fmt_plan(catalog["events_markov_transitions"](spark, SF_SMOKE))
+    # one lead window over users + one sum window over the tiny matrix
+    # (formatted explain names each node twice: tree + detail section)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+    assert "partial_count" in plan, plan
