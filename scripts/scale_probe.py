@@ -46,6 +46,12 @@ NAMES = [
     "search_bm25_topk", "dedup_containment", "corpus_ngram_novelty",
     "orders_winsorized_stats", "events_cusum_changepoint",
     "similarity_topk_pq", "similarity_topk_ivf_pq",
+    # late round-4 additions
+    "events_seasonal_anomaly", "graph_label_propagation",
+    "events_markov_transitions", "events_path_trigrams",
+    "orders_hhi_concentration", "orders_skyline_pareto",
+    "part_copurchase_lift", "part_copurchase_kcore",
+    "events_last_touch_attribution",
 ]
 
 
