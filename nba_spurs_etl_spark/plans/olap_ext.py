@@ -1725,11 +1725,11 @@ base AS (
 SELECT h.bucket_us, h.hod, h.k, b.baseline,
   (h.k - b.baseline) / b.baseline AS rel_residual
 FROM hourly h JOIN base b USING (hod)
-WHERE ABS((h.k - b.baseline) / b.baseline) > 0.5
+WHERE ABS((h.k - b.baseline) / b.baseline) > 0.25
 """,
     doc="Seasonal-naive anomaly scan: per-hour event counts vs the "
     "hour-of-day baseline (mean count over all days at that hour); "
-    "hours deviating more than 50% from their seasonal baseline "
+    "hours deviating more than 25% from their seasonal baseline "
     "surface with their relative residual. Two map-combined "
     "aggregations — the hourly frame and the 24-row baseline — then a "
     "broadcast join; integer counts and one exact division keep the "
@@ -1756,7 +1756,7 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hourly.join(F.broadcast(base), "hod")
         .select("bucket_us", "hod", "k", "baseline", res.alias("rel_residual"))
-        .filter(F.abs(res) > 0.5)
+        .filter(F.abs(res) > 0.25)
     )
 
 
@@ -2019,4 +2019,41 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return edges.groupBy(F.col("src").alias("l_partkey")).agg(
         F.count(F.lit(1)).alias("deg")
+    )
+
+
+@register(
+    "lineitem_median_twophase",
+    group="ext-stats selection",
+    oracle="""
+WITH s AS (
+  SELECT l_extendedprice AS p,
+    ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn,
+    COUNT(*) OVER () AS n
+  FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n, CAST((n + 1) // 2 AS BIGINT) AS k,
+  p AS median
+FROM s WHERE rn = (n + 1) // 2
+""",
+    doc="Exact global median (lower median, k = (n+1)//2) of "
+    "l_extendedprice via two-phase distributed selection "
+    "(operators/prefix.exact_kth_smallest): quantile-bucket "
+    "histogram locates the rank-holding bucket from <= 64 driver "
+    "rows, then a TakeOrdered over that ONE bucket reads off the "
+    "j-th — no global sort, no single-task window, no driver-side "
+    "top-k of the whole table. The oracle global-sorts in DuckDB "
+    "(fine at oracle scale); the Spark plan is the one that "
+    "survives 100 TB. Value equality is exact: the median is a "
+    "stored double, never arithmetic.",
+)
+def lineitem_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import exact_kth_smallest
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    k = (n + 1) // 2
+    med = exact_kth_smallest(li, "l_extendedprice", k)
+    return spark.createDataFrame(
+        [(n, k, float(med))], "n bigint, k bigint, median double"
     )
