@@ -122,3 +122,41 @@ def range_join_buckets(
         & (pts[point_time] < ivals[end])
     )
     return pts.join(ivals, cond).drop(ivals[key]).drop("_bucket")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    num_salts: int = 8,
+) -> DataFrame:
+    """Inner equi-join with the big side's hot keys pre-split by salt.
+
+    A shuffled hash join sends every row of one key to ONE reducer; a
+    key holding 1% of 100 TB is a 1 TB task. Salting splits each key
+    across ``num_salts`` reducers: the big side derives a salt from a
+    content hash of its own row (deterministic and retry-stable — no
+    rand(), which would make recomputed tasks disagree with their
+    first run), the small side replicates each row once per salt, and
+    the join runs on (key, salt). Result set is provably identical to
+    the plain join; cost is num_salts-way duplication of the SMALL
+    side only.
+
+    AQE's skew-join (on in session.py) is the runtime fix for skew it
+    can SEE at shuffle time; explicit salting is the planned-ahead
+    form for keys known hot a priori (the celebrity user, the null
+    key, the default enum) and the only option under non-AQE engines
+    or stream-static joins where AQE is disabled.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(num_salts))
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(num_salts)])),
+    )
+    joined = b.join(
+        s,
+        (b[big_key] == s[small_key]) & (b["__salt"] == s["__salt"]),
+    )
+    return joined.drop(b["__salt"]).drop(s["__salt"])

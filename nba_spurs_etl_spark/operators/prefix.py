@@ -189,6 +189,10 @@ def exact_kth_smallest(
     table into one task (the hazard `global_running_sum` documents);
     ``orderBy(...).limit(k)`` ships k rows through the driver merge.
     Both die at 100 TB; this does not.
+
+    Contract: ``value`` must be non-null — engines disagree on null
+    sort position (Spark ASC puts nulls first, DuckDB last), so a
+    rank over a nullable column is not well-defined cross-engine.
     """
     v = F.col(value) if isinstance(value, str) else value
     b = quantile_buckets(df, v, num_buckets)

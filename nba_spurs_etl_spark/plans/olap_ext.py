@@ -2057,3 +2057,39 @@ def lineitem_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, k, float(med))], "n bigint, k bigint, median double"
     )
+
+
+@register(
+    "orders_salted_skew_join",
+    group="ext-skew salted-join",
+    oracle="""
+SELECT c.c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+    doc="Skew-hardened fact-to-dim join (operators/joins.salted_join): "
+    "the fact side salts each row by a content hash (deterministic, "
+    "retry-stable), the dim side replicates once per salt, and the "
+    "join runs on (custkey, salt) — a hot customer's rows land on 8 "
+    "reducers instead of one. The oracle is the PLAIN join: salting "
+    "must be result-invariant, which this entry proves on real data "
+    "while the plan pin proves the salt actually reaches the join "
+    "keys. Complements AQE skew-join (runtime, stats-driven) with "
+    "the planned-ahead form that also works in stream-static joins "
+    "where AQE is off.",
+)
+def orders_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_join
+
+    od = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = salted_join(od, cust, "o_custkey", "c_custkey", num_salts=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -1669,3 +1669,22 @@ def test_winsorized_stats_known_values(spark):
         F.sum(F.when(F.col("o_totalprice") > F.col("p99"), 1).otherwise(0)).alias("hi"),
     ).first()
     assert got["wm"] == 50.49 and got["hi"] == 1
+
+
+def test_exact_kth_smallest_matches_sorted(spark):
+    """Two-phase selection returns exactly the k-th element of the
+    sorted multiset — duplicate-heavy data, boundary ks, and the
+    out-of-range raise."""
+    import random
+
+    from nba_spurs_etl_spark.operators.prefix import exact_kth_smallest
+
+    rng = random.Random(7)
+    vals = [round(rng.uniform(0, 1000), 2) for _ in range(3000)]
+    vals += [float(rng.randint(0, 50)) for _ in range(3000)]  # heavy ties
+    df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(7)
+    s = sorted(vals)
+    for k in [1, 2, 3000, 5999, 6000]:
+        assert exact_kth_smallest(df, "v", k, num_buckets=16) == s[k - 1]
+    with pytest.raises(ValueError):
+        exact_kth_smallest(df, "v", 6001, num_buckets=16)

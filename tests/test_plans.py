@@ -507,3 +507,15 @@ def test_markov_normalizer_windows_aggregated_frame(spark, catalog):
     # (formatted explain names each node twice: tree + detail section)
     assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
     assert "partial_count" in plan, plan
+
+
+def test_salted_join_salts_reach_join_keys(spark, catalog):
+    """The salted join must actually join on (key, salt) — salt in
+    the join keys, an explode generating the dim replicas, and no
+    broadcast (a broadcast join would make salting a no-op: the pin
+    disables nothing, it proves the operator builds the salted
+    shuffle shape it promises)."""
+    plan = fmt_plan(catalog["orders_salted_skew_join"](spark, SF_SMOKE))
+    assert "__salt" in plan, plan
+    assert "Generate" in plan and "explode" in plan, plan
+    assert "CartesianProduct" not in plan, plan
