@@ -51,7 +51,8 @@ NAMES = [
     "events_markov_transitions", "events_path_trigrams",
     "orders_hhi_concentration", "orders_skyline_pareto",
     "part_copurchase_lift", "part_copurchase_kcore",
-    "events_last_touch_attribution",
+    "events_last_touch_attribution", "lineitem_median_twophase",
+    "orders_salted_skew_join",
 ]
 
 
