@@ -1373,3 +1373,55 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("attributed_value"),
         )
     )
+
+
+@register(
+    "events_wow_change",
+    group="ext-events trend",
+    oracle="""
+WITH weekly AS (
+  SELECT event_type,
+    (epoch_us(ts) // 604800000000) AS week_no,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(week_no AS BIGINT) AS week_no, n,
+  CAST(lag(n) OVER (PARTITION BY event_type ORDER BY week_no)
+    AS BIGINT) AS prev_n,
+  CAST(n - lag(n) OVER (PARTITION BY event_type ORDER BY week_no)
+    AS DOUBLE)
+    / CAST(lag(n) OVER (PARTITION BY event_type ORDER BY week_no)
+    AS DOUBLE) AS wow_change
+FROM weekly
+""",
+    doc="Week-over-week relative change per event type: weekly counts "
+    "(integer epoch-week bucket — no calendar/timezone ambiguity "
+    "between engines), then lag over the per-type weekly series. The "
+    "window runs over the aggregated |types| x |weeks| frame, never "
+    "the event stream; wow_change is one IEEE division of exact "
+    "integer deltas. First week per type reports NULL (no baseline), "
+    "kept — dropping it would hide series starts from the trend "
+    "consumer.",
+)
+def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    weekly = (
+        ev.select(
+            "event_type",
+            (epoch_us("ts") / F.lit(604_800_000_000))
+            .cast("bigint")
+            .alias("week_no"),
+        )
+        .groupBy("event_type", "week_no")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week_no")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "event_type",
+        "week_no",
+        "n",
+        prev.alias("prev_n"),
+        ((F.col("n") - prev).cast("double") / prev.cast("double"))
+        .alias("wow_change"),
+    )

@@ -2093,3 +2093,61 @@ def orders_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+def _fd_profile(df: DataFrame, fd: str, det: str, dep: str) -> DataFrame:
+    per_key = df.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+    return per_key.agg(
+        F.lit(fd).alias("fd"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_violating"),
+        (
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("violation_rate"),
+        F.max("nd").alias("worst_distinct"),
+    )
+
+
+_FD_SQL = """
+SELECT '{fd}' AS fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_violating,
+  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS violation_rate,
+  MAX(nd) AS worst_distinct
+FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS nd FROM {tbl} GROUP BY 1)
+"""
+
+_FD_SPECS = [
+    ("orders.o_custkey->o_orderstatus", "orders", "o_custkey",
+     "o_orderstatus"),
+    ("lineitem.l_orderkey->l_shipdate", "lineitem", "l_orderkey",
+     "l_shipdate"),
+    ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey",
+     "c_mktsegment"),
+]
+
+
+@register(
+    "fd_violation_audit",
+    group="ext-quality fd",
+    oracle="\nUNION ALL\n".join(
+        _FD_SQL.format(fd=fd, tbl=tbl, det=det, dep=dep)
+        for fd, tbl, det, dep in _FD_SPECS
+    ),
+    doc="Functional-dependency audit — the profiling query behind "
+    "'is this column derivable from that key?' schema-inference and "
+    "data-contract checks (the reference's dbt tests assert FDs "
+    "implicitly via uniqueness; this measures arbitrary det->dep "
+    "pairs). Per FD: one two-level aggregate (count-distinct per "
+    "determinant, map-side partial; then a scalar profile), each "
+    "reading only its two columns; the three FD branches touch "
+    "different tables so the union re-scans nothing.",
+)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for fd, tbl, det, dep in _FD_SPECS:
+        prof = _fd_profile(load_table(spark, sf_dir, tbl), fd, det, dep)
+        out = prof if out is None else out.unionByName(prof)
+    return out
