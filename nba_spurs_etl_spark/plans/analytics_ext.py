@@ -1425,3 +1425,50 @@ def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n") - prev).cast("double") / prev.cast("double"))
         .alias("wow_change"),
     )
+
+
+@register(
+    "events_cumulative_users",
+    group="ext-events growth",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS day_no
+  FROM events GROUP BY 1
+),
+daily AS (
+  SELECT day_no, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY 1
+)
+SELECT CAST(day_no AS BIGINT) AS day_no, new_users,
+  CAST(SUM(new_users) OVER (ORDER BY day_no
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cumulative_users
+FROM daily
+""",
+    doc="Cumulative-user growth curve: first-seen day per user "
+    "(integer epoch-day — no timezone/calendar drift), daily "
+    "new-user counts, and the running total of users ever seen. The "
+    "user-keyed MIN is the only data-scale aggregate; the running "
+    "sum windows the |days| frame, which is bounded by the calendar "
+    "(not the data), so the single-task window is safe at any "
+    "volume — unlike key-cardinality prefix sums, which use the "
+    "two-phase form (orders_abc_classification).",
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        (F.min(epoch_us("ts")) / F.lit(86_400_000_000))
+        .cast("bigint")
+        .alias("day_no")
+    )
+    daily = first_seen.groupBy("day_no").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day_no").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day_no",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )

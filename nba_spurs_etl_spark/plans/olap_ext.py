@@ -2151,3 +2151,68 @@ def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         prof = _fd_profile(load_table(spark, sf_dir, tbl), fd, det, dep)
         out = prof if out is None else out.unionByName(prof)
     return out
+
+
+@register(
+    "orders_abc_classification",
+    group="ext-olap abc pareto",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(r) AS t FROM rev),
+run AS (
+  SELECT l_partkey, r,
+    SUM(r) OVER (ORDER BY r DESC, l_partkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM rev
+)
+SELECT run.l_partkey, CAST(r AS DOUBLE) AS revenue,
+  CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share,
+  CASE
+    WHEN CAST(c AS DOUBLE) / CAST(t AS DOUBLE) <= 0.8 THEN 'A'
+    WHEN CAST(c AS DOUBLE) / CAST(t AS DOUBLE) <= 0.95 THEN 'B'
+    ELSE 'C'
+  END AS abc
+FROM run CROSS JOIN tot
+""",
+    doc="ABC / Pareto classification of parts by revenue: rank parts "
+    "by exact-decimal revenue descending, take the global running "
+    "share, and label A (first 80% of revenue), B (next 15%), C "
+    "(tail). The running sum is the two-phase "
+    "operators/prefix.global_running_sum (ordered by (-revenue, "
+    "part)) — |parts| is key-cardinality, which at 100 TB is far too "
+    "big for the naive single-task global window; the share is one "
+    "division of two exact decimals per row and the class thresholds "
+    "compare identically on both engines. The scalar total attaches "
+    "as a 1-row broadcast.",
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
+    )
+    ranked = global_running_sum(
+        rev.withColumn("neg_r", -F.col("r")),
+        ["neg_r", "l_partkey"],
+        "r",
+        out_col="c",
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    share = F.col("c").cast("double") / F.col("t").cast("double")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            F.col("r").cast("double").alias("revenue"),
+            share.alias("cum_share"),
+            F.when(share <= 0.8, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc"),
+        )
+    )
