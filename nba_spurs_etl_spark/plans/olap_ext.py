@@ -2216,3 +2216,94 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abc"),
         )
     )
+
+
+@register(
+    "customer_entity_resolution",
+    group="ext-fuzzy entity-resolution",
+    oracle="""
+WITH RECURSIVE cand AS (
+  SELECT a.c_custkey AS src, b.c_custkey AS dst
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+),
+edges AS (
+  SELECT src, dst FROM cand UNION ALL SELECT dst, src FROM cand
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+walk(doc, label) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.doc = e.src
+),
+comp AS (SELECT doc, MIN(label) AS component FROM walk GROUP BY doc),
+lab AS (
+  SELECT c.c_custkey, c.c_acctbal,
+    COALESCE(p.component, c.c_custkey) AS component
+  FROM customer c LEFT JOIN comp p ON c.c_custkey = p.doc
+),
+agg AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      AS total_acctbal
+  FROM lab GROUP BY 1
+),
+rep AS (
+  SELECT component, c_custkey AS keep_custkey FROM (
+    SELECT component, c_custkey, ROW_NUMBER() OVER (
+      PARTITION BY component ORDER BY c_acctbal DESC, c_custkey
+    ) AS rk FROM lab
+  ) WHERE rk = 1
+)
+SELECT CAST(a.component AS BIGINT) AS component,
+  CAST(r.keep_custkey AS BIGINT) AS keep_custkey,
+  a.n_members, a.total_acctbal
+FROM agg a JOIN rep r USING (component)
+""",
+    doc="End-to-end entity resolution (MDM golden-record shape) "
+    "composed from the engine's own operators: SymSpell "
+    "deletion-blocked fuzzy matching (edit distance <= 1) -> "
+    "min-label connected components -> per-cluster survivorship "
+    "(master = highest account balance, tie -> min key, via a "
+    "max_by AGGREGATE — no per-cluster window sort) with member "
+    "count and exact-decimal balance rollup; unmatched customers "
+    "stay as their own single-member entity via the left join. The "
+    "oracle recomputes the whole chain independently: naive "
+    "quadratic levenshtein join + recursive-CTE components. On this "
+    "fixture the serial customer names chain-collapse into ONE "
+    "entity — the classic ER over-linking pathology (transitive "
+    "closure over a weak pairwise rule), faithfully reproduced and "
+    "verified; production deployments counter it with stricter "
+    "match scores or cluster-splitting, e.g. the LPA communities "
+    "(graph_label_propagation), which split weak chains.",
+)
+def customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+    from ..operators.fuzzy import edit_distance_pairs
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    pairs = edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=1).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    comp = connected_components(pairs)
+    lab = (
+        cust.join(comp, cust.c_custkey == comp.doc, "left")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.coalesce("component", "c_custkey").alias("component"),
+        )
+    )
+    return lab.groupBy("component").agg(
+        F.max_by(
+            "c_custkey",
+            F.struct(F.col("c_acctbal"), (-F.col("c_custkey")).alias("nk")),
+        ).alias("keep_custkey"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_acctbal"),
+    ).select("component", "keep_custkey", "n_members", "total_acctbal")

@@ -52,7 +52,9 @@ NAMES = [
     "orders_hhi_concentration", "orders_skyline_pareto",
     "part_copurchase_lift", "part_copurchase_kcore",
     "events_last_touch_attribution", "lineitem_median_twophase",
-    "orders_salted_skew_join",
+    "orders_salted_skew_join", "events_wow_change", "fd_violation_audit",
+    "orders_abc_classification", "events_cumulative_users",
+    "customer_entity_resolution",
 ]
 
 

@@ -519,3 +519,16 @@ def test_salted_join_salts_reach_join_keys(spark, catalog):
     assert "__salt" in plan, plan
     assert "Generate" in plan and "explode" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_abc_classification_uses_two_phase_prefix_sum(spark, catalog):
+    """The ABC running share ranks |parts| keys — key-cardinality, so
+    the cumulative sum must go through the bucketed two-phase path
+    (local windows partitioned by _bkt), never an unpartitioned
+    data-scale window; the only SinglePartition exchanges are the
+    |buckets|-row offsets window and the 1-row revenue total."""
+    plan = fmt_plan(catalog["orders_abc_classification"](spark, SF_SMOKE))
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("_bkt" in s for s in win_specs), win_specs
+    assert "rangepartitioning" not in plan
+    assert plan.count("SinglePartition") <= 2, plan
