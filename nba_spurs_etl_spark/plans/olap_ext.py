@@ -2312,3 +2312,56 @@ def customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_acctbal"),
     ).select("component", "keep_custkey", "n_members", "total_acctbal")
+
+
+@register(
+    "join_skew_planner",
+    group="ext-skew planner",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1
+),
+j AS (SELECT a.k, a.c * b.c AS contrib FROM a JOIN b USING (k))
+SELECT CAST(SUM(contrib) AS BIGINT) AS join_rows,
+  CAST(COUNT(*) AS BIGINT) AS join_keys,
+  CAST(MAX(contrib) AS BIGINT) AS max_key_rows,
+  CAST(MAX(contrib) AS DOUBLE) * COUNT(*)
+    / CAST(SUM(contrib) AS DOUBLE) AS skew_ratio
+FROM j
+""",
+    doc="Join-skew planning profile: the EXACT output cardinality of "
+    "orders x lineitem on orderkey, its key count, the largest "
+    "single-key contribution, and the skew ratio (max/avg key "
+    "contribution) — computed from per-key counts WITHOUT executing "
+    "the join (sum over keys of c_a * c_b is the equi-join row count "
+    "identity every optimizer's stats module approximates; here it "
+    "is exact). Two map-combined counts plus a |keys|-sized count "
+    "join — the cheap pre-pass that decides whether the real join "
+    "needs orders_salted_skew_join's salting or AQE skew handling. "
+    "skew_ratio is the one shared float expression, evaluated in "
+    "the same op order on both engines.",
+)
+def join_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = od.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    j = a.join(b, "k").select((F.col("ca") * F.col("cb")).alias("contrib"))
+    return j.agg(
+        F.sum("contrib").alias("join_rows"),
+        F.count(F.lit(1)).alias("join_keys"),
+        F.max("contrib").alias("max_key_rows"),
+        (
+            F.max("contrib").cast("double") * F.count(F.lit(1))
+            / F.sum("contrib").cast("double")
+        ).alias("skew_ratio"),
+    )

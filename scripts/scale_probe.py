@@ -54,7 +54,7 @@ NAMES = [
     "events_last_touch_attribution", "lineitem_median_twophase",
     "orders_salted_skew_join", "events_wow_change", "fd_violation_audit",
     "orders_abc_classification", "events_cumulative_users",
-    "customer_entity_resolution",
+    "customer_entity_resolution", "join_skew_planner",
 ]
 
 
