@@ -1472,3 +1472,95 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+@register(
+    "events_sliding_distinct_users",
+    group="ext-events sliding-distinct",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+  FROM events
+),
+w AS (
+  SELECT d.day + t.i AS win_end, d.user_id
+  FROM d CROSS JOIN (SELECT unnest(range(0, 7)) AS i) t
+)
+SELECT CAST(win_end AS BIGINT) AS win_end,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM w GROUP BY 1
+""",
+    doc="7-day sliding-window distinct active users (DAU->WAU curve): "
+    "a user active on day d counts toward every window ending in "
+    "[d, d+6]. Distinct counts do NOT decompose into per-day sums "
+    "(users overlap), so the scalable form pre-distincts (day, user) "
+    "— collapsing event volume to at most |users| x |days| — then "
+    "explodes each pair into its 7 windows (bounded fan-out = "
+    "window/slide, the standard sliding trade) and runs one "
+    "count-distinct per window end. Event-volume work is one "
+    "map-combined distinct; the x7 blow-up applies only to the "
+    "already-collapsed frame.",
+)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        (epoch_us("ts") / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        "user_id",
+    ).distinct()
+    w = d.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("win_end"),
+        "user_id",
+    )
+    return w.groupBy("win_end").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+
+
+@register(
+    "events_gap_log2_histogram",
+    group="ext-events gaps",
+    oracle="""
+WITH seq AS (
+  SELECT epoch_us(ts)
+    - lag(epoch_us(ts)) OVER (
+        PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events
+)
+SELECT CAST(length(printf('%b', gap)) AS INT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+  CAST(MAX(gap) AS BIGINT) AS max_gap_us
+FROM seq WHERE gap IS NOT NULL
+GROUP BY 1
+""",
+    doc="Exact log2-bucketed histogram of inter-event gaps per user "
+    "(microseconds): bucket = BIT LENGTH of the integer gap — the "
+    "msb index, computed as the length of the base-2 string render "
+    "(Spark conv(_,10,2) == DuckDB printf('%b'), verified "
+    "digit-identical), NOT floor(log2(x)) whose libm rounding can "
+    "misbucket exact powers of two across engines. The power-of-two "
+    "banding every latency/gap dashboard uses, with zero float ops; "
+    "one user-keyed lag window then a 64-bucket-bounded "
+    "map-combined count.",
+)
+def events_gap_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select((F.col("us") - F.lag("us").over(w)).alias("gap"))
+    return (
+        seq.filter(F.col("gap").isNotNull())
+        .select(
+            F.length(F.conv(F.col("gap").cast("string"), 10, 2))
+            .cast("int")
+            .alias("bucket"),
+            "gap",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("gap").alias("min_gap_us"),
+            F.max("gap").alias("max_gap_us"),
+        )
+    )
