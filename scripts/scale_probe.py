@@ -55,6 +55,7 @@ NAMES = [
     "orders_salted_skew_join", "events_wow_change", "fd_violation_audit",
     "orders_abc_classification", "events_cumulative_users",
     "customer_entity_resolution", "join_skew_planner",
+    "events_sliding_distinct_users", "events_gap_log2_histogram",
 ]
 
 
