@@ -98,7 +98,28 @@ def global_running_sum(
     ``order_cols[0]`` (defaults to the column itself — pass an explicit
     cast for non-numeric leading columns, e.g. a date's day number).
     """
-    v = F.col(value) if isinstance(value, str) else value
+    return global_running_sums(
+        df, order_cols, {out_col: value}, bucket_on, num_buckets
+    )
+
+
+def global_running_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    values: dict[str, Column | str],
+    bucket_on: Column | str | None = None,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Multi-column form of :func:`global_running_sum`: one bucketing
+    pass (one boundary sketch, one data shuffle, one offsets
+    broadcast) carries ANY number of running sums — chaining the
+    single-column form would re-bucket and re-shuffle per column.
+    ``values`` maps output column name -> summed expression.
+    """
+    cols = {
+        name: (F.col(v) if isinstance(v, str) else v)
+        for name, v in values.items()
+    }
     if bucket_on is None:
         bucket_on = F.col(order_cols[0])
     elif isinstance(bucket_on, str):
@@ -112,20 +133,35 @@ def global_running_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_local = bucketed.withColumn("_local", F.sum(v).over(local_w))
+    with_local = bucketed
+    for name, v in cols.items():
+        with_local = with_local.withColumn(
+            f"_local_{name}", F.sum(v).over(local_w)
+        )
     # per-bucket totals over the SAME hashpartitioning(_bkt) exchange the
     # window uses (ReuseExchange dedupes); |buckets| rows out
-    partials = bucketed.groupBy("_bkt").agg(F.sum(v).alias("_btotal"))
+    partials = bucketed.groupBy("_bkt").agg(
+        *[F.sum(v).alias(f"_btotal_{name}") for name, v in cols.items()]
+    )
     off_w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = partials.select(
-        "_bkt", F.sum("_btotal").over(off_w).alias("_offset")
+        "_bkt",
+        *[
+            F.sum(f"_btotal_{name}").over(off_w).alias(f"_offset_{name}")
+            for name in cols
+        ],
     )
-    return (
-        with_local.join(F.broadcast(offsets), "_bkt")
-        .withColumn(
-            out_col, F.col("_local") + F.coalesce(F.col("_offset"), F.lit(0))
+    out = with_local.join(F.broadcast(offsets), "_bkt")
+    for name in cols:
+        out = out.withColumn(
+            name,
+            F.col(f"_local_{name}")
+            + F.coalesce(F.col(f"_offset_{name}"), F.lit(0)),
         )
-        .drop("_bkt", "_local", "_offset")
+    return out.drop(
+        "_bkt",
+        *[f"_local_{name}" for name in cols],
+        *[f"_offset_{name}" for name in cols],
     )
 
 

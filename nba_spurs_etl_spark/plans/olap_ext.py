@@ -2365,3 +2365,80 @@ def join_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("contrib").cast("double")
         ).alias("skew_ratio"),
     )
+
+
+@register(
+    "orders_ks_statistic",
+    group="ext-stats ks",
+    oracle="""
+WITH v AS (
+  SELECT o_totalprice AS p,
+    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+g AS (
+  SELECT p, CAST(SUM(a) AS BIGINT) AS c1,
+    CAST(COUNT(*) - SUM(a) AS BIGINT) AS c2
+  FROM v GROUP BY 1
+),
+r AS (
+  SELECT p,
+    SUM(c1) OVER (ORDER BY p
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+    SUM(c2) OVER (ORDER BY p
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+  FROM g
+),
+t AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM g
+)
+SELECT n1, n2,
+  MAX(ABS(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2))
+    AS ks
+FROM r CROSS JOIN t GROUP BY n1, n2
+""",
+    doc="Exact two-sample Kolmogorov-Smirnov statistic comparing the "
+    "order-price distributions of '1-URGENT' vs '5-LOW': KS = max "
+    "over observed values of |F1(x) - F2(x)|, with both empirical "
+    "CDFs built from integer cumulative counts over the per-distinct-"
+    "value frame. The cumulative counts are GLOBAL prefix sums over "
+    "|distinct prices| — key-cardinality, so they run through the "
+    "two-phase bucketed form (operators/prefix.global_running_sums: "
+    "ONE bucketing pass carries both CDFs — chaining the "
+    "single-column form re-shuffled per column, measured 2x slower), "
+    "never a single-task window. Each "
+    "CDF value is one exact-int division; KS is a max over "
+    "identically-computed doubles — bit-identical across engines. "
+    "The continuous-distribution companion to events_drift_chi2.",
+)
+def orders_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_running_sums
+
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    v = od.select(
+        F.col("o_totalprice").alias("p"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("a"),
+    )
+    g = v.groupBy("p").agg(
+        F.sum("a").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("a")).alias("c2"),
+    )
+    r = global_running_sums(g, ["p"], {"cum1": "c1", "cum2": "c2"})
+    t = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    return (
+        r.crossJoin(F.broadcast(t))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum1").cast("double") / F.col("n1")
+                    - F.col("cum2").cast("double") / F.col("n2")
+                )
+            ).alias("ks")
+        )
+    )
