@@ -1688,3 +1688,83 @@ def test_exact_kth_smallest_matches_sorted(spark):
         assert exact_kth_smallest(df, "v", k, num_buckets=16) == s[k - 1]
     with pytest.raises(ValueError):
         exact_kth_smallest(df, "v", 6001, num_buckets=16)
+
+
+def test_salted_join_equals_plain_join_under_hot_key(spark):
+    """Salting must be result-invariant even when one key holds most
+    of the fact side (the case it exists for), and stable across
+    partitionings (content-derived salt, no rand())."""
+    import random
+
+    from nba_spurs_etl_spark.operators.joins import salted_join
+
+    rng = random.Random(11)
+    rows = [(7, rng.randint(0, 10**6)) for _ in range(4000)]  # hot key
+    rows += [(rng.randint(0, 50), rng.randint(0, 10**6)) for _ in range(1000)]
+    big = spark.createDataFrame(rows, "k bigint, payload bigint")
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(52)], "sk bigint, name string"
+    )
+    plain = sorted(
+        tuple(r)
+        for r in big.join(small, big.k == small.sk).select(
+            "k", "payload", "name"
+        ).collect()
+    )
+    for parts in (1, 13):
+        got = sorted(
+            tuple(r)
+            for r in salted_join(
+                big.repartition(parts), small, "k", "sk", num_salts=8
+            ).select("k", "payload", "name").collect()
+        )
+        assert got == plain
+
+
+def test_label_propagation_invariant_to_partitioning(spark):
+    """LPA's (count DESC, label ASC) tie-break makes the synchronous
+    update deterministic: identical labels whatever the input
+    partitioning."""
+    import random
+
+    from nba_spurs_etl_spark.operators.graph import label_propagation
+
+    rng = random.Random(5)
+    edges = {(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(120)}
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    ref = sorted(
+        tuple(r) for r in label_propagation(df.coalesce(1), rounds=3).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in label_propagation(df.repartition(17), rounds=3).collect()
+    )
+    assert got == ref and len(ref) > 0
+
+
+def test_global_running_sums_multi_matches_model(spark):
+    """The one-pass multi-column prefix sum must equal a driver-side
+    model prefix sum for every column, on duplicate-heavy keys."""
+    import random
+
+    from nba_spurs_etl_spark.operators.prefix import global_running_sums
+
+    rng = random.Random(3)
+    rows = [
+        (rng.randint(0, 40), i, rng.randint(-5, 9), rng.randint(0, 3))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, tie bigint, x bigint, y bigint")
+    got = {
+        (r["k"], r["tie"]): (r["cx"], r["cy"])
+        for r in global_running_sums(
+            df.repartition(9), ["k", "tie"], {"cx": "x", "cy": "y"},
+            num_buckets=8,
+        ).collect()
+    }
+    cx = cy = 0
+    for k, tie, x, y in sorted(rows):
+        cx += x
+        cy += y
+        assert got[(k, tie)] == (cx, cy)
