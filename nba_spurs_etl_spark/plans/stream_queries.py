@@ -535,3 +535,37 @@ def stream_novelty_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = nv.attach(stream, os.path.join(work, "ckpt"))
     q.awaitTermination()
     return nv.scores()
+
+
+@register(
+    "stream_markov_transitions",
+    group="2.9 ext-stream markov",
+    # the catalog drain streams events as ONE batch (single parquet
+    # file; repack preserves it), over an empty seeded frontier — the
+    # drained counts then equal the batch window exactly: FULL shared
+    # oracle. The multi-batch boundary-pair semantics (user's last
+    # event of batch k -> first of batch k+1 via the frontier state)
+    # is pinned by the explicit-batches test in tests/test_streaming.py.
+    oracle=registry()["events_markov_transitions"].oracle,
+    doc="STREAMING Markov transition counting with cross-batch "
+    "frontier state (streaming/markov.py): per micro-batch, in-batch "
+    "lag pairs + boundary pairs against the one-row-per-user frontier "
+    "snapshot, counted into idempotent bid-partitioned deltas; the "
+    "frontier writes version batch_id+1 so retries overwrite instead "
+    "of stacking. Order-sensitive sequence mining incrementalized "
+    "with O(|users|) state.",
+)
+def stream_markov_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.markov import StreamingMarkov
+
+    work = tempfile.mkdtemp(prefix="spark_stream_markov_")
+    mk = StreamingMarkov(spark, work)
+    mk.seed_empty()
+    q = mk.attach(
+        read_events_stream(spark, sf_dir), os.path.join(work, "ckpt")
+    )
+    q.awaitTermination()
+    return mk.result()

@@ -646,3 +646,57 @@ def test_streaming_novelty_multi_batch_and_retry(spark, tmp_path):
     assert len(nv.scores().collect()) == 4
     for doc in want:
         assert retried[doc]["novelty"] == want[doc]["novelty"]
+
+
+def test_streaming_markov_multi_batch_boundary_and_retry(spark, tmp_path):
+    """The frontier contract: splitting one event log into time-ordered
+    micro-batches yields EXACTLY the batch operator's transition
+    counts — boundary pairs (last event of batch k -> first of batch
+    k+1) come from the frontier state, and a foreachBatch retry of a
+    bid neither double-counts deltas nor stacks a phantom frontier
+    version."""
+    from nba_spurs_etl_spark.streaming.markov import StreamingMarkov
+
+    # one user with a gap > 30 min inside batch 1, another spanning
+    # the batch boundary; a third user only in batch 0
+    rows = [
+        # (event_id, user, type, us)
+        (1, 1, "a", 1_000_000),
+        (2, 1, "b", 2_000_000),          # a->b in-batch
+        (3, 2, "x", 5_000_000),
+        (4, 1, "c", 10_000_000),         # boundary pair b->c (batch 1)
+        (5, 2, "y", 4_000_000_000),      # boundary x->y BUT gap > 30min
+        (6, 2, "z", 4_001_000_000),      # y->z in-batch
+    ]
+    schema = "event_id bigint, user_id bigint, event_type string, us bigint"
+    b0 = spark.createDataFrame([r for r in rows if r[0] <= 3], schema).select(
+        "user_id", "us", "event_id", "event_type"
+    )
+    b1 = spark.createDataFrame([r for r in rows if r[0] > 3], schema).select(
+        "user_id", "us", "event_id", "event_type"
+    )
+
+    mk = StreamingMarkov(spark, str(tmp_path / "mk"))
+    mk.seed_empty()
+    mk.apply_batch(b0, 0)
+    mk.apply_batch(b1, 1)
+    mk.apply_batch(b1, 1)  # retry: overwrites bid=1 delta AND frontier v2
+    got = {
+        (r["src_type"], r["dst_type"]): (r["n"], r["p"])
+        for r in mk.result().collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 1.0),
+        ("b", "c"): (1, 1.0),   # the boundary pair
+        ("y", "z"): (1, 1.0),   # x->y dropped: gap > 30 min
+    }
+
+    # batch-equivalence on the full log (single-batch fold)
+    mk2 = StreamingMarkov(spark, str(tmp_path / "mk2"))
+    mk2.seed_empty()
+    mk2.apply_batch(b0.unionByName(b1), 0)
+    got2 = {
+        (r["src_type"], r["dst_type"]): (r["n"], r["p"])
+        for r in mk2.result().collect()
+    }
+    assert got2 == got
