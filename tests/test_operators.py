@@ -1768,3 +1768,44 @@ def test_global_running_sums_multi_matches_model(spark):
         cx += x
         cy += y
         assert got[(k, tie)] == (cx, cy)
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    """The rows-only approx_sketches entry gets a quantitative bound:
+    HLL++ distinct counts within its default 5% rsd (3 sigma) of the
+    exact count, and approx_percentile's result has rank error within
+    1/accuracy of the true rank — checked against the exact twins on
+    the driver testdata."""
+    from nba_spurs_etl_spark.plans.catalog import queries
+
+    from .conftest import SF_CORRECT
+
+    approx = {
+        r["event_type"]: r
+        for r in queries()["approx_sketches"](spark, SF_CORRECT).collect()
+    }
+    from nba_spurs_etl_spark.sources.catalog import load_table
+    ev = load_table(spark, SF_CORRECT, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.count("value").alias("nv"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a["approx_users"] - e["users"]) <= max(
+            3, 0.15 * e["users"]
+        ), (et, a["approx_users"], e["users"])
+        for q, col in [(0.5, "approx_p50"), (0.99, "approx_p99")]:
+            # rank error: position of the sketch answer among exact
+            # values must be within 1/accuracy (default 1/10000) + 1
+            n = e["nv"]
+            below = ev.filter(
+                (F.col("event_type") == et) & (F.col("value") <= a[col])
+            ).count()
+            assert abs(below - q * n) <= n / 10_000 + 1, (et, col)
