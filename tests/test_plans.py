@@ -532,3 +532,56 @@ def test_abc_classification_uses_two_phase_prefix_sum(spark, catalog):
     assert any("_bkt" in s for s in win_specs), win_specs
     assert "rangepartitioning" not in plan
     assert plan.count("SinglePartition") <= 2, plan
+
+
+def test_advisor_flags_deliberate_antipatterns(spark):
+    """plans.advisor.audit_plan fires on the anti-patterns it names:
+    a true cartesian (broadcast disabled), a global unpartitioned
+    window over a scan, and a row-Python UDF — and stays quiet on a
+    clean aggregate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nba_spurs_etl_spark.plans.advisor import audit_plan
+    from nba_spurs_etl_spark.sources.catalog import load_table
+
+    od = load_table(spark, SF_SMOKE, "orders")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cart = od.alias("a").crossJoin(od.alias("b"))
+        assert [c for c, _ in audit_plan(cart)] == ["CARTESIAN"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    w = Window.orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    glob = od.withColumn("r", F.sum("o_totalprice").over(w))
+    assert [c for c, _ in audit_plan(glob)] == ["SINGLE_PARTITION_DATA"]
+
+    from pyspark.sql.functions import udf
+
+    slow = udf(lambda s: (s or "").upper())
+    pyrow = od.select(slow("o_orderpriority").alias("u"))
+    assert "PYTHON_ROW_UDF" in [c for c, _ in audit_plan(pyrow)]
+
+    clean = od.groupBy("o_orderpriority").count()
+    assert audit_plan(clean) == []
+
+
+def test_advisor_catalog_is_flag_free(spark, catalog):
+    """Every registered batch query passes the advisor audit — the
+    catalog-wide generalization of the individual pins (streaming
+    entries execute drains at build time and are covered by their own
+    batch twins)."""
+    from nba_spurs_etl_spark.plans.advisor import audit_plan
+
+    offenders = {}
+    for name, fn in catalog.items():
+        if name.startswith("stream_"):
+            continue
+        finds = audit_plan(fn(spark, SF_SMOKE))
+        if finds:
+            offenders[name] = finds
+    assert not offenders, offenders
