@@ -71,7 +71,7 @@ def audit_plan(df: DataFrame, allow: set[str] | None = None) -> list[tuple[str, 
     """Return [(code, message)] red flags for the frame's physical plan.
 
     Codes: CARTESIAN, SINGLE_PARTITION_DATA, RANGE_PARTITIONING,
-    UNPRUNED_SCAN, PYTHON_ROW_UDF.
+    PYTHON_ROW_UDF.
     """
     allow = allow or set()
     plan = _formatted(df)

@@ -2442,3 +2442,117 @@ def orders_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (deterministic, hash-seeded)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 20
+#: cumulative Poisson(1) probabilities for k = 0..4 (then k = 5)
+_POIS_CUM = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+)
+_TWO60 = "1152921504606846976.0"  # 2^60: md5_long is a 60-bit uniform
+
+
+def _boot_w_sql(b: int) -> str:
+    keyed = md5_long_sql(f"(CAST(o_orderkey AS VARCHAR) || ':{b}')")
+    u = f"(CAST({keyed} AS DOUBLE) / {_TWO60})"
+    w = "CASE "
+    for k, t in enumerate(_POIS_CUM):
+        w += f"WHEN {u} < {t} THEN {k} "
+    return w + "ELSE 5 END"
+
+
+def _bootstrap_oracle() -> str:
+    aggs = ",\n  ".join(
+        f"SUM(w{b} * p) AS s{b}, CAST(SUM(w{b}) AS BIGINT) AS n{b}"
+        for b in range(_BOOT_B)
+    )
+    ws = ",\n    ".join(f"{_boot_w_sql(b)} AS w{b}" for b in range(_BOOT_B))
+    means = ", ".join(
+        f"CAST(s{b} AS DOUBLE) / n{b}" for b in range(_BOOT_B)
+    )
+    return f"""
+WITH r AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+    {ws}
+  FROM orders
+),
+a AS (
+  SELECT {aggs},
+    CAST(SUM(p) AS DOUBLE) / COUNT(*) AS point_mean
+  FROM r
+),
+m AS (SELECT point_mean, list_sort([{means}]) AS ms FROM a)
+SELECT point_mean, ms[2] AS boot_lo, ms[{_BOOT_B - 1}] AS boot_hi,
+  CAST({_BOOT_B} AS INT) AS b
+FROM m
+"""
+
+
+@register(
+    "orders_bootstrap_ci",
+    group="ext-stats bootstrap",
+    oracle=_bootstrap_oracle(),
+    doc="Poisson-bootstrap confidence interval for the mean order "
+    "price (Chamandy et al., 'Estimating Uncertainty for Massive "
+    "Data Streams' — THE bootstrap for data too big to resample by "
+    "index): each of 20 replicas weights every row by a Poisson(1) "
+    "draw derived DETERMINISTICALLY from md5(orderkey:replica) "
+    "against hard-coded cumulative thresholds, so all 20 weighted "
+    "sums accumulate in ONE scan as exact decimals (no 20x data "
+    "blow-up, no RNG — retries and engines agree bit-for-bit). CI = "
+    "2nd / 19th order statistic of the replica means via array_sort "
+    "on the 1-row aggregate. Per-replica mean is one double "
+    "division of exact operands.",
+)
+def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import md5_long
+
+    od = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def w(b: int):
+        u = (
+            md5_long(
+                F.concat(
+                    F.col("o_orderkey").cast("string"), F.lit(f":{b}")
+                )
+            ).cast("double")
+            / F.lit(float(2**60))
+        )
+        expr = None
+        for k, t in enumerate(_POIS_CUM):
+            cond = u < float(t)
+            expr = F.when(cond, k) if expr is None else expr.when(cond, k)
+        return expr.otherwise(5)
+
+    aggs = []
+    for b in range(_BOOT_B):
+        wb = w(b)
+        aggs.append(F.sum(wb * p).alias(f"s{b}"))
+        aggs.append(F.sum(wb).alias(f"n{b}"))
+    aggs.append(
+        (F.sum(p).cast("double") / F.count(F.lit(1))).alias("point_mean")
+    )
+    a = od.agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                (F.col(f"s{b}").cast("double") / F.col(f"n{b}"))
+                for b in range(_BOOT_B)
+            ]
+        )
+    )
+    return a.select(
+        "point_mean",
+        F.element_at(means, 2).alias("boot_lo"),
+        F.element_at(means, _BOOT_B - 1).alias("boot_hi"),
+        F.lit(_BOOT_B).alias("b"),
+    )

@@ -56,7 +56,7 @@ NAMES = [
     "orders_abc_classification", "events_cumulative_users",
     "customer_entity_resolution", "join_skew_planner",
     "events_sliding_distinct_users", "events_gap_log2_histogram",
-    "orders_ks_statistic",
+    "orders_ks_statistic", "orders_bootstrap_ci",
 ]
 
 
