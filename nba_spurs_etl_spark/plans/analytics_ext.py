@@ -1564,3 +1564,99 @@ def events_gap_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap").alias("max_gap_us"),
         )
     )
+
+
+_CMS_D = 4
+_CMS_W = 512
+
+
+def _cms_oracle() -> str:
+    from ..functions.scalar import md5_long_sql
+
+    cell = md5_long_sql("(CAST(user_id AS VARCHAR) || ':' || CAST(t.r AS VARCHAR))")
+    return f"""
+WITH cms AS (
+  SELECT t.r AS r, CAST({cell} % {_CMS_W} AS INT) AS cell,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM events CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS r) t
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM events WHERE user_id % 97 = 0 GROUP BY 1
+),
+lookup AS (
+  SELECT p.user_id, p.true_n, MIN(cms.c) AS est_n
+  FROM probe p
+  CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS r) t
+  JOIN cms ON cms.r = t.r AND cms.cell = CAST(
+    {md5_long_sql("(CAST(p.user_id AS VARCHAR) || ':' || CAST(t.r AS VARCHAR))")}
+      % {_CMS_W} AS INT)
+  GROUP BY 1, 2
+)
+SELECT user_id, true_n, est_n, CAST(est_n - true_n AS BIGINT) AS overcount
+FROM lookup
+"""
+
+
+@register(
+    "events_countmin_estimate",
+    group="ext-sketch countmin",
+    oracle=_cms_oracle(),
+    doc="Count-min sketch (Cormode & Muthukrishnan) built portably "
+    "from md5 row-hashes — unlike the engine-internal HLL/t-digest "
+    "sketches this one is EXACTLY reproducible in any engine, so the "
+    "whole sketch-build + point-query path carries a full oracle. "
+    "Build: d=4 x w=512 cell counts in one map-combined aggregate — "
+    "2048 cells of bounded state vs |users| exact counters, the "
+    "entire point at 100 TB (the sketch broadcasts; the exact "
+    "counter table does not). Probe: a 1-in-97 user slice looks up "
+    "its 4 cells and takes the min; est >= true always, and the "
+    "overcount column quantifies collision error against the exact "
+    "twin computed alongside.",
+)
+def events_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import md5_long
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    def cell(uid, r):
+        return (
+            md5_long(
+                F.concat(
+                    uid.cast("string"), F.lit(":"), r.cast("string")
+                )
+            )
+            % _CMS_W
+        ).cast("int")
+
+    rows = ev.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r"),
+    )
+    cms = (
+        rows.select("r", cell(F.col("user_id"), F.col("r")).alias("cell"))
+        .groupBy("r", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probe = (
+        ev.filter(F.col("user_id") % 97 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    probed = probe.select(
+        "user_id",
+        "true_n",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r"),
+    ).withColumn("cell", cell(F.col("user_id"), F.col("r")))
+    return (
+        probed.join(F.broadcast(cms), ["r", "cell"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").alias("est_n"))
+        .select(
+            "user_id",
+            "true_n",
+            "est_n",
+            (F.col("est_n") - F.col("true_n")).alias("overcount"),
+        )
+    )

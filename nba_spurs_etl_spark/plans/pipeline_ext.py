@@ -2301,3 +2301,40 @@ def similarity_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_TOPK, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE,
         m=_PQ_M, n_codes=_PQ_CODES,
     )
+
+
+@register(
+    "text_feature_hashing",
+    group="ext-text hashing-trick",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+)
+SELECT doc_id,
+  CAST({md5_long_sql("term")} % 256 AS INT) AS slot,
+  CAST(COUNT(*) AS BIGINT) AS cnt
+FROM tok GROUP BY 1, 2
+""",
+    doc="The hashing trick (Weinberger et al. 2009): tokens map "
+    "straight to md5(term) mod 256 feature slots — NO vocabulary "
+    "table, so unlike vocab_encode_docs there is no fitted state to "
+    "broadcast, no OOV handling, and the vectorizer works on a "
+    "stream it has never seen; collisions are the accepted trade "
+    "and bounded by slot count. One explode + one map-combined "
+    "(doc, slot) count; the sparse (doc_id, slot, cnt) triples ARE "
+    "the vector representation downstream learners consume.",
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    return (
+        tok.select(
+            "doc_id",
+            (md5_long(F.col("term")) % 256).cast("int").alias("slot"),
+        )
+        .groupBy("doc_id", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -57,6 +57,7 @@ NAMES = [
     "customer_entity_resolution", "join_skew_planner",
     "events_sliding_distinct_users", "events_gap_log2_histogram",
     "orders_ks_statistic", "orders_bootstrap_ci",
+    "text_feature_hashing", "events_countmin_estimate",
 ]
 
 
