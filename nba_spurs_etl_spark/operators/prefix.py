@@ -205,7 +205,11 @@ def interval_concurrency(
 
 
 def exact_kth_smallest(
-    df: DataFrame, value: Column | str, k: int, num_buckets: int = 64
+    df: DataFrame,
+    value: Column | str,
+    k: int,
+    num_buckets: int = 64,
+    takeordered_limit: int = 1_000_000,
 ) -> float:
     """Exact global k-th smallest value (1-based) without a global sort.
 
@@ -213,13 +217,14 @@ def exact_kth_smallest(
     column over deterministic quantile buckets (``quantile_buckets`` —
     boundary list is bounded driver metadata) and locate the bucket
     containing rank k from the <= num_buckets cumulative counts;
-    (2) TakeOrdered the j = k - preceding_count smallest values of
-    THAT bucket only and read off the j-th. Nothing ever globally
-    sorts: phase 1 is one map-combined aggregation, phase 2 touches
-    ~n/num_buckets rows via per-partition heaps. At larger scale the
-    same step recurses (re-bucket the selected bucket) instead of
-    growing j — one extra round per 64x data growth; a single level
-    suffices at bench scale.
+    (2) if the remaining in-bucket rank j is still large, RECURSE on
+    that one bucket (re-histogram its narrower value range — one
+    extra round per num_buckets-factor of data growth); once j fits
+    ``takeordered_limit``, TakeOrdered the bucket and read off the
+    j-th. Nothing ever globally sorts: each round is one map-combined
+    aggregation over a geometrically-shrinking slice, and the final
+    step touches rows via per-partition heaps. Constant-value buckets
+    (un-splittable: every row equals the answer) short-circuit.
 
     A global ``Window.orderBy`` row_number would collapse the whole
     table into one task (the hazard `global_running_sum` documents);
@@ -231,24 +236,39 @@ def exact_kth_smallest(
     rank over a nullable column is not well-defined cross-engine.
     """
     v = F.col(value) if isinstance(value, str) else value
-    b = quantile_buckets(df, v, num_buckets)
-    d = df.select(v.alias("v"), b.alias("b"))
-    hist = sorted(
-        (r["b"], r["c"])
-        for r in d.groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()
-    )
-    cum = 0
-    for bid, c in hist:
-        if cum + c >= k:
-            j = k - cum
+    d = df.select(v.alias("v"))
+    j = k
+    while True:
+        b = quantile_buckets(d, F.col("v"), num_buckets)
+        dd = d.select("v", b.alias("b"))
+        hist = sorted(
+            (r["b"], r["c"])
+            for r in dd.groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()
+        )
+        total = sum(c for _, c in hist)
+        if j > total:
+            raise ValueError(f"k={k} exceeds row count")
+        cum = 0
+        for bid, c in hist:
+            if cum + c >= j:
+                j -= cum
+                bucket = dd.filter(F.col("b") == bid).select("v")
+                break
+            cum += c
+        # recurse while the bucket is still big AND splittable (a
+        # constant-value bucket cannot split — but then every row IS
+        # the answer)
+        if c <= takeordered_limit or len(hist) == 1:
+            if len(hist) == 1 and c > takeordered_limit:
+                lo = bucket.agg(F.min("v"), F.max("v")).collect()[0]
+                if lo[0] == lo[1]:
+                    return lo[0]
             row = (
-                d.filter(F.col("b") == bid)
-                .orderBy("v")
+                bucket.orderBy("v")
                 .limit(j)
                 .orderBy(F.col("v").desc())
                 .limit(1)
                 .collect()
             )
             return row[0]["v"]
-        cum += c
-    raise ValueError(f"k={k} exceeds row count {cum}")
+        d = bucket.localCheckpoint(eager=False)

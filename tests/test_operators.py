@@ -1809,3 +1809,24 @@ def test_approx_sketches_within_error_bounds(spark):
                 (F.col("event_type") == et) & (F.col("value") <= a[col])
             ).count()
             assert abs(below - q * n) <= n / 10_000 + 1, (et, col)
+
+
+def test_exact_kth_smallest_recursive_descent(spark):
+    """With a tiny takeordered_limit the selector must recurse through
+    bucket re-histogramming and still return the exact order
+    statistic — including on a column dominated by one constant value
+    (an un-splittable bucket must short-circuit, not loop)."""
+    import random
+
+    from nba_spurs_etl_spark.operators.prefix import exact_kth_smallest
+
+    rng = random.Random(19)
+    vals = [round(rng.uniform(0, 100), 3) for _ in range(4000)]
+    vals += [42.0] * 3000  # constant-heavy region
+    df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(5)
+    s = sorted(vals)
+    for k in [1, 500, 3500, 5200, 7000]:
+        got = exact_kth_smallest(
+            df, "v", k, num_buckets=8, takeordered_limit=64
+        )
+        assert got == s[k - 1], (k, got, s[k - 1])
