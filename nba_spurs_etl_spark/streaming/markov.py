@@ -129,6 +129,35 @@ class StreamingMarkov:
         )
         self._write_frontier(merged, batch_id + 1)
 
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` committed frontier
+        versions (one accrues per batch — unbounded runs need
+        retention, same contract as ``cdc.CdcSnapshot.vacuum``). Keep
+        at least 2 so an in-flight retry of the latest batch can still
+        re-read its input version."""
+        import re as _re
+        import shutil
+
+        vs = sorted(
+            int(m.group(1))
+            for m in (
+                _re.fullmatch(r"v(\d+)", name)
+                for name in (
+                    os.listdir(self.frontier_root)
+                    if os.path.isdir(self.frontier_root)
+                    else []
+                )
+            )
+            if m
+            and os.path.exists(
+                os.path.join(self.frontier_root, m.group(0), "_COMMITTED")
+            )
+        )
+        drop = vs[:-keep_last] if keep_last > 0 else vs
+        for v in drop:
+            shutil.rmtree(self._fdir(v))
+        return drop
+
     def attach(self, stream: DataFrame, checkpoint: str):
         return (
             stream.writeStream.foreachBatch(self.apply_batch)

@@ -700,3 +700,26 @@ def test_streaming_markov_multi_batch_boundary_and_retry(spark, tmp_path):
         for r in mk2.result().collect()
     }
     assert got2 == got
+
+
+def test_streaming_markov_vacuum_retains_retry_window(spark, tmp_path):
+    """vacuum(keep_last=2) drops old frontier versions but keeps the
+    one a retry of the latest batch would re-read; results unchanged."""
+    from nba_spurs_etl_spark.streaming.markov import StreamingMarkov
+
+    schema = "user_id bigint, us bigint, event_id bigint, event_type string"
+    mk = StreamingMarkov(spark, str(tmp_path / "mk"))
+    mk.seed_empty()
+    for k in range(4):
+        b = spark.createDataFrame(
+            [(1, 1_000_000 * (k + 1), k, "ab"[k % 2])], schema
+        )
+        mk.apply_batch(b, k)
+    before = sorted(tuple(r) for r in mk.result().collect())
+    dropped = mk.vacuum(keep_last=2)
+    assert dropped == [0, 1, 2]
+    # retry of the latest batch still works (reads v3, writes v4)
+    mk.apply_batch(
+        spark.createDataFrame([(1, 4_000_000, 3, "b")], schema), 3
+    )
+    assert sorted(tuple(r) for r in mk.result().collect()) == before
