@@ -2556,3 +2556,95 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(means, _BOOT_B - 1).alias("boot_hi"),
         F.lit(_BOOT_B).alias("b"),
     )
+
+
+def _bootstrap_group_oracle() -> str:
+    aggs = ",\n  ".join(
+        f"SUM(w{b} * p) AS s{b}, CAST(SUM(w{b}) AS BIGINT) AS n{b}"
+        for b in range(_BOOT_B)
+    )
+    ws = ",\n    ".join(f"{_boot_w_sql(b)} AS w{b}" for b in range(_BOOT_B))
+    means = ", ".join(
+        f"CAST(s{b} AS DOUBLE) / n{b}" for b in range(_BOOT_B)
+    )
+    return f"""
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+    {ws}
+  FROM orders
+),
+a AS (
+  SELECT o_orderpriority, {aggs},
+    CAST(SUM(p) AS DOUBLE) / COUNT(*) AS point_mean
+  FROM r GROUP BY 1
+),
+m AS (
+  SELECT o_orderpriority, point_mean, list_sort([{means}]) AS ms FROM a
+)
+SELECT o_orderpriority, point_mean, ms[2] AS boot_lo,
+  ms[{_BOOT_B - 1}] AS boot_hi
+FROM m
+"""
+
+
+@register(
+    "orders_bootstrap_ci_by_priority",
+    group="ext-stats bootstrap grouped",
+    oracle=_bootstrap_group_oracle(),
+    doc="Per-group Poisson-bootstrap CIs (the grouped form of "
+    "orders_bootstrap_ci): every priority class gets its own 20 "
+    "deterministic replica means and a [2nd, 19th] order-statistic "
+    "interval, still in ONE scan — the 40 weighted aggregates ride "
+    "the same map-combined groupBy the point estimate uses, so "
+    "uncertainty costs no extra pass over the data. Weight reuse is "
+    "deliberate: replica b's weight for a row depends only on "
+    "(orderkey, b), so group CIs and the global CI are consistent "
+    "resamples of the same virtual bootstrap population.",
+)
+def orders_bootstrap_ci_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.scalar import md5_long
+
+    od = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def w(b: int):
+        u = (
+            md5_long(
+                F.concat(
+                    F.col("o_orderkey").cast("string"), F.lit(f":{b}")
+                )
+            ).cast("double")
+            / F.lit(float(2**60))
+        )
+        expr = None
+        for k, t in enumerate(_POIS_CUM):
+            cond = u < float(t)
+            expr = F.when(cond, k) if expr is None else expr.when(cond, k)
+        return expr.otherwise(5)
+
+    aggs = []
+    for b in range(_BOOT_B):
+        wb = w(b)
+        aggs.append(F.sum(wb * p).alias(f"s{b}"))
+        aggs.append(F.sum(wb).alias(f"n{b}"))
+    aggs.append(
+        (F.sum(p).cast("double") / F.count(F.lit(1))).alias("point_mean")
+    )
+    a = od.groupBy("o_orderpriority").agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                (F.col(f"s{b}").cast("double") / F.col(f"n{b}"))
+                for b in range(_BOOT_B)
+            ]
+        )
+    )
+    return a.select(
+        "o_orderpriority",
+        "point_mean",
+        F.element_at(means, 2).alias("boot_lo"),
+        F.element_at(means, _BOOT_B - 1).alias("boot_hi"),
+    )
