@@ -1660,3 +1660,78 @@ def events_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_n") - F.col("true_n")).alias("overcount"),
         )
     )
+
+
+@register(
+    "events_bigram_lift",
+    group="ext-events markov lift",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+    lead(event_type) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst,
+    lead(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dus
+  FROM events
+),
+pair AS (
+  SELECT event_type AS src_type, dst AS dst_type FROM seq
+  WHERE dst IS NOT NULL AND dus - us <= 1800000000
+),
+c AS (
+  SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pair GROUP BY 1, 2
+),
+marg AS (
+  SELECT src_type, dst_type, n,
+    CAST(SUM(n) OVER (PARTITION BY src_type) AS BIGINT) AS n_src,
+    CAST(SUM(n) OVER (PARTITION BY dst_type) AS BIGINT) AS n_dst,
+    CAST(SUM(n) OVER () AS BIGINT) AS total
+  FROM c
+)
+SELECT src_type, dst_type, n,
+  CAST(total * n AS DOUBLE) / CAST(n_src * n_dst AS DOUBLE) AS lift
+FROM marg WHERE n >= 5
+""",
+    doc="Association-normalized transition lift: observed bigram "
+    "frequency over the frequency expected if source and target "
+    "occurred independently — lift = N*n_ab/(n_a*n_b) over the same "
+    "30-min consecutive pairs events_markov_transitions counts "
+    "(which answer 'where do users go next'; lift answers 'which "
+    "hops are SURPRISING'). All three marginals window the k*k "
+    "transition matrix, never the event stream; exact BIGINT "
+    "products, one IEEE division.",
+)
+def events_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pair = (
+        ev.select(
+            F.col("event_type").alias("src_type"),
+            F.lead("event_type").over(w).alias("dst_type"),
+            (F.lead("us").over(w) - F.col("us")).alias("gap"),
+        )
+        .filter(F.col("dst_type").isNotNull() & (F.col("gap") <= 1_800_000_000))
+    )
+    c = pair.groupBy("src_type", "dst_type").agg(F.count(F.lit(1)).alias("n"))
+    marg = (
+        c.withColumn("n_src", F.sum("n").over(Window.partitionBy("src_type")))
+        .withColumn("n_dst", F.sum("n").over(Window.partitionBy("dst_type")))
+        .withColumn(
+            "total", F.sum("n").over(Window.partitionBy(F.lit(1)))
+        )
+    )
+    return (
+        marg.filter(F.col("n") >= 5)
+        .select(
+            "src_type",
+            "dst_type",
+            "n",
+            (
+                (F.col("total") * F.col("n")).cast("double")
+                / (F.col("n_src") * F.col("n_dst")).cast("double")
+            ).alias("lift"),
+        )
+    )
