@@ -58,7 +58,7 @@ NAMES = [
     "events_sliding_distinct_users", "events_gap_log2_histogram",
     "orders_ks_statistic", "orders_bootstrap_ci",
     "text_feature_hashing", "events_countmin_estimate",
-    "orders_bootstrap_ci_by_priority",
+    "orders_bootstrap_ci_by_priority", "events_bigram_lift",
 ]
 
 
