@@ -1010,3 +1010,104 @@ def connected_components_star(
         nodes.join(edges, nodes["doc"] == edges["u"], "left")
         .select("doc", F.coalesce(F.col("v"), F.col("doc")).alias("component"))
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-substring spans (character-level, cross-document)
+# ---------------------------------------------------------------------------
+
+
+def substring_dedup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Character-offset spans of cross-document duplicated substrings.
+
+    Document-level dedup (jaccard / minhash / simhash above) removes
+    whole near-copies; it cannot touch the boilerplate CASE — license
+    headers, navigation chrome, quoted passages — verbatim substrings
+    repeated across otherwise-distinct documents. Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better") show
+    removing such spans, not documents, is what moves LM quality, using
+    a corpus-wide suffix array. A suffix array is a single sequential
+    build — the opposite of a Spark job — so this operator reaches the
+    same spans Spark-first:
+
+    1. every character ``k``-gram of every doc becomes a
+       ``(doc, pos, md5_long(gram))`` row (one explode; the hash keeps
+       the shuffle key 8 bytes instead of ``k`` chars);
+    2. grams appearing in >= ``min_docs`` DISTINCT docs form the "hot"
+       set (one map-combined groupBy; the exchange is re-usable for the
+       probe join, and AQE picks a broadcast probe when the hot set is
+       small);
+    3. each doc's hot positions merge into maximal intervals
+       ``[pos, pos+k-1]`` by gaps-and-islands (a new island iff the gap
+       to the previous hot position exceeds ``k``, i.e. the covered
+       character ranges neither overlap nor touch) — a per-doc window,
+       partition-parallel.
+
+    Any shared substring of length >= k is fully covered by shared
+    k-grams, so the emitted spans are exactly the maximal duplicated
+    regions detectable at granularity k (matches shorter than k are
+    invisible by contract — same knob as the suffix-array method's
+    minimum match length).
+
+    Returns ``(doc, span_start, span_end, span_len, n_grams)`` with
+    1-based inclusive character offsets; downstream removal is a
+    row-local ``substring`` splice.
+
+    Scale (100 TB): the gram index is corpus_chars rows — at full
+    granularity that is the dominant cost. Production runs winnow it
+    (Schleimer et al. 2003, MOSS): keep only the minimal hash in each
+    window of ``w`` consecutive grams, an O(1)-state row-local
+    selection that samples ~2/(w+1) of positions yet still guarantees
+    every match of length >= w+k-1 is caught. The hot-set groupBy is
+    hash-uniform (no skew); stop-phrase grams that would explode a
+    pair-join never do here — positions are only *marked*, never
+    joined doc-to-doc, so hot grams cost O(occurrences), not
+    O(occurrences^2).
+    """
+    from pyspark.sql import Window
+
+    grams = (
+        spread_for_compute(df, id_col)
+        .select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
+        .filter(F.length("t") >= k)
+        .select(
+            "doc",
+            # sequence(1, 0) would yield a DESCENDING [1, 0] — the
+            # length guard above keeps the upper bound >= 1
+            F.explode(
+                F.sequence(F.lit(1), F.length("t") - (k - 1))
+            ).alias("pos"),
+            "t",
+        )
+        .select(
+            "doc",
+            F.col("pos").cast("long").alias("pos"),
+            # substring() needs the SQL-expr form: the DataFrame API
+            # rejects column-valued start positions
+            md5_long(F.expr(f"substring(t, pos, {k})")).alias("gh"),
+        )
+    )
+    hot = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    marked = grams.join(hot, "gh").select("doc", "pos")
+    w = Window.partitionBy("doc").orderBy("pos")
+    islands = marked.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+    ).withColumn("isl", F.sum("brk").over(w))
+    return islands.groupBy("doc", "isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (k - 1)).alias("span_end"),
+        (F.max("pos") + k - F.min("pos")).alias("span_len"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).select("doc", "span_start", "span_end", "span_len", "n_grams")

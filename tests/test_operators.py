@@ -1830,3 +1830,37 @@ def test_exact_kth_smallest_recursive_descent(spark):
             df, "v", k, num_buckets=8, takeordered_limit=64
         )
         assert got == s[k - 1], (k, got, s[k - 1])
+
+
+def test_substring_dedup_spans_interval_semantics(spark):
+    """Constructed corpus pinning the span contract: overlapping and
+    touching gram runs merge into one maximal interval, disjoint runs
+    stay separate spans, a substring repeated only WITHIN one doc is
+    not marked (cross-doc contract), and docs shorter than k never
+    error (sequence(1,0) guard)."""
+    from nba_spurs_etl_spark.operators.dedup import substring_dedup_spans
+
+    shared = "0123456789abcdefghij"  # exactly k=20 chars
+    docs = [
+        # doc 1/2 share `shared` at different offsets -> one exact span each
+        (1, "AAAA" + shared + "BBBBBBBB"),
+        (2, shared + "CCCCCCCCCCCCCCCCCCCCCCCC"),
+        # doc 3: two copies of `shared` back to back -> 40-char run shared
+        # with docs 1/2 only gram-wise; its two occurrences touch, so the
+        # intervals merge into ONE span of 40
+        (3, shared + shared),
+        # doc 4: within-doc-only repeat, never appears elsewhere -> no rows
+        (4, "zyxwvutsrqponmlkjihg" * 2),
+        # doc 5: shorter than k -> no rows, no sequence(1,0) blow-up
+        (5, "tiny"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r["doc"], r["span_start"], r["span_end"], r["span_len"])
+        for r in substring_dedup_spans(df, "doc_id", "text", k=20).collect()
+    }
+    assert out == {
+        (1, 5, 24, 20),
+        (2, 1, 20, 20),
+        (3, 1, 40, 40),
+    }
