@@ -470,3 +470,217 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def dsir_topk(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_slots: int = 256,
+    k: int = 100,
+) -> DataFrame:
+    """Top-k raw-pool docs by DSIR importance weight (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling").
+
+    DSIR scores every doc in a raw crawl by how target-like it is:
+    hashed word-bigram features induce two multinomial distributions —
+    p_target from the (small) target corpus, p_raw from the pool — and
+    a doc's log importance weight is ``sum_b cnt[b] * (ln p_t[b] -
+    ln p_r[b])`` (Laplace +1 smoothing over ``n_slots`` buckets). The
+    hashing trick means NO vocabulary state: both distributions are
+    ``n_slots``-row tables, broadcast everywhere.
+
+    Determinism contract (the BM25 precedent, operators/search.py):
+    the raw double weight never surfaces — ranking is ulp-robust,
+    the float is not. Per-doc weights fold SEQUENTIALLY over the
+    doc's slot-sorted term array (sort_array + F.aggregate, matching
+    DuckDB ``list(... ORDER BY slot)`` + ``list_reduce``), so the sum
+    order is pinned on both engines and across Spark retries — an
+    unordered SUM over shuffled slot rows would let partial-agg order
+    jitter adjacent ranks of near-tied docs. Ties break on doc id.
+    Docs with no bigram (< 2 words) have no features and are excluded
+    by contract.
+
+    Returns ``(doc, n_feats, rank)``, rank 1..k by descending weight.
+
+    Scale (100 TB): the token stream never shuffles wider than
+    (doc, slot) counts — one map-combined groupBy; both distribution
+    tables and the two scalar totals are broadcast; the final ranking
+    is a global top-k over one row per raw doc (the same
+    rank-then-filter Catalyst rewrites to TakeOrdered when k is
+    small). Target corpora are small by definition; if the pool's
+    per-doc rows outgrow a single global window, the top-k-pruned
+    two-phase form of ``global_rank_topk`` applies unchanged.
+    """
+    from pyspark.sql import Window
+
+    spark = raw.sparkSession
+
+    def slot_stream(df: DataFrame) -> DataFrame:
+        w = df.select(
+            F.col(id_col).alias("doc"), F.split(text_col, " ").alias("w")
+        )
+        big = w.select(
+            "doc",
+            F.explode(
+                F.when(
+                    F.size("w") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("w") - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("w"), i, 2)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("bg"),
+        )
+        return big.select(
+            "doc", (md5_long(F.col("bg")) % n_slots).alias("slot")
+        )
+
+    t_stream = slot_stream(target)
+    r_stream = slot_stream(raw)
+
+    spine = spark.range(n_slots).select(F.col("id").alias("slot"))
+    ct = t_stream.groupBy("slot").agg(F.count(F.lit(1)).alias("ct"))
+    cr = r_stream.groupBy("slot").agg(F.count(F.lit(1)).alias("cr"))
+    tot = t_stream.agg(F.count(F.lit(1)).alias("tt")).crossJoin(
+        r_stream.agg(F.count(F.lit(1)).alias("tr"))
+    )
+    dw = (
+        spine.join(ct, "slot", "left")
+        .join(cr, "slot", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "slot",
+            (
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + 1).cast("double")
+                    / (F.col("tt") + n_slots)
+                )
+                - F.log(
+                    (F.coalesce("cr", F.lit(0)) + 1).cast("double")
+                    / (F.col("tr") + n_slots)
+                )
+            ).alias("dw"),
+        )
+    )
+
+    doc_slots = r_stream.groupBy("doc", "slot").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    terms = (
+        doc_slots.join(F.broadcast(dw), "slot")
+        .groupBy("doc")
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("slot"),
+                        (F.col("cnt") * F.col("dw")).alias("t"),
+                    )
+                )
+            ).alias("ts"),
+        )
+        .select(
+            "doc",
+            "n_feats",
+            F.aggregate(
+                "ts", F.lit(0.0), lambda a, s: a + s["t"]
+            ).alias("lw"),
+        )
+    )
+    win = Window.orderBy(F.col("lw").desc(), F.col("doc").asc())
+    return (
+        terms.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("doc", "n_feats", "rank")
+    )
+
+
+def decontaminate_neardup(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate benchmark contamination: corpus docs that are
+    minhash-LSH-close to an eval doc, verified by exact shingle
+    jaccard.
+
+    ``decontaminate`` above catches VERBATIM n-gram overlap; paraphrase
+    and light-edit contamination (the common leak once benchmarks pass
+    through web pipelines) survives it. This is the near-dup
+    complement: the eval set's minhash band index (small by definition)
+    broadcasts; corpus band rows probe it map-side, so candidate
+    generation costs one signature pass over the corpus and NO
+    corpus-vs-corpus pair space. Candidates — and only candidates —
+    then verify with exact jaccard over md5-hashed distinct shingles
+    (eval shingle sets broadcast too).
+
+    Returns ``(doc, eval_doc, jaccard)`` for corpus docs with verified
+    jaccard >= ``threshold``; the decontaminated corpus is one
+    anti-join away. Band probability: with k=16, r=4 a true pair at
+    jaccard s is caught with prob 1-(1-s^4)^4 — recall is tunable with
+    more hashes/bands, cost stays O(|corpus|).
+
+    Scale (100 TB): corpus-side work is exactly one shingle explode +
+    one groupBy-min signature shuffle (shared shape with
+    ``minhash_bands``); everything eval-sized broadcasts. If the eval
+    union outgrows broadcast, the banded index join of
+    ``incremental_minhash_pairs`` applies unchanged — this operator IS
+    that join with the roles fixed.
+    """
+    from . import dedup
+
+    eb = dedup.minhash_bands(
+        eval_df, id_col, text_col, num_hashes, band_size, n
+    )
+    cb = dedup.minhash_bands(
+        corpus, id_col, text_col, num_hashes, band_size, n
+    )
+    cand = (
+        cb.join(
+            F.broadcast(
+                eb.select(
+                    F.col("doc").alias("eval_doc"), "band", "bkey"
+                )
+            ),
+            ["band", "bkey"],
+        )
+        .select("doc", "eval_doc")
+        .distinct()
+    )
+
+    def sets(df: DataFrame, doc_out: str, arr: str, cnt: str) -> DataFrame:
+        return (
+            dedup._hashed_shingles(df, id_col, text_col, n)
+            .groupBy("doc")
+            .agg(
+                F.sort_array(F.collect_list("h")).alias(arr),
+                F.count(F.lit(1)).alias(cnt),
+            )
+            .withColumnRenamed("doc", doc_out)
+        )
+
+    cs = sets(corpus, "doc", "ca", "na")
+    es = sets(eval_df, "eval_doc", "ea", "ne")
+    inter = F.size(F.array_intersect(F.col("ca"), F.col("ea")))
+    return (
+        cand.join(cs, "doc")
+        .join(F.broadcast(es), "eval_doc")
+        .select(
+            "doc",
+            "eval_doc",
+            (
+                inter.cast("double") / (F.col("na") + F.col("ne") - inter)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -661,3 +661,131 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_size=_BAND_SIZE,
     )
     return label_propagation(pairs, rounds=_LPA_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+_DSIR_SLOTS = 256
+_DSIR_K = 100
+
+
+@register(
+    "corpus_dsir_topk",
+    group="ext-curation dsir",
+    oracle=f"""
+WITH big AS (
+  SELECT doc_id AS doc, doc_id % 10 = 0 AS is_t,
+         CAST({md5_long_sql("bg")} % {_DSIR_SLOTS} AS BIGINT) AS slot
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(CASE WHEN len(w) >= 2 THEN
+         list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1])
+         ELSE [] END) AS t(bg)
+),
+spine AS (SELECT unnest(generate_series(0, {_DSIR_SLOTS - 1}))::BIGINT AS slot),
+ct AS (SELECT slot, COUNT(*) AS c FROM big WHERE is_t GROUP BY 1),
+cr AS (SELECT slot, COUNT(*) AS c FROM big WHERE NOT is_t GROUP BY 1),
+tot AS (SELECT (SELECT COUNT(*) FROM big WHERE is_t) AS tt,
+               (SELECT COUNT(*) FROM big WHERE NOT is_t) AS tr),
+dw AS (
+  SELECT s.slot,
+    ln((COALESCE(ct.c, 0) + 1)::DOUBLE / (tot.tt + {_DSIR_SLOTS}))
+  - ln((COALESCE(cr.c, 0) + 1)::DOUBLE / (tot.tr + {_DSIR_SLOTS})) AS dw
+  FROM spine s LEFT JOIN ct USING (slot) LEFT JOIN cr USING (slot), tot
+),
+ds AS (SELECT doc, slot, COUNT(*) AS cnt FROM big WHERE NOT is_t GROUP BY 1, 2),
+terms AS (
+  SELECT ds.doc, CAST(SUM(ds.cnt) AS BIGINT) AS n_feats,
+         list(ds.cnt * dw.dw ORDER BY ds.slot) AS ts
+  FROM ds JOIN dw ON ds.slot = dw.slot GROUP BY ds.doc
+),
+w AS (SELECT doc, n_feats, list_reduce(ts, (x, y) -> x + y) AS lw FROM terms)
+SELECT doc, n_feats,
+       CAST(ROW_NUMBER() OVER (ORDER BY lw DESC, doc) AS INT) AS rank
+FROM w QUALIFY rank <= {_DSIR_K}
+""",
+    doc="DSIR importance resampling (Xie et al. 2023): top-100 "
+    "raw-pool docs by target-likeness, where the fixture target is "
+    "the doc_id % 10 == 0 slice. Hashed word-bigram features (no "
+    "vocabulary state) induce two 256-slot Laplace-smoothed "
+    "multinomials; a doc scores sum cnt*(ln p_t - ln p_r). The raw "
+    "double never surfaces (BM25 contract): per-doc terms fold "
+    "sequentially in slot order — retry-stable and oracle-"
+    "reproducible — and only the doc-tiebroken rank is emitted. "
+    "Distribution tables and totals broadcast; the token stream "
+    "shuffles once as map-combined (doc, slot) counts "
+    "(operators/curation.py::dsir_topk).",
+)
+def corpus_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.dsir_topk(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        n_slots=_DSIR_SLOTS,
+        k=_DSIR_K,
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup decontamination (minhash-LSH cross-corpus)
+# ---------------------------------------------------------------------------
+
+
+def _neardup_decon_oracle() -> str:
+    from .pipeline_ext import _minhash_pairs_ctes
+
+    return f"""
+WITH {_minhash_pairs_ctes()},
+crossed AS (
+  SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS doc,
+         CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS eval_doc
+  FROM cand WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+),
+hsh AS (SELECT doc, {md5_long_sql("shingle")} AS h FROM shingle_pairs),
+sizes AS (SELECT doc, COUNT(*) AS n FROM hsh GROUP BY doc),
+inter AS (
+  SELECT c.doc, c.eval_doc, COUNT(*) AS c
+  FROM crossed c JOIN hsh a ON a.doc = c.doc
+  JOIN hsh b ON b.doc = c.eval_doc AND b.h = a.h
+  GROUP BY 1, 2
+)
+SELECT i.doc, i.eval_doc,
+       CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc = i.doc
+JOIN sizes sb ON sb.doc = i.eval_doc
+WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.5
+"""
+
+
+@register(
+    "corpus_decontaminate_neardup",
+    group="ext-curation decontamination",
+    oracle=_neardup_decon_oracle(),
+    doc="Near-duplicate benchmark contamination (fixture eval set = "
+    "doc_id % 10 == 0 slice): corpus docs minhash-LSH-close to an "
+    "eval doc, verified by exact shingle jaccard >= 0.5. The verbatim "
+    "n-gram decontaminate misses paraphrase/light-edit leaks; this is "
+    "its near-dup complement. Eval band index AND eval shingle sets "
+    "broadcast; corpus cost is one signature pass (no corpus-corpus "
+    "pair space), exact verification runs over candidates only "
+    "(operators/curation.py::decontaminate_neardup). Integer-ratio "
+    "jaccard doubles are bit-exact cross-engine.",
+)
+def corpus_decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline_ext import _BAND_SIZE, _NUM_HASHES
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.decontaminate_neardup(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        num_hashes=_NUM_HASHES,
+        band_size=_BAND_SIZE,
+        n=3,
+        threshold=0.5,
+    )

@@ -1864,3 +1864,64 @@ def test_substring_dedup_spans_interval_semantics(spark):
         (2, 1, 20, 20),
         (3, 1, 40, 40),
     }
+
+
+def test_dsir_topk_prefers_target_like_docs(spark):
+    """Raw docs sharing the target's bigram distribution must outrank
+    raw docs with disjoint vocabulary, n_feats must equal the doc's
+    bigram count, and sub-2-word docs are excluded by contract."""
+    from nba_spurs_etl_spark.operators.curation import dsir_topk
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon zeta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # target-like
+            (2, "beta gamma delta epsilon"),      # target-like
+            (3, "red blue green yellow purple"),  # disjoint
+            (4, "one two three four five six"),   # disjoint
+            (5, "word"),                          # no bigram -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc"]: (r["n_feats"], r["rank"])
+        for r in dsir_topk(raw, target, "doc_id", "text", k=10).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1][0] == 3 and rows[3][0] == 4  # n-1 bigrams
+    # both target-like docs rank above both disjoint docs
+    assert max(rows[1][1], rows[2][1]) < min(rows[3][1], rows[4][1])
+
+
+def test_decontaminate_neardup_flags_light_edits(spark):
+    """A corpus doc that is a light edit of an eval doc (high shingle
+    jaccard, NOT verbatim-identical) must be flagged against that eval
+    doc; unrelated docs must not appear."""
+    from nba_spurs_etl_spark.operators.curation import decontaminate_neardup
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the fence and the birds sing in the tree "
+            "as morning light spreads across the quiet valley and the "
+            "river runs past the old stone bridge toward the distant sea")
+    eval_df = spark.createDataFrame(
+        [(1000, base)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # one word changed -> near-dup, not exact (fixture chosen
+            # so the 4x4 banding deterministically collides: LSH recall
+            # is probabilistic over texts, fixed given a text)
+            (1, base.replace("river", "stream")),
+            (2, "completely different text about spark query planning "
+                "and shuffle partitioning strategies at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = decontaminate_neardup(
+        corpus, eval_df, "doc_id", "text", threshold=0.5
+    ).collect()
+    assert [(r["doc"], r["eval_doc"]) for r in rows] == [(1, 1000)]
+    assert 0.5 <= rows[0]["jaccard"] < 1.0

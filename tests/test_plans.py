@@ -585,3 +585,21 @@ def test_advisor_catalog_is_flag_free(spark, catalog):
         if finds:
             offenders[name] = finds
     assert not offenders, offenders
+
+
+def test_dsir_distribution_tables_broadcast(spark, catalog):
+    """Both DSIR distribution attachments (the 256-slot weight table
+    onto per-doc slot counts, the scalar totals onto the spine) must
+    broadcast — nothing corpus-sized may shuffle for them — and the
+    ranking must not degenerate into a cartesian."""
+    plan = fmt_plan(catalog["corpus_dsir_topk"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_neardup_decontaminate_broadcasts_eval_side(spark, catalog):
+    """The eval set's band index and shingle sets broadcast; the corpus
+    side never joins itself — no corpus-vs-corpus pair space."""
+    plan = fmt_plan(catalog["corpus_decontaminate_neardup"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
