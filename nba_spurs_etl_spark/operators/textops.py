@@ -348,3 +348,124 @@ def chunk_documents(
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.chunk_words").alias("chunk_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction (merge-table training)
+# ---------------------------------------------------------------------------
+
+#: Unit separator — guaranteed absent from document text (asserted by
+#: the entry's fixture contract); tokens in the BPE state string are
+#: individually wrapped as SEP+tok+SEP so a merge's string replacement
+#: can never match inside a longer token and consecutive matches never
+#: share boundary characters.
+BPE_SEP = "\x1f"
+
+
+def bpe_merge_table(
+    df: DataFrame,
+    text_col: str,
+    rounds: int = 6,
+    prefix_chars: int = 120,
+) -> DataFrame:
+    """Byte-pair-encoding merge table trained on the corpus (Sennrich
+    et al. 2016; byte/char-level as in GPT-2's tokenizer): ``rounds``
+    greedy merges, each picking the globally most frequent adjacent
+    token pair (ties to the lexicographically smallest pair).
+
+    Returns ``(round, merged, cnt)`` — the merge table itself, i.e.
+    the trained-tokenizer artifact.
+
+    Spark-first formulation: the per-doc tokenization STATE is a
+    string — each token wrapped as SEP+tok+SEP and concatenated — so
+    applying a merge is one row-local literal ``replace``
+    (left-to-right non-overlapping, which IS BPE's greedy application
+    order), never an array rebuild. The wrapped form makes the
+    replacement boundary-safe: pair (a,b) matches only
+    ``SEP a SEP SEP b SEP``, which cannot occur inside a longer token
+    and leaves the next occurrence's leading SEP intact.
+
+    Each round is one map-combined pair-count aggregation over the
+    corpus plus a driver-collected single winner row — the merge table
+    is bounded driver metadata, exactly like k-means centroids
+    (operators/clustering.py); all heavy work stays distributed. With
+    the winners as literals every round's state is a pure expression
+    over the raw text (a chain of ``replace`` calls), so the returned
+    DataFrame recomputes each round's count declaratively — no
+    checkpoint DAG, no driver-built rows in the result.
+
+    ``prefix_chars`` caps per-doc work (vocab statistics saturate
+    quickly; the cap is the standard sample-the-corpus trade). Scale
+    (100 TB): per round, the only exchange carries (pair, partial
+    count) — map-combined, pair cardinality is bounded by |vocab|^2
+    and in practice by active pairs; the argmax is a TakeOrdered, not
+    a global sort. Rounds are inherently sequential (each merge
+    changes the statistics — the algorithm, not the engine).
+    """
+    sep = BPE_SEP
+    spark = df.sparkSession
+
+    def counts(merges: list[str]) -> DataFrame:
+        st = F.regexp_replace(
+            F.substring(F.col(text_col), 1, prefix_chars),
+            "(.)",
+            sep + "$1" + sep,
+        )
+        for pair in merges:
+            # state occurrence of pair (a,b) is SEP a SEP SEP b SEP —
+            # tokens are individually wrapped, so the pair id's single
+            # inner SEP doubles in the search literal
+            st = F.replace(
+                st,
+                F.lit(sep + pair.replace(sep, sep + sep) + sep),
+                F.lit(sep + pair.replace(sep, "") + sep),
+            )
+        toks = (
+            df.filter(F.length(text_col) >= 1)
+            .select(st.alias("st"))
+            .select(
+                F.split(
+                    F.expr("substring(st, 2, length(st) - 2)"), sep + sep
+                ).alias("w")
+            )
+        )
+        pairs = toks.select(
+            F.explode(
+                F.when(
+                    F.size("w") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("w") - 1),
+                        lambda i: F.concat(
+                            F.element_at("w", i.cast("int")),
+                            F.lit(sep),
+                            F.element_at(F.col("w"), (i + 1).cast("int")),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pr")
+        )
+        return pairs.groupBy("pr").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def winner(c: DataFrame) -> DataFrame:
+        return c.orderBy(F.col("cnt").desc(), F.col("pr").asc()).limit(1)
+
+    merges: list[str] = []
+    for _ in range(rounds):
+        row = winner(counts(merges)).first()
+        if row is None:
+            break
+        merges.append(row["pr"])
+
+    out = None
+    for r in range(1, len(merges) + 1):
+        frame = winner(counts(merges[: r - 1])).select(
+            F.lit(r).alias("round"),
+            F.replace(F.col("pr"), F.lit(sep), F.lit("")).alias("merged"),
+            "cnt",
+        )
+        out = frame if out is None else out.unionAll(frame)
+    if out is None:
+        return spark.createDataFrame(
+            [], "round int, merged string, cnt bigint"
+        )
+    return out

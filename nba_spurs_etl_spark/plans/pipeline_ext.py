@@ -2392,3 +2392,74 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_SUBSTR_K,
         min_docs=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 6
+_BPE_PREFIX = 120
+
+
+def _bpe_oracle(rounds: int, prefix: int) -> str:
+    """Chained-CTE DuckDB twin of textops.bpe_merge_table: round r's
+    winner is a scalar subquery over round r-1's state, so the oracle
+    re-derives the adaptive merge sequence with no literals from the
+    Spark run."""
+    sep = "chr(31)"
+    ctes = [
+        f"""s0 AS (
+  SELECT regexp_replace(substr(text, 1, {prefix}), '(.)',
+                        {sep} || '\\1' || {sep}, 'g') AS st
+  FROM documents WHERE length(text) >= 1)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""c{r} AS (
+  SELECT pr, COUNT(*) AS cnt FROM (
+    SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                 i -> w[i] || {sep} || w[i+1])) AS pr
+    FROM (SELECT string_split(substr(st, 2, length(st) - 2),
+                              {sep} || {sep}) AS w FROM s{p})
+  ) GROUP BY 1),
+w{r} AS (SELECT pr, cnt FROM c{r} ORDER BY cnt DESC, pr LIMIT 1),
+s{r} AS (
+  SELECT replace(st,
+                 {sep} || replace((SELECT pr FROM w{r}), {sep},
+                                  {sep} || {sep}) || {sep},
+                 {sep} || replace((SELECT pr FROM w{r}), {sep}, '') || {sep})
+         AS st FROM s{p})""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round,"
+        f" replace((SELECT pr FROM w{r}), {sep}, '') AS merged,"
+        f" (SELECT cnt FROM w{r}) AS cnt"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+@register(
+    "text_bpe_merges",
+    group="ext-text bpe",
+    oracle=_bpe_oracle(_BPE_ROUNDS, _BPE_PREFIX),
+    doc="BPE tokenizer training (Sennrich 2016, char-level as in "
+    "GPT-2): 6 greedy rounds, each merging the corpus-wide most "
+    "frequent adjacent token pair (ties lexicographic). The trained "
+    "merge table IS the output. Tokenization state is a SEP-wrapped "
+    "string per doc, so a merge is one row-local boundary-safe "
+    "replace whose left-to-right semantics are exactly BPE's greedy "
+    "application; per round the only exchange is a map-combined "
+    "(pair, count) agg and the argmax is a TakeOrdered. The merge "
+    "table is bounded driver metadata (the k-means-centroid "
+    "precedent); the oracle re-derives the adaptive sequence via "
+    "chained scalar-subquery CTEs "
+    "(operators/textops.py::bpe_merge_table).",
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.bpe_merge_table(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        rounds=_BPE_ROUNDS,
+        prefix_chars=_BPE_PREFIX,
+    )

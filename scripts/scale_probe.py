@@ -59,7 +59,7 @@ NAMES = [
     "orders_ks_statistic", "orders_bootstrap_ci",
     "text_feature_hashing", "events_countmin_estimate",
     "orders_bootstrap_ci_by_priority", "events_bigram_lift",
-    "dedup_substring_spans", "corpus_dsir_topk",
+    "dedup_substring_spans", "corpus_dsir_topk", "text_bpe_merges",
     "corpus_decontaminate_neardup",
 ]
 

@@ -1925,3 +1925,21 @@ def test_decontaminate_neardup_flags_light_edits(spark):
     ).collect()
     assert [(r["doc"], r["eval_doc"]) for r in rows] == [(1, 1000)]
     assert 0.5 <= rows[0]["jaccard"] < 1.0
+
+
+def test_bpe_merge_table_greedy_trace(spark):
+    """Hand-derived merge sequence on a 2-doc corpus: (a,b) wins round
+    1 with count 3; round 2 is a count tie broken lexicographically
+    toward (ab,ab); round 3 merges (ab,c); round 4 finds no pairs left
+    and the table ends early — also pinning left-to-right greedy
+    application ('abab' -> [ab, ab], not [a, ba, b])."""
+    from nba_spurs_etl_spark.operators.textops import bpe_merge_table
+
+    df = spark.createDataFrame(
+        [(1, "abab"), (2, "abc")], "doc_id long, text string"
+    )
+    rows = [
+        (r["round"], r["merged"], r["cnt"])
+        for r in bpe_merge_table(df, "text", rounds=4).orderBy("round").collect()
+    ]
+    assert rows == [(1, "ab", 3), (2, "abab", 1), (3, "abc", 1)]
