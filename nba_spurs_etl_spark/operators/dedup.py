@@ -1070,9 +1070,18 @@ def substring_dedup_spans(
     joined doc-to-doc, so hot grams cost O(occurrences), not
     O(occurrences^2).
     """
-    from pyspark.sql import Window
+    grams = char_gram_index(df, id_col, text_col, k)
+    return _spans_from_gram_index(grams, k, gap=k, min_docs=min_docs)
 
-    grams = (
+
+def char_gram_index(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(doc, pos, gh): every character ``k``-gram of every doc, as
+    1-based position + 60-bit hash (the full-granularity substring
+    index ``substring_dedup_spans`` consumes; ``winnowed_gram_index``
+    is its sampled form)."""
+    return (
         spread_for_compute(df, id_col)
         .select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
         .filter(F.length("t") >= k)
@@ -1093,6 +1102,15 @@ def substring_dedup_spans(
             md5_long(F.expr(f"substring(t, pos, {k})")).alias("gh"),
         )
     )
+
+
+def _spans_from_gram_index(
+    grams: DataFrame, k: int, gap: int, min_docs: int
+) -> DataFrame:
+    """Hot-gram marking + per-doc gaps-and-islands interval merge over
+    a (doc, pos, gh) gram index (full or winnowed)."""
+    from pyspark.sql import Window
+
     hot = (
         grams.groupBy("gh")
         .agg(F.count_distinct("doc").alias("nd"))
@@ -1103,7 +1121,7 @@ def substring_dedup_spans(
     w = Window.partitionBy("doc").orderBy("pos")
     islands = marked.withColumn(
         "brk",
-        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+        F.when(F.col("pos") - F.lag("pos").over(w) > gap, 1).otherwise(0),
     ).withColumn("isl", F.sum("brk").over(w))
     return islands.groupBy("doc", "isl").agg(
         F.min("pos").alias("span_start"),
@@ -1111,3 +1129,77 @@ def substring_dedup_spans(
         (F.max("pos") + k - F.min("pos")).alias("span_len"),
         F.count(F.lit(1)).alias("n_grams"),
     ).select("doc", "span_start", "span_end", "span_len", "n_grams")
+
+
+def winnowed_gram_index(
+    df: DataFrame, id_col: str, text_col: str, k: int = 20, w: int = 8
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, MOSS):
+    from every window of ``w`` consecutive character k-grams keep the
+    minimal hash, rightmost occurrence on ties.
+
+    This is the scale path ``substring_dedup_spans`` documents: the
+    selection keeps an expected ~2/(w+1) of positions, is a row-local
+    O(1)-state rule (here: a struct-min over a ``w``-row trailing
+    window, partition-parallel per doc), and carries the winnowing
+    guarantee — any substring match of length >= w+k-1 still shares at
+    least one selected fingerprint between the two documents, because
+    both sides select the minimum of the same hash window
+    (self-synchronizing: the rule depends only on match-local
+    content). Docs with fewer than ``w`` grams have no complete window
+    and emit nothing — matches shorter than w+k-1 are outside the
+    guarantee by contract.
+
+    Returns the sampled (doc, pos, gh) index — drop-in for the
+    full-granularity ``char_gram_index`` wherever approximate recall
+    at 1/~4 the index size is the right trade (dedup, clone detection,
+    contamination audits).
+    """
+    from pyspark.sql import Window
+
+    g = char_gram_index(df, id_col, text_col, k)
+    win = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    # min over (gh, -pos): smallest hash, rightmost position on ties
+    m = F.min(
+        F.struct(F.col("gh").alias("g"), (-F.col("pos")).alias("np"))
+    ).over(win)
+    return (
+        g.withColumn("m", m)
+        .filter(F.col("pos") >= w)  # complete windows only
+        .select(
+            "doc",
+            (-F.col("m.np")).alias("pos"),
+            F.col("m.g").alias("gh"),
+        )
+        .distinct()
+    )
+
+
+def substring_dedup_spans_winnowed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    w: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """``substring_dedup_spans`` over the winnowed index — the shape
+    that actually runs at 100 TB.
+
+    Same hot-mark + interval-merge pipeline, but candidate positions
+    are winnowing fingerprints, so the index (and the hot-set shuffle)
+    is ~2/(w+1) the size. Consecutive selected positions inside one
+    duplicated region are at most ``w`` apart (winnowing picks at
+    least one position per window), so islands break on gaps > k + w
+    instead of > k. The result is approximate by contract: spans are
+    anchored at selected fingerprints (boundaries can be off by up to
+    w-1 grams, sub-(w+k-1) matches can be missed); every reported
+    span is still genuinely duplicated — hot fingerprints are exact
+    hash matches across docs.
+    """
+    grams = winnowed_gram_index(df, id_col, text_col, k, w)
+    return _spans_from_gram_index(grams, k, gap=k + w, min_docs=min_docs)

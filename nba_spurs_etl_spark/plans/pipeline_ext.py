@@ -2463,3 +2463,99 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounds=_BPE_ROUNDS,
         prefix_chars=_BPE_PREFIX,
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints + winnowed substring spans
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 8
+
+
+def _winnow_cte(k: int, w: int) -> str:
+    """CTEs ending in ``wg``: the winnowed (doc, pos, gh) fingerprint
+    index (DuckDB twin of dedup.winnowed_gram_index)."""
+    return f"""g AS (
+  SELECT doc_id AS doc, i::BIGINT AS pos,
+         {md5_long_sql(f"substr(text, i::INT, {k})")} AS gh
+  FROM documents,
+       unnest(generate_series(1, greatest(length(text) - {k - 1}, 0))) AS t(i)
+),
+wg AS (
+  SELECT DISTINCT doc, (-(m.np))::BIGINT AS pos, m.g AS gh FROM (
+    SELECT doc, pos,
+      MIN({{'g': gh, 'np': -pos}}) OVER (PARTITION BY doc ORDER BY pos
+        ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS m
+    FROM g) WHERE pos >= {w}
+)"""
+
+
+@register(
+    "text_winnow_fingerprints",
+    group="ext-text winnowing",
+    oracle=f"""
+WITH {_winnow_cte(_SUBSTR_K, _WINNOW_W)}
+SELECT doc, pos, gh FROM wg
+""",
+    doc="Winnowing document fingerprints (Schleimer 2003, MOSS): per "
+    "doc, the minimal 20-char-gram hash of each 8-gram window "
+    "(rightmost on ties) — ~2/(w+1) of positions, yet any substring "
+    "match >= w+k-1 chars still shares a selected fingerprint "
+    "(self-synchronizing selection). One struct-min trailing window "
+    "per doc, partition-parallel, no shuffle beyond the per-doc sort "
+    "— the sampled drop-in for the full char_gram_index at 100 TB "
+    "(operators/dedup.py::winnowed_gram_index).",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.winnowed_gram_index(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=_SUBSTR_K,
+        w=_WINNOW_W,
+    )
+
+
+@register(
+    "dedup_substring_spans_winnowed",
+    group="ext-dedup substring",
+    oracle=f"""
+WITH {_winnow_cte(_SUBSTR_K, _WINNOW_W)},
+hot AS (SELECT gh FROM wg GROUP BY gh HAVING COUNT(DISTINCT doc) >= 2),
+m AS (SELECT doc, pos FROM wg JOIN hot USING (gh)),
+b AS (
+  SELECT doc, pos,
+    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc ORDER BY pos)
+              > {_SUBSTR_K + _WINNOW_W}
+         THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+i AS (
+  SELECT doc, pos,
+    SUM(brk) OVER (PARTITION BY doc ORDER BY pos) AS isl
+  FROM b
+)
+SELECT doc, MIN(pos) AS span_start,
+  MAX(pos) + {_SUBSTR_K - 1} AS span_end,
+  MAX(pos) + {_SUBSTR_K} - MIN(pos) AS span_len,
+  COUNT(*) AS n_grams
+FROM i GROUP BY doc, isl
+""",
+    doc="dedup_substring_spans over the winnowed index — the 100-TB "
+    "shape: hot-mark + interval merge on ~1/4 the positions, islands "
+    "breaking on gaps > k + w (consecutive fingerprints in one "
+    "duplicated region are <= w apart). Approximate by contract "
+    "(boundaries anchor at fingerprints, sub-(w+k-1) matches exempt) "
+    "but every reported span is a true cross-doc duplicate — hot "
+    "fingerprints are exact hash matches "
+    "(operators/dedup.py::substring_dedup_spans_winnowed).",
+)
+def dedup_substring_spans_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.substring_dedup_spans_winnowed(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=_SUBSTR_K,
+        w=_WINNOW_W,
+        min_docs=2,
+    )

@@ -60,7 +60,8 @@ NAMES = [
     "text_feature_hashing", "events_countmin_estimate",
     "orders_bootstrap_ci_by_priority", "events_bigram_lift",
     "dedup_substring_spans", "corpus_dsir_topk", "text_bpe_merges",
-    "corpus_decontaminate_neardup",
+    "corpus_decontaminate_neardup", "text_winnow_fingerprints",
+    "dedup_substring_spans_winnowed",
 ]
 
 

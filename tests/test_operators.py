@@ -1943,3 +1943,48 @@ def test_bpe_merge_table_greedy_trace(spark):
         for r in bpe_merge_table(df, "text", rounds=4).orderBy("round").collect()
     ]
     assert rows == [(1, "ab", 3), (2, "abab", 1), (3, "abc", 1)]
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Pins the MOSS guarantee on random-ish text: two docs sharing a
+    substring of length >= w+k-1 select at least one COMMON
+    fingerprint inside it; consecutive selected positions are <= w
+    apart (at least one pick per window); and the winnowed spans
+    pipeline reports the shared region for both docs."""
+    import random
+
+    from nba_spurs_etl_spark.operators.dedup import (
+        substring_dedup_spans_winnowed,
+        winnowed_gram_index,
+    )
+
+    k, w = 20, 8
+    rng = random.Random(7)
+    rand = lambda n: "".join(rng.choice("abcdefghij") for _ in range(n))
+    shared = rand(k + w - 1)  # exactly the guarantee threshold
+    d1 = rand(60) + shared + rand(60)
+    d2 = rand(55) + shared + rand(65)
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    fp = winnowed_gram_index(df, "doc_id", "text", k=k, w=w).collect()
+    by_doc = {1: set(), 2: set()}
+    pos_by_doc = {1: [], 2: []}
+    for r in fp:
+        by_doc[r["doc"]].add(r["gh"])
+        pos_by_doc[r["doc"]].append(r["pos"])
+    assert by_doc[1] & by_doc[2], "shared >= w+k-1 match must share a fingerprint"
+    for doc, ps in pos_by_doc.items():
+        ps = sorted(ps)
+        gaps = [b - a for a, b in zip(ps, ps[1:])]
+        assert max(gaps) <= w, (doc, max(gaps))
+    spans = substring_dedup_spans_winnowed(
+        df, "doc_id", "text", k=k, w=w
+    ).collect()
+    docs_with_span = {r["doc"] for r in spans}
+    assert docs_with_span == {1, 2}
+    # each reported span must overlap the true shared region
+    starts = {1: 61, 2: 56}
+    for r in spans:
+        lo, hi = starts[r["doc"]], starts[r["doc"]] + len(shared) - 1
+        assert r["span_start"] <= hi and r["span_end"] >= lo, dict(r.asDict())
