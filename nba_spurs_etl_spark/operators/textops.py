@@ -449,23 +449,37 @@ def bpe_merge_table(
     def winner(c: DataFrame) -> DataFrame:
         return c.orderBy(F.col("cnt").desc(), F.col("pr").asc()).limit(1)
 
+    # each round's 1-row winner frame is localCheckpoint'ed: the same
+    # materialized row feeds the driver-collected merge literal AND the
+    # returned union — each round's corpus aggregation runs exactly
+    # once (an uncheckpointed union would recompute all N aggs on
+    # evaluation, measured ~2x the operator's wall)
     merges: list[str] = []
-    for _ in range(rounds):
-        row = winner(counts(merges)).first()
+    frames: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+        frame = (
+            winner(counts(merges))
+            .select(
+                F.lit(r).alias("round"),
+                "pr",
+                F.replace(F.col("pr"), F.lit(sep), F.lit("")).alias(
+                    "merged"
+                ),
+                "cnt",
+            )
+            .localCheckpoint(eager=True)
+        )
+        row = frame.first()
         if row is None:
             break
         merges.append(row["pr"])
+        frames.append(frame.select("round", "merged", "cnt"))
 
-    out = None
-    for r in range(1, len(merges) + 1):
-        frame = winner(counts(merges[: r - 1])).select(
-            F.lit(r).alias("round"),
-            F.replace(F.col("pr"), F.lit(sep), F.lit("")).alias("merged"),
-            "cnt",
-        )
-        out = frame if out is None else out.unionAll(frame)
-    if out is None:
+    if not frames:
         return spark.createDataFrame(
             [], "round int, merged string, cnt bigint"
         )
+    out = frames[0]
+    for frame in frames[1:]:
+        out = out.unionAll(frame)
     return out
