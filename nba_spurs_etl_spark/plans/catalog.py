@@ -42,12 +42,21 @@ ENTRY_QUERY = "summary_rank"
 set_priority([
     ENTRY_QUERY,
     "pricing_summary",
-    "gold_summary_by_season",
-    "gold_home_vs_away",
-    "gold_team_weaknesses_unpivoted",
-    "gold_spurs_player_contributions",
-    "gold_streaks_and_rivals",
-    "gold_players_recommendations",
+    # ROTATED late round 4: the six gold models (driver-green r01+r02+
+    # r03) and rollup_orders / events_funnel (driver-green r02+r03)
+    # rotated out for the eight operators built after the mid-r4
+    # rotation, which have only pytest-oracle evidence so far — all
+    # eight re-verified side-by-side MATCH vs DuckDB at sf0.01 before
+    # this rotation. Everything rotated out keeps its full DuckDB-
+    # oracle parity test in tests/test_parity.py.
+    "dedup_substring_spans",
+    "dedup_substring_spans_winnowed",
+    "text_winnow_fingerprints",
+    "corpus_dsir_topk",
+    "corpus_decontaminate_neardup",
+    "text_bpe_merges",
+    "orders_bootstrap_ci_by_priority",
+    "events_bigram_lift",
     # r01+r02 driver-green silver_games / silver_player_stats rotated
     # out late round 3 for the brand-new global-prefix-sum operators
     # (both keep full pytest parity)
@@ -108,10 +117,8 @@ set_priority([
     "top1_per_group",
     "global_rank_topk",
     "streaks_gaps_islands",
-    "rollup_orders",
     "union_topk_branches",
     "split_part_extract",
-    "events_funnel",
     "stream_session_agg",
     "stream_cdc_apply",
 ])
