@@ -390,9 +390,9 @@ def bpe_merge_table(
     is bounded driver metadata, exactly like k-means centroids
     (operators/clustering.py); all heavy work stays distributed. With
     the winners as literals every round's state is a pure expression
-    over the raw text (a chain of ``replace`` calls), so the returned
-    DataFrame recomputes each round's count declaratively — no
-    checkpoint DAG, no driver-built rows in the result.
+    (a chain of ``replace`` calls) over the once-materialized wrapped
+    prefix sample, so each round is a single distributed aggregation
+    over cached narrow state — no driver-built rows in the result.
 
     ``prefix_chars`` caps per-doc work (vocab statistics saturate
     quickly; the cap is the standard sample-the-corpus trade). Scale
@@ -405,12 +405,28 @@ def bpe_merge_table(
     sep = BPE_SEP
     spark = df.sparkSession
 
-    def counts(merges: list[str]) -> DataFrame:
-        st = F.regexp_replace(
-            F.substring(F.col(text_col), 1, prefix_chars),
-            "(.)",
-            sep + "$1" + sep,
+    # The SEP-wrapped prefix sample is identical across rounds — only
+    # the merge chain applied on top of it changes — so materialize it
+    # once (localCheckpoint) instead of re-scanning the corpus and
+    # re-running the per-char wrap regex every round (measured ~0.56 s
+    # of a ~0.74 s round at sf0.1). Bounded state: prefix_chars ×
+    # n_docs chars (the training sample itself), partitioned like the
+    # input — on a cluster this is a cached narrow projection, not a
+    # driver collect.
+    base = (
+        df.filter(F.length(text_col) >= 1)
+        .select(
+            F.regexp_replace(
+                F.substring(F.col(text_col), 1, prefix_chars),
+                "(.)",
+                sep + "$1" + sep,
+            ).alias("st0")
         )
+        .localCheckpoint(eager=True)
+    )
+
+    def counts(merges: list[str]) -> DataFrame:
+        st = F.col("st0")
         for pair in merges:
             # state occurrence of pair (a,b) is SEP a SEP SEP b SEP —
             # tokens are individually wrapped, so the pair id's single
@@ -421,8 +437,7 @@ def bpe_merge_table(
                 F.lit(sep + pair.replace(sep, "") + sep),
             )
         toks = (
-            df.filter(F.length(text_col) >= 1)
-            .select(st.alias("st"))
+            base.select(st.alias("st"))
             .select(
                 F.split(
                     F.expr("substring(st, 2, length(st) - 2)"), sep + sep
