@@ -543,10 +543,27 @@ def dsir_topk(
     r_stream = slot_stream(raw)
 
     spine = spark.range(n_slots).select(F.col("id").alias("slot"))
-    ct = t_stream.groupBy("slot").agg(F.count(F.lit(1)).alias("ct"))
-    cr = r_stream.groupBy("slot").agg(F.count(F.lit(1)).alias("cr"))
-    tot = t_stream.agg(F.count(F.lit(1)).alias("tt")).crossJoin(
-        r_stream.agg(F.count(F.lit(1)).alias("tr"))
+    # Every raw-pool statistic derives from the ONE (doc, slot) count
+    # aggregation below: cr collapses it by slot, tr sums cr, and the
+    # per-doc weight fold joins it against the weight table. All four
+    # consumers sit on the identical Exchange(hash(doc, slot))
+    # subtree, which Spark's exchange reuse materializes once — the
+    # raw corpus is tokenized, bigram-exploded, and md5-hashed exactly
+    # one time (three separate slot_stream() aggregations used to cost
+    # three full corpus passes). Target-side ct/tt derive the same way
+    # (target corpora are small, but the shape is uniform).
+    doc_slots = r_stream.groupBy("doc", "slot").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ct = (
+        t_stream.groupBy("doc", "slot")
+        .agg(F.count(F.lit(1)).alias("tcnt"))
+        .groupBy("slot")
+        .agg(F.sum("tcnt").alias("ct"))
+    )
+    cr = doc_slots.groupBy("slot").agg(F.sum("cnt").alias("cr"))
+    tot = ct.agg(F.sum("ct").alias("tt")).crossJoin(
+        cr.agg(F.sum("cr").alias("tr"))
     )
     dw = (
         spine.join(ct, "slot", "left")
@@ -567,9 +584,6 @@ def dsir_topk(
         )
     )
 
-    doc_slots = r_stream.groupBy("doc", "slot").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
     terms = (
         doc_slots.join(F.broadcast(dw), "slot")
         .groupBy("doc")
@@ -645,6 +659,11 @@ def decontaminate_neardup(
     cb = dedup.minhash_bands(
         corpus, id_col, text_col, num_hashes, band_size, n
     )
+    # Candidate pairs are eval-adjacent — tiny by definition — so pin
+    # them once (localCheckpoint, same bounded-metadata pattern as the
+    # BPE winner rows): the pair list feeds both the verify join and
+    # the corpus pre-filter below, and an unpinned plan would re-run
+    # the corpus signature pass for each consumer.
     cand = (
         cb.join(
             F.broadcast(
@@ -656,6 +675,7 @@ def decontaminate_neardup(
         )
         .select("doc", "eval_doc")
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     def sets(df: DataFrame, doc_out: str, arr: str, cnt: str) -> DataFrame:
@@ -669,7 +689,16 @@ def decontaminate_neardup(
             .withColumnRenamed("doc", doc_out)
         )
 
-    cs = sets(corpus, "doc", "ca", "na")
+    # Verify ONLY candidates: semi-join the corpus down to candidate
+    # docs before building exact shingle sets. Without this the
+    # groupBy/collect_list in sets() tokenizes, hashes, and shuffles a
+    # sorted shingle array for EVERY corpus doc — a second corpus-wide
+    # pass with heavy array payloads — and the candidate filter cannot
+    # be pushed below the aggregation by Catalyst.
+    cand_ids = F.broadcast(
+        cand.select(F.col("doc").alias(id_col)).distinct()
+    )
+    cs = sets(corpus.join(cand_ids, id_col, "left_semi"), "doc", "ca", "na")
     es = sets(eval_df, "eval_doc", "ea", "ne")
     inter = F.size(F.array_intersect(F.col("ca"), F.col("ea")))
     return (

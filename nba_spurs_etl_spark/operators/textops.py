@@ -418,7 +418,11 @@ def bpe_merge_table(
         .select(
             F.regexp_replace(
                 F.substring(F.col(text_col), 1, prefix_chars),
-                "(.)",
+                # (?s): Java '.' excludes line terminators (\n, \r,
+                # NEL, U+2028, U+2029); without DOTALL a newline in
+                # the prefix is never wrapped, gluing its neighbours
+                # into one pseudo-token with raw SEPs inside
+                "(?s)(.)",
                 sep + "$1" + sep,
             ).alias("st0")
         )

@@ -2410,7 +2410,7 @@ def _bpe_oracle(rounds: int, prefix: int) -> str:
     sep = "chr(31)"
     ctes = [
         f"""s0 AS (
-  SELECT regexp_replace(substr(text, 1, {prefix}), '(.)',
+  SELECT regexp_replace(substr(text, 1, {prefix}), '(?s)(.)',
                         {sep} || '\\1' || {sep}, 'g') AS st
   FROM documents WHERE length(text) >= 1)"""
     ]

@@ -1945,6 +1945,29 @@ def test_bpe_merge_table_greedy_trace(spark):
     assert rows == [(1, "ab", 3), (2, "abab", 1), (3, "abc", 1)]
 
 
+def test_bpe_merge_table_newline_is_a_token(spark):
+    """Line terminators are ordinary characters to the tokenizer: the
+    wrap regex runs in DOTALL mode, so 'ab\\ncd' + 'ab cd' counts pair
+    (a,b) twice — Java's default '.' skips \\n (and \\r, NEL, U+2028,
+    U+2029), which used to glue newline-adjacent chars into one
+    pseudo-token with raw separators inside and undercount (a,b)."""
+    from nba_spurs_etl_spark.operators.textops import bpe_merge_table
+
+    df = spark.createDataFrame(
+        [(1, "ab\ncd"), (2, "ab cd"), (3, "x\ry")],
+        "doc_id long, text string",
+    )
+    rows = [
+        (r["round"], r["merged"], r["cnt"])
+        for r in bpe_merge_table(df, "text", rounds=1)
+        .orderBy("round")
+        .collect()
+    ]
+    # (a,b) and (c,d) both appear twice; lexicographic tie-break on the
+    # SEP-joined pair id picks (a,b)
+    assert rows == [(1, "ab", 2)]
+
+
 def test_winnowing_guarantee_and_density(spark):
     """Pins the MOSS guarantee on random-ish text: two docs sharing a
     substring of length >= w+k-1 select at least one COMMON

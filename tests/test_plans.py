@@ -603,3 +603,29 @@ def test_neardup_decontaminate_broadcasts_eval_side(spark, catalog):
     plan = fmt_plan(catalog["corpus_decontaminate_neardup"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_neardup_decontaminate_verifies_only_candidates(spark, catalog):
+    """The exact-jaccard verify stage must pre-filter the corpus to
+    LSH candidates with a broadcast semi-join BEFORE building sorted
+    shingle arrays — without it the collect_list aggregation shuffles
+    a heavy array for every corpus doc and the candidate filter can't
+    be pushed below the aggregation."""
+    plan = fmt_plan(catalog["corpus_decontaminate_neardup"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan
+
+
+def test_dsir_single_corpus_tokenization_pass(spark, catalog):
+    """All raw-pool statistics (per-doc slot counts, per-slot totals,
+    the grand total) hang off ONE (doc, slot) aggregation whose
+    exchange is reused — the corpus is tokenized, bigram-exploded and
+    hashed exactly once. Pinned with AQE off (the static planner's
+    ReusedExchange; AQE reuses the same stages at runtime via its
+    stage cache keyed on the identical canonicalized subtree)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = catalog["corpus_dsir_topk"](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "ReusedExchange" in plan, plan
