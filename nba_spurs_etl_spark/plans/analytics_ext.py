@@ -1180,11 +1180,15 @@ def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_markov_transitions",
-    group="ext-events markov",
-    oracle="""
-WITH seq AS (
+#: 30-minute session gap shared by every consecutive-pair entry
+_MARKOV_GAP_US = 1_800_000_000
+
+#: Shared oracle fragment: per-user consecutive (src, dst) pairs within
+#: the session gap, counted into the k*k transition matrix. Both
+#: events_markov_transitions and events_bigram_lift interpolate this
+#: CTE chain, so their documented "same pairs" equivalence is enforced
+#: by construction, not by keeping two copies in lockstep.
+_MARKOV_PAIR_CTES = """seq AS (
   SELECT user_id, event_type, epoch_us(ts) AS us,
     lead(event_type) OVER (
       PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst,
@@ -1199,7 +1203,35 @@ pair AS (
 c AS (
   SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n
   FROM pair GROUP BY 1, 2
-)
+)"""
+
+
+def _markov_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _MARKOV_PAIR_CTES: one user-keyed window pass
+    emits consecutive pairs, then a map-combined count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("src_type"),
+            F.lead("event_type").over(w).alias("dst_type"),
+            (F.lead("us").over(w) - F.col("us")).alias("gap"),
+        )
+        .filter(
+            F.col("dst_type").isNotNull() & (F.col("gap") <= _MARKOV_GAP_US)
+        )
+        .groupBy("src_type", "dst_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "events_markov_transitions",
+    group="ext-events markov",
+    oracle=f"""
+WITH {_MARKOV_PAIR_CTES}
 SELECT src_type, dst_type, n,
   CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src_type) AS DOUBLE)
     AS p
@@ -1214,19 +1246,7 @@ FROM c
     "exact integer counts — bit-identical across engines.",
 )
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", epoch_us("ts").alias("us")
-    )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    pair = (
-        ev.select(
-            F.col("event_type").alias("src_type"),
-            F.lead("event_type").over(w).alias("dst_type"),
-            (F.lead("us").over(w) - F.col("us")).alias("gap"),
-        )
-        .filter(F.col("dst_type").isNotNull() & (F.col("gap") <= 1_800_000_000))
-    )
-    c = pair.groupBy("src_type", "dst_type").agg(F.count(F.lit(1)).alias("n"))
+    c = _markov_pair_counts(spark, sf_dir)
     norm = Window.partitionBy("src_type")
     return c.select(
         "src_type",
@@ -1281,8 +1301,8 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         seq.filter(
             F.col("t2").isNotNull()
-            & (F.col("g1") <= 1_800_000_000)
-            & (F.col("g2") <= 1_800_000_000)
+            & (F.col("g1") <= _MARKOV_GAP_US)
+            & (F.col("g2") <= _MARKOV_GAP_US)
         )
         .select(
             F.concat_ws(">", "t0", "t1", "t2").alias("path"),
@@ -1351,7 +1371,7 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id",
         "value",
         F.when(
-            F.col("us") - F.col("last_us") <= 1_800_000_000, F.col("last_us")
+            F.col("us") - F.col("last_us") <= _MARKOV_GAP_US, F.col("last_us")
         ).alias("touch_us"),
     )
     ch = (
@@ -1665,23 +1685,8 @@ def events_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_bigram_lift",
     group="ext-events markov lift",
-    oracle="""
-WITH seq AS (
-  SELECT user_id, event_type, epoch_us(ts) AS us,
-    lead(event_type) OVER (
-      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst,
-    lead(epoch_us(ts)) OVER (
-      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dus
-  FROM events
-),
-pair AS (
-  SELECT event_type AS src_type, dst AS dst_type FROM seq
-  WHERE dst IS NOT NULL AND dus - us <= 1800000000
-),
-c AS (
-  SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n
-  FROM pair GROUP BY 1, 2
-),
+    oracle=f"""
+WITH {_MARKOV_PAIR_CTES},
 marg AS (
   SELECT src_type, dst_type, n,
     CAST(SUM(n) OVER (PARTITION BY src_type) AS BIGINT) AS n_src,
@@ -1703,19 +1708,7 @@ FROM marg WHERE n >= 5
     "products, one IEEE division.",
 )
 def events_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", epoch_us("ts").alias("us")
-    )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    pair = (
-        ev.select(
-            F.col("event_type").alias("src_type"),
-            F.lead("event_type").over(w).alias("dst_type"),
-            (F.lead("us").over(w) - F.col("us")).alias("gap"),
-        )
-        .filter(F.col("dst_type").isNotNull() & (F.col("gap") <= 1_800_000_000))
-    )
-    c = pair.groupBy("src_type", "dst_type").agg(F.count(F.lit(1)).alias("n"))
+    c = _markov_pair_counts(spark, sf_dir)
     marg = (
         c.withColumn("n_src", F.sum("n").over(Window.partitionBy("src_type")))
         .withColumn("n_dst", F.sum("n").over(Window.partitionBy("dst_type")))

@@ -2469,7 +2469,58 @@ def _boot_w_sql(b: int) -> str:
     return w + "ELSE 5 END"
 
 
-def _bootstrap_oracle() -> str:
+def _boot_weight(b: int):
+    """Spark twin of _boot_w_sql: replica ``b``'s deterministic
+    Poisson(1) weight for a row, from md5(orderkey:b) against the
+    hard-coded cumulative thresholds. Shared by the global and the
+    grouped entry — the 'consistent resamples of the same virtual
+    bootstrap population' property requires the two to stay in
+    lockstep."""
+    from ..functions.scalar import md5_long
+
+    u = (
+        md5_long(
+            F.concat(F.col("o_orderkey").cast("string"), F.lit(f":{b}"))
+        ).cast("double")
+        / F.lit(float(2**60))
+    )
+    expr = None
+    for k, t in enumerate(_POIS_CUM):
+        cond = u < float(t)
+        expr = F.when(cond, k) if expr is None else expr.when(cond, k)
+    return expr.otherwise(5)
+
+
+def _boot_aggs() -> list:
+    """The 2B+1 aggregate expressions of one bootstrap scan: per-replica
+    weighted sum + weight total, plus the exact point mean."""
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    aggs = []
+    for b in range(_BOOT_B):
+        wb = _boot_weight(b)
+        aggs.append(F.sum(wb * p).alias(f"s{b}"))
+        aggs.append(F.sum(wb).alias(f"n{b}"))
+    aggs.append(
+        (F.sum(p).cast("double") / F.count(F.lit(1))).alias("point_mean")
+    )
+    return aggs
+
+
+def _boot_means():
+    """Sorted array of the B replica means over the aggregate row."""
+    return F.array_sort(
+        F.array(
+            *[
+                (F.col(f"s{b}").cast("double") / F.col(f"n{b}"))
+                for b in range(_BOOT_B)
+            ]
+        )
+    )
+
+
+def _bootstrap_oracle(group_col: str | None = None) -> str:
+    """DuckDB twin of the bootstrap scan; ``group_col`` switches
+    between the global 1-row form and the per-group form."""
     aggs = ",\n  ".join(
         f"SUM(w{b} * p) AS s{b}, CAST(SUM(w{b}) AS BIGINT) AS n{b}"
         for b in range(_BOOT_B)
@@ -2478,20 +2529,26 @@ def _bootstrap_oracle() -> str:
     means = ", ".join(
         f"CAST(s{b} AS DOUBLE) / n{b}" for b in range(_BOOT_B)
     )
+    g = f"{group_col}, " if group_col else ""
+    gby = "GROUP BY 1" if group_col else ""
+    tail = (
+        ""
+        if group_col
+        else f",\n  CAST({_BOOT_B} AS INT) AS b"
+    )
     return f"""
 WITH r AS (
-  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+  SELECT {g}o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
     {ws}
   FROM orders
 ),
 a AS (
-  SELECT {aggs},
+  SELECT {g}{aggs},
     CAST(SUM(p) AS DOUBLE) / COUNT(*) AS point_mean
-  FROM r
+  FROM r {gby}
 ),
-m AS (SELECT point_mean, list_sort([{means}]) AS ms FROM a)
-SELECT point_mean, ms[2] AS boot_lo, ms[{_BOOT_B - 1}] AS boot_hi,
-  CAST({_BOOT_B} AS INT) AS b
+m AS (SELECT {g}point_mean, list_sort([{means}]) AS ms FROM a)
+SELECT {g}point_mean, ms[2] AS boot_lo, ms[{_BOOT_B - 1}] AS boot_hi{tail}
 FROM m
 """
 
@@ -2513,43 +2570,8 @@ FROM m
     "division of exact operands.",
 )
 def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.scalar import md5_long
-
-    od = load_table(spark, sf_dir, "orders")
-    p = F.col("o_totalprice").cast("decimal(18,2)")
-
-    def w(b: int):
-        u = (
-            md5_long(
-                F.concat(
-                    F.col("o_orderkey").cast("string"), F.lit(f":{b}")
-                )
-            ).cast("double")
-            / F.lit(float(2**60))
-        )
-        expr = None
-        for k, t in enumerate(_POIS_CUM):
-            cond = u < float(t)
-            expr = F.when(cond, k) if expr is None else expr.when(cond, k)
-        return expr.otherwise(5)
-
-    aggs = []
-    for b in range(_BOOT_B):
-        wb = w(b)
-        aggs.append(F.sum(wb * p).alias(f"s{b}"))
-        aggs.append(F.sum(wb).alias(f"n{b}"))
-    aggs.append(
-        (F.sum(p).cast("double") / F.count(F.lit(1))).alias("point_mean")
-    )
-    a = od.agg(*aggs)
-    means = F.array_sort(
-        F.array(
-            *[
-                (F.col(f"s{b}").cast("double") / F.col(f"n{b}"))
-                for b in range(_BOOT_B)
-            ]
-        )
-    )
+    a = load_table(spark, sf_dir, "orders").agg(*_boot_aggs())
+    means = _boot_means()
     return a.select(
         "point_mean",
         F.element_at(means, 2).alias("boot_lo"),
@@ -2558,40 +2580,10 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bootstrap_group_oracle() -> str:
-    aggs = ",\n  ".join(
-        f"SUM(w{b} * p) AS s{b}, CAST(SUM(w{b}) AS BIGINT) AS n{b}"
-        for b in range(_BOOT_B)
-    )
-    ws = ",\n    ".join(f"{_boot_w_sql(b)} AS w{b}" for b in range(_BOOT_B))
-    means = ", ".join(
-        f"CAST(s{b} AS DOUBLE) / n{b}" for b in range(_BOOT_B)
-    )
-    return f"""
-WITH r AS (
-  SELECT o_orderpriority, o_orderkey,
-    CAST(o_totalprice AS DECIMAL(18,2)) AS p,
-    {ws}
-  FROM orders
-),
-a AS (
-  SELECT o_orderpriority, {aggs},
-    CAST(SUM(p) AS DOUBLE) / COUNT(*) AS point_mean
-  FROM r GROUP BY 1
-),
-m AS (
-  SELECT o_orderpriority, point_mean, list_sort([{means}]) AS ms FROM a
-)
-SELECT o_orderpriority, point_mean, ms[2] AS boot_lo,
-  ms[{_BOOT_B - 1}] AS boot_hi
-FROM m
-"""
-
-
 @register(
     "orders_bootstrap_ci_by_priority",
     group="ext-stats bootstrap grouped",
-    oracle=_bootstrap_group_oracle(),
+    oracle=_bootstrap_oracle("o_orderpriority"),
     doc="Per-group Poisson-bootstrap CIs (the grouped form of "
     "orders_bootstrap_ci): every priority class gets its own 20 "
     "deterministic replica means and a [2nd, 19th] order-statistic "
@@ -2605,43 +2597,12 @@ FROM m
 def orders_bootstrap_ci_by_priority(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..functions.scalar import md5_long
-
-    od = load_table(spark, sf_dir, "orders")
-    p = F.col("o_totalprice").cast("decimal(18,2)")
-
-    def w(b: int):
-        u = (
-            md5_long(
-                F.concat(
-                    F.col("o_orderkey").cast("string"), F.lit(f":{b}")
-                )
-            ).cast("double")
-            / F.lit(float(2**60))
-        )
-        expr = None
-        for k, t in enumerate(_POIS_CUM):
-            cond = u < float(t)
-            expr = F.when(cond, k) if expr is None else expr.when(cond, k)
-        return expr.otherwise(5)
-
-    aggs = []
-    for b in range(_BOOT_B):
-        wb = w(b)
-        aggs.append(F.sum(wb * p).alias(f"s{b}"))
-        aggs.append(F.sum(wb).alias(f"n{b}"))
-    aggs.append(
-        (F.sum(p).cast("double") / F.count(F.lit(1))).alias("point_mean")
+    a = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(*_boot_aggs())
     )
-    a = od.groupBy("o_orderpriority").agg(*aggs)
-    means = F.array_sort(
-        F.array(
-            *[
-                (F.col(f"s{b}").cast("double") / F.col(f"n{b}"))
-                for b in range(_BOOT_B)
-            ]
-        )
-    )
+    means = _boot_means()
     return a.select(
         "o_orderpriority",
         "point_mean",
