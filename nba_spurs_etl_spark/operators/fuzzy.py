@@ -79,8 +79,12 @@ def delete2_variants(s: Column) -> Column:
         F.concat(delete_variants(s), F.when(L >= 2, d2).otherwise(empty))
     )
     # NullType (raise_error) coerces to array<string> in the when —
-    # the guard costs nothing on conforming rows and stays codegen'd
-    return F.when(L <= MAX_D2_LEN, keys).otherwise(
+    # the guard costs nothing on conforming rows and stays codegen'd.
+    # NULL strings pass through (NULL keys -> explode drops the row,
+    # the operator's long-standing contract): without the isNull arm,
+    # when(NULL <= MAX) is not-true and the whole job would abort with
+    # raise_error(NULL) on the first NULL in the matched column.
+    return F.when(L.isNull() | (L <= MAX_D2_LEN), keys).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("delete2_variants: string length "),

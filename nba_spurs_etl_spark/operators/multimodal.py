@@ -179,7 +179,11 @@ def resample_nearest_audio(samples, src_rate: int, dst_rate: int):
     import numpy as np
 
     n_out = max(1, (len(samples) * dst_rate) // src_rate)
-    idx = (np.arange(n_out) * src_rate * len(samples)) // (src_rate * n_out)
+    # keep the index product minimal: an extra src_rate factor on both
+    # sides cancels mathematically but runs in int64 — for minutes of
+    # 48 kHz audio (len ~ 2^25) the inflated product tops 2^63 and
+    # wraps negative, silently indexing from the array end
+    idx = (np.arange(n_out) * len(samples)) // n_out
     return samples[np.minimum(idx, len(samples) - 1)]
 
 

@@ -260,9 +260,26 @@ def exact_kth_smallest(
         # the answer)
         if c <= takeordered_limit or len(hist) == 1:
             if len(hist) == 1 and c > takeordered_limit:
-                lo = bucket.agg(F.min("v"), F.max("v")).collect()[0]
-                if lo[0] == lo[1]:
-                    return lo[0]
+                mn, mx = bucket.agg(
+                    F.min("v").alias("mn"), F.max("v").alias("mx")
+                ).collect()[0]
+                if mn == mx:
+                    return mn
+                # Percentile boundaries can collapse without the bucket
+                # being constant — a default/sentinel-heavy column where
+                # >= (num_buckets-1)/num_buckets of rows share the max.
+                # Peel the max class instead of falling through to a
+                # driver-side TakeOrdered of up to j rows (the exact
+                # melt the contract above forbids): if rank j lands in
+                # the max class the answer IS mx; otherwise recurse on
+                # the strictly-smaller v < mx slice.
+                n_lo = bucket.filter(F.col("v") < mx).count()
+                if j > n_lo:
+                    return mx
+                d = bucket.filter(F.col("v") < mx).localCheckpoint(
+                    eager=False
+                )
+                continue
             row = (
                 bucket.orderBy("v")
                 .limit(j)

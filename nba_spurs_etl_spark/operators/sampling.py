@@ -190,6 +190,10 @@ def weighted_sample_exact_k(
         .withColumn("es_key", key)
         .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
         .limit(k)
+        # es_key stays internal, matching the per-group twin: the
+        # SELECTION is ulp-robust, the raw libm double is not — the
+        # output schema is exactly the input's
+        .drop("es_key")
     )
 
 

@@ -529,6 +529,117 @@ def label_centroids(
     )
 
 
+def _pq_sample_rows(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n: int,
+    with_norm: bool = False,
+):
+    """The deterministic codebook sample both PQ-family quantizers
+    share: the ``n`` md5-smallest corpus rows, collected in md5 order
+    (a prefix-closed ordering — the first n_cells of a max(n_cells,
+    n_codes) collect ARE the n_cells sample, so composed indexes pay
+    one collect, not one per quantizer)."""
+    v = F.col(vec_col)
+    cols = [F.col(id_col).alias("cid"), v.alias("cv")]
+    if with_norm:
+        cols.append(F.sqrt(_dot(v, v)).alias("cn"))
+    return (
+        candidates.select(*cols)
+        .orderBy(md5_long(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n)
+        .collect()
+    )
+
+
+def _pq_codebook_literal(code_rows, m: int, sub: int):
+    """ONE nested literal [m][n_codes][sub] and data-driven HOF loops:
+    unrolling m x n_codes separate fold expressions in Python blew
+    past the whole-stage-codegen method limit and fell back to
+    interpreted evaluation — measured 33s vs ~1s for identical math
+    at sf0.1."""
+    return F.lit(
+        [
+            [[float(x) for x in r["cv"][s * sub:(s + 1) * sub]]
+             for r in code_rows]
+            for s in range(m)
+        ]
+    )
+
+
+def _pq_subvec(vec, s, sub: int):
+    # element_at arithmetic instead of slice(): start offsets are
+    # lambda-variable Columns, which slice() does not accept
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(sub)),
+        lambda i: F.element_at(vec, (s * sub + i).cast("int")).cast(
+            "double"
+        ),
+    )
+
+
+def _pq_encode(vec, cb_lit, m: int, n_codes: int, sub: int):
+    """argmin-L2 fold per subspace over the literal codebook — the
+    narrow map that compresses a vector to m small codes; ties break
+    to the smallest code index."""
+    init = F.struct(
+        F.lit(float("inf")).alias("d2"), F.lit(-1).alias("j")
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                lambda j: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            _pq_subvec(vec, s, sub),
+                            F.element_at(
+                                F.element_at(cb_lit, (s + 1).cast("int")),
+                                (j + 1).cast("int"),
+                            ),
+                            lambda x, c: (x - c) * (x - c),
+                        ),
+                        F.lit(0.0),
+                        lambda a, t: a + t,
+                    ).alias("d2"),
+                    j.cast("int").alias("j"),
+                ),
+            ),
+            init,
+            lambda acc, sc: F.when(
+                (sc["d2"] < acc["d2"])
+                | ((sc["d2"] == acc["d2"]) & (sc["j"] < acc["j"])),
+                sc,
+            ).otherwise(acc),
+        )["j"],
+    )
+
+
+def _pq_lut(vec, cb_lit, m: int, n_codes: int, sub: int):
+    """Per-query ADC lookup table: m x n_codes subspace dot products
+    from the same codebook literals, computed row-locally."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(n_codes - 1)),
+            lambda j: F.aggregate(
+                F.zip_with(
+                    _pq_subvec(vec, s, sub),
+                    F.element_at(
+                        F.element_at(cb_lit, (s + 1).cast("int")),
+                        (j + 1).cast("int"),
+                    ),
+                    lambda x, c: x * c,
+                ),
+                F.lit(0.0),
+                lambda a, t: a + t,
+            ),
+        ),
+    )
+
+
 def pq_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -562,99 +673,25 @@ def pq_topk(
     by the oracle.
     """
     v = F.col(vec_col)
-    cent_rows = sorted(
-        candidates.select(F.col(id_col).alias("cid"), v.alias("cv"))
-        .orderBy(md5_long(F.col("cid").cast("string")), F.col("cid"))
-        .limit(n_codes)
-        .collect(),
+    code_rows = sorted(
+        _pq_sample_rows(candidates, id_col, vec_col, n_codes),
         key=lambda r: r["cid"],
     )
-    d = len(cent_rows[0]["cv"])
+    d = len(code_rows[0]["cv"])
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
     sub = d // m
-    # ONE nested literal [m][n_codes][sub] and data-driven HOF loops:
-    # an earlier formulation unrolled m x n_codes separate fold
-    # expressions in Python, which blew past the whole-stage-codegen
-    # method limit and fell back to interpreted evaluation — measured
-    # 33s vs ~1s for identical math at sf0.1
-    cb_lit = F.lit(
-        [
-            [[float(x) for x in r["cv"][s * sub:(s + 1) * sub]]
-             for r in cent_rows]
-            for s in range(m)
-        ]
-    )
-
-    def _subvec(vec, s):
-        # element_at arithmetic instead of slice(): start offsets are
-        # lambda-variable Columns, which slice() does not accept
-        return F.transform(
-            F.sequence(F.lit(1), F.lit(sub)),
-            lambda i: F.element_at(vec, (s * sub + i).cast("int")).cast(
-                "double"
-            ),
-        )
-
-    def encode(vec):
-        init = F.struct(
-            F.lit(float("inf")).alias("d2"), F.lit(-1).alias("j")
-        )
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda s: F.aggregate(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_codes - 1)),
-                    lambda j: F.struct(
-                        F.aggregate(
-                            F.zip_with(
-                                _subvec(vec, s),
-                                F.element_at(
-                                    F.element_at(cb_lit, (s + 1).cast("int")),
-                                    (j + 1).cast("int"),
-                                ),
-                                lambda x, c: (x - c) * (x - c),
-                            ),
-                            F.lit(0.0),
-                            lambda a, t: a + t,
-                        ).alias("d2"),
-                        j.cast("int").alias("j"),
-                    ),
-                ),
-                init,
-                lambda acc, sc: F.when(
-                    (sc["d2"] < acc["d2"])
-                    | ((sc["d2"] == acc["d2"]) & (sc["j"] < acc["j"])),
-                    sc,
-                ).otherwise(acc),
-            )["j"],
-        )
+    cb_lit = _pq_codebook_literal(code_rows, m, sub)
 
     cands = spread_for_compute(candidates, id_col).select(
-        F.col(id_col).alias("cand_id"), encode(v).alias("code")
+        F.col(id_col).alias("cand_id"),
+        _pq_encode(v, cb_lit, m, n_codes, sub).alias("code"),
     )
 
-    def lut(vec):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda s: F.transform(
-                F.sequence(F.lit(0), F.lit(n_codes - 1)),
-                lambda j: F.aggregate(
-                    F.zip_with(
-                        _subvec(vec, s),
-                        F.element_at(
-                            F.element_at(cb_lit, (s + 1).cast("int")),
-                            (j + 1).cast("int"),
-                        ),
-                        lambda x, c: x * c,
-                    ),
-                    F.lit(0.0),
-                    lambda a, t: a + t,
-                ),
-            ),
-        )
-
-    q = queries.select(F.col(id_col).alias("query_id"), lut(v).alias("lut"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _pq_lut(v, cb_lit, m, n_codes, sub).alias("lut"),
+    )
     scored = (
         cands.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -707,17 +744,16 @@ def ivf_pq_topk(
     exchange is the broadcast probe join keyed by cell.
     """
     v = F.col(vec_col)
-    # ---- IVF coarse quantizer (cosine argmax, ivf_topk convention)
-    cent_rows = (
-        candidates.select(
-            F.col(id_col).alias("cid"),
-            v.alias("cv"),
-            F.sqrt(_dot(v, v)).alias("cn"),
-        )
-        .orderBy(md5_long(F.col("cid").cast("string")), F.col("cid"))
-        .limit(n_cells)
-        .collect()
+    # ONE corpus sample feeds BOTH quantizers: the md5 ordering is
+    # prefix-closed, so the first n_cells rows of a max(n_cells,
+    # n_codes) collect are exactly the IVF sample and the first
+    # n_codes rows the PQ sample — one TakeOrdered scan at index
+    # build instead of two.
+    sample_rows = _pq_sample_rows(
+        candidates, id_col, vec_col, max(n_cells, n_codes), with_norm=True
     )
+    # ---- IVF coarse quantizer (cosine argmax, ivf_topk convention)
+    cent_rows = sample_rows[:n_cells]
     cents = F.array(
         *[
             F.struct(
@@ -754,94 +790,22 @@ def ivf_pq_topk(
     )["cid"]
 
     # ---- PQ fine quantizer (pq_topk convention: cid-ordered sample)
-    code_rows = sorted(
-        candidates.select(F.col(id_col).alias("cid"), v.alias("cv"))
-        .orderBy(md5_long(F.col("cid").cast("string")), F.col("cid"))
-        .limit(n_codes)
-        .collect(),
-        key=lambda r: r["cid"],
-    )
+    code_rows = sorted(sample_rows[:n_codes], key=lambda r: r["cid"])
     d = len(code_rows[0]["cv"])
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
     sub = d // m
-    cb_lit = F.lit(
-        [
-            [[float(x) for x in r["cv"][s * sub:(s + 1) * sub]]
-             for r in code_rows]
-            for s in range(m)
-        ]
-    )
-
-    def _subvec(vec, s):
-        return F.transform(
-            F.sequence(F.lit(1), F.lit(sub)),
-            lambda i: F.element_at(vec, (s * sub + i).cast("int")).cast(
-                "double"
-            ),
-        )
-
-    def encode(vec):
-        e_init = F.struct(
-            F.lit(float("inf")).alias("d2"), F.lit(-1).alias("j")
-        )
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda s: F.aggregate(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_codes - 1)),
-                    lambda j: F.struct(
-                        F.aggregate(
-                            F.zip_with(
-                                _subvec(vec, s),
-                                F.element_at(
-                                    F.element_at(cb_lit, (s + 1).cast("int")),
-                                    (j + 1).cast("int"),
-                                ),
-                                lambda x, c: (x - c) * (x - c),
-                            ),
-                            F.lit(0.0),
-                            lambda a, t: a + t,
-                        ).alias("d2"),
-                        j.cast("int").alias("j"),
-                    ),
-                ),
-                e_init,
-                lambda acc, sc: F.when(
-                    (sc["d2"] < acc["d2"])
-                    | ((sc["d2"] == acc["d2"]) & (sc["j"] < acc["j"])),
-                    sc,
-                ).otherwise(acc),
-            )["j"],
-        )
+    cb_lit = _pq_codebook_literal(code_rows, m, sub)
 
     assigned = spread_for_compute(candidates, id_col).select(
         F.col(id_col).alias("cand_id"),
         v.alias("v"),
         F.sqrt(_dot(v, v)).alias("nrm"),
     ).select(
-        "cand_id", best_cell.alias("cell"), encode(F.col("v")).alias("code")
+        "cand_id",
+        best_cell.alias("cell"),
+        _pq_encode(F.col("v"), cb_lit, m, n_codes, sub).alias("code"),
     )
-
-    def lut(vec):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda s: F.transform(
-                F.sequence(F.lit(0), F.lit(n_codes - 1)),
-                lambda j: F.aggregate(
-                    F.zip_with(
-                        _subvec(vec, s),
-                        F.element_at(
-                            F.element_at(cb_lit, (s + 1).cast("int")),
-                            (j + 1).cast("int"),
-                        ),
-                        lambda x, c: x * c,
-                    ),
-                    F.lit(0.0),
-                    lambda a, t: a + t,
-                ),
-            ),
-        )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -860,7 +824,11 @@ def ivf_pq_topk(
         )
         .withColumn("prn", F.row_number().over(pw))
         .filter(F.col("prn") <= nprobe)
-        .select("query_id", "cell", lut(F.col("v")).alias("lut"))
+        .select(
+            "query_id",
+            "cell",
+            _pq_lut(F.col("v"), cb_lit, m, n_codes, sub).alias("lut"),
+        )
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell")

@@ -2059,9 +2059,12 @@ SELECT query_id, doc, CAST(rank AS INT) AS rank FROM (
     doc="BM25 top-10 retrieval (Lucene-style idf, k1=1.2 b=0.75) for "
     "queries synthesized from every 100th doc's first 3 words — the "
     "lexical complement to the ANN family, used for eval mining and "
-    "contamination forensics. Term frequencies computed ROW-LOCALLY "
-    "(array HOFs, no posting groupBy shuffle); query terms broadcast "
-    "and pruned map-side so only matching postings ever shuffle; "
+    "contamination forensics. Query terms broadcast and prune the "
+    "corpus token stream MAP-SIDE, so only matching token hits ever "
+    "shuffle — term frequencies are one linear groupBy over those "
+    "hits (a row-local array-HOF formulation avoided even that "
+    "shuffle but did O(distinct x len) work per doc — quadratic in "
+    "doc length, measured 2x slower; see operators/search.py); "
     "scores stay internal (ulp discipline), output is (query, doc, "
     "rank) (operators/search.py::bm25_topk).",
 )

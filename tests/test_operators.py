@@ -1386,6 +1386,16 @@ def test_delete2_length_guard(spark):
         edit_distance_pairs(bad, "id", "name", max_dist=1).count() == 0
     )
 
+    # NULL strings are silently dropped, not aborted: length(NULL) is
+    # NULL, and without an explicit isNull arm the guard's otherwise
+    # branch would raise_error(NULL) and fail the whole job on the
+    # first NULL in the matched column
+    with_null = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, None)], "id long, name string"
+    )
+    rows = edit_distance_pairs(with_null, "id", "name", max_dist=2).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+
 
 def test_decode_image_degenerate_dimensions():
     """ADVICE r03: w=0,h>0 passes the w*h==0 length check but breaks
@@ -1472,6 +1482,17 @@ def test_audio_pipeline_decode_stats_and_error_isolation(spark):
     assert list(resample_nearest_audio(s, 4, 8)) == [
         100, 100, -100, -100, 200, 200, -200, -200,
     ]
+
+    # overflow regime: ~12 min of 48 kHz audio. The index product must
+    # stay inside int64 — an inflated form (i * src_rate * len) wrapped
+    # negative here and silently indexed from the array end. Ground
+    # truth via arbitrary-precision Python ints at probe positions.
+    long_s = np.arange(2**25, dtype=np.int16)  # values wrap; indices don't
+    out = resample_nearest_audio(long_s, 48_000, 8_000)
+    n_out = (len(long_s) * 8_000) // 48_000
+    assert len(out) == n_out
+    for i in (0, 1, n_out // 2, n_out - 2, n_out - 1):
+        assert out[i] == long_s[min((i * len(long_s)) // n_out, len(long_s) - 1)]
 
     # degenerate / truncated / wrong-magic all raise ValueError
     with pytest.raises(ValueError, match="degenerate"):
@@ -1828,6 +1849,26 @@ def test_exact_kth_smallest_recursive_descent(spark):
     for k in [1, 500, 3500, 5200, 7000]:
         got = exact_kth_smallest(
             df, "v", k, num_buckets=8, takeordered_limit=64
+        )
+        assert got == s[k - 1], (k, got, s[k - 1])
+
+
+def test_exact_kth_smallest_sentinel_heavy_peels_max(spark):
+    """A default/sentinel-heavy column (>= 63/64 of rows share the
+    max) collapses every quantile boundary to that value: one
+    non-constant bucket. The selector must PEEL the max class — rank
+    in the max class answers immediately, rank below it recurses on
+    the strictly-smaller slice — never fall through to a driver-side
+    TakeOrdered of up to j rows."""
+    from nba_spurs_etl_spark.operators.prefix import exact_kth_smallest
+
+    vals = [float(i) for i in range(30)] + [999.0] * 4000
+    df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(3)
+    s = sorted(vals)
+    # k in the sub-max region, at the boundary, and inside the max mass
+    for k in [1, 15, 30, 31, 2000, 4030]:
+        got = exact_kth_smallest(
+            df, "v", k, num_buckets=8, takeordered_limit=16
         )
         assert got == s[k - 1], (k, got, s[k - 1])
 

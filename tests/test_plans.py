@@ -448,10 +448,10 @@ def test_aes_topk_avoids_global_sort(spark, catalog):
 
 
 def test_bm25_prunes_corpus_via_broadcast_terms(spark, catalog):
-    """BM25's corpus stream must be pruned to query terms by a
-    BROADCAST join before any aggregation exchange, and term
-    frequencies must come from row-local array HOFs — no groupBy over
-    the full token stream, no sort-merge join anywhere."""
+    """BM25's corpus token stream must be pruned to query terms by a
+    BROADCAST join before any aggregation exchange — only matching
+    token hits shuffle into the tf groupBy (the full-stream groupBy
+    and any sort-merge join are the forbidden shapes)."""
     plan = fmt_plan(catalog["search_bm25_topk"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
