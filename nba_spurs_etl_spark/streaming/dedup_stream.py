@@ -66,6 +66,12 @@ class StreamingLshDedup:
         )
 
     def index(self) -> DataFrame:
+        if not self._has_data(self.index_dir):
+            # same contract as pairs(): a not-yet-fed index reads as
+            # empty, not as an AnalysisException on a missing path
+            return self.spark.createDataFrame(
+                [], "doc long, band int, bkey long"
+            )
         return self.spark.read.parquet(self.index_dir).select(
             "doc", "band", "bkey"
         )

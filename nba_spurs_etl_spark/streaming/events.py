@@ -11,9 +11,12 @@ the same parquet input.
 Scale notes:
 - watermark (10 min) bounds state: windows/sessions older than the
   watermark are finalized and evicted — mandatory for unbounded runs;
-- ``dropDuplicates`` keyed on event_id with a watermark keeps the
-  dedup state window-bounded (exactly the exact-dedup operator's
-  semantics, incrementalized);
+- streaming dedup comes in two state regimes: ``dropDuplicates``
+  keyed on event_id alone holds a key's state FOREVER (correct when
+  ids can legitimately recur late, at unbounded-state cost), while
+  ``dropDuplicatesWithinWatermark`` evicts each key once the watermark
+  passes its first sighting — the bounded-state form for
+  retry/at-least-once duplicate bursts (see the two operators below);
 - parquet source here stands in for Kafka/object-store feeds; the
   transformations are source-agnostic.
 """
@@ -162,7 +165,15 @@ def stream_session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def stream_dedup(events: DataFrame) -> DataFrame:
-    """Streaming exact-dedup on event_id with watermark-bounded state."""
+    """Streaming exact-dedup on event_id — exact across the whole run.
+
+    State warning: ``dropDuplicates`` without the event-time column in
+    the key holds every seen event_id FOREVER (the watermark below
+    only serves downstream operators; it does NOT evict dedup state).
+    That is the correct semantics when ids may legitimately recur
+    arbitrarily late, but an unbounded run pays state linear in
+    distinct ids — prefer ``stream_dedup_within_watermark`` when
+    duplicates only ever arrive close together."""
     return events.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
 
 
@@ -176,6 +187,47 @@ def stream_dedup_within_watermark(events: DataFrame) -> DataFrame:
     O(keys per watermark window) by construction."""
     return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+def _click_purchase_interval_join(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
+    """Shared body of the two stream-stream interval joins: clicks x
+    purchases per user, purchase inside [click, click+30min], both
+    sides watermarked so the state store can evict. Only the join type
+    differs between the public wrappers."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        how,
+    )
+    return joined.select(
+        "user_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "purchase_value",
     )
 
 
@@ -193,38 +245,7 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound; with it, state is O(events in the last 30min + delay).
     Output columns are integer microseconds so the drained result is
     bit-comparable to the batch twin's oracle."""
-    clicks = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select("user_id", F.col("ts").alias("click_ts"))
-        .withWatermark("click_ts", "10 minutes")
-    )
-    purchases = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value").alias("purchase_value"),
-        )
-        .withWatermark("purchase_ts", "10 minutes")
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (
-            F.col("purchase_ts")
-            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
-        ),
-        "inner",
-    )
-    return joined.select(
-        "user_id",
-        F.unix_micros("click_ts").alias("click_us"),
-        F.unix_micros("purchase_ts").alias("purchase_us"),
-        "purchase_value",
-    )
+    return _click_purchase_interval_join(spark, sf_dir, "inner")
 
 
 def stream_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,38 +262,7 @@ def stream_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFra
     watermark-expired unmatched prefix. That is the correct unbounded
     semantics, checked by containment tests against the batch left
     join (no SQL oracle can describe the drain cut)."""
-    clicks = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select("user_id", F.col("ts").alias("click_ts"))
-        .withWatermark("click_ts", "10 minutes")
-    )
-    purchases = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value").alias("purchase_value"),
-        )
-        .withWatermark("purchase_ts", "10 minutes")
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (
-            F.col("purchase_ts")
-            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
-        ),
-        "leftOuter",
-    )
-    return joined.select(
-        "user_id",
-        F.unix_micros("click_ts").alias("click_us"),
-        F.unix_micros("purchase_ts").alias("purchase_us"),
-        "purchase_value",
-    )
+    return _click_purchase_interval_join(spark, sf_dir, "leftOuter")
 
 
 def run_stream_to_table(
@@ -322,7 +312,15 @@ def run_stream_to_table(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    return spark.table(name)
+    # pin the result off the memory sink, then release the sink: the
+    # drained rows live in driver memory behind the temp view, and a
+    # session running many drains (the 13+ streaming catalog queries)
+    # would otherwise accumulate every historical result set for its
+    # lifetime. localCheckpoint copies the (drain-sized) result to
+    # executor storage and cuts the plan's reference to the view.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def stream_static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:

@@ -50,11 +50,17 @@ class AggStateSnapshot(CdcSnapshot):
         self.init(inc.agg_state(base, self.keys, self.amount, scale=self.scale))
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # deterministic version = batch_id + 1 (CdcSnapshot retry
+        # contract): merge_states is ADDITIVE, so a foreachBatch retry
+        # that re-read the already-merged latest version would double-
+        # count every touched key — reading the untouched version
+        # <= batch_id and overwriting batch_id + 1 makes the retry a
+        # no-op rewrite instead
         delta = inc.agg_state(
             batch_df, self.keys, self.amount, sign=self.sign, scale=self.scale
         )
-        merged = inc.merge_states(self.read(), delta)
-        self._write(merged, self._versions()[-1] + 1)
+        merged = inc.merge_states(self.store.read_at_or_before(batch_id), delta)
+        self._write(merged, batch_id + 1)
 
     def result(self) -> DataFrame:
         """Finalized user-facing aggregate from the current state."""

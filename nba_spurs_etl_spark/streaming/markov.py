@@ -51,30 +51,30 @@ class StreamingMarkov:
         work_dir: str,
         gap_us: int = 1_800_000_000,
     ):
+        from .cdc import VersionStore
+
         self.spark = spark
         self.counts_dir = os.path.join(work_dir, "pair_deltas")
         self.frontier_root = os.path.join(work_dir, "frontier")
+        # the same versioned-parquet commit protocol the CDC/agg-state/
+        # SCD2 snapshots use (deterministic version = batch_id + 1) —
+        # one shared implementation, not a second copy of it here
+        self.store = VersionStore(spark, self.frontier_root)
         self.gap_us = gap_us
 
     # -- frontier versioning (deterministic version = batch_id + 1) -------
 
-    def _fdir(self, v: int) -> str:
-        return os.path.join(self.frontier_root, f"v{v}")
-
     def _write_frontier(self, df: DataFrame, v: int) -> None:
-        path = self._fdir(v)
-        df.write.mode("overwrite").parquet(path)
-        with open(os.path.join(path, "_COMMITTED"), "w") as f:
-            f.write("ok")
+        self.store.write(df, v)
 
     def _read_frontier(self, v: int) -> DataFrame:
-        for cand in range(v, -1, -1):
-            if os.path.exists(os.path.join(self._fdir(cand), "_COMMITTED")):
-                return self.spark.read.parquet(self._fdir(cand))
-        raise FileNotFoundError(
-            f"no committed frontier <= v{v} under {self.frontier_root}; "
-            "call seed_empty() (or seed()) before attaching the stream"
-        )
+        try:
+            return self.store.read_at_or_before(v)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"no committed frontier <= v{v} under {self.frontier_root}; "
+                "call seed_empty() (or seed()) before attaching the stream"
+            ) from None
 
     def seed_empty(self) -> None:
         self._write_frontier(
@@ -135,28 +135,7 @@ class StreamingMarkov:
         retention, same contract as ``cdc.CdcSnapshot.vacuum``). Keep
         at least 2 so an in-flight retry of the latest batch can still
         re-read its input version."""
-        import re as _re
-        import shutil
-
-        vs = sorted(
-            int(m.group(1))
-            for m in (
-                _re.fullmatch(r"v(\d+)", name)
-                for name in (
-                    os.listdir(self.frontier_root)
-                    if os.path.isdir(self.frontier_root)
-                    else []
-                )
-            )
-            if m
-            and os.path.exists(
-                os.path.join(self.frontier_root, m.group(0), "_COMMITTED")
-            )
-        )
-        drop = vs[:-keep_last] if keep_last > 0 else vs
-        for v in drop:
-            shutil.rmtree(self._fdir(v))
-        return drop
+        return self.store.vacuum(keep_last)
 
     def attach(self, stream: DataFrame, checkpoint: str):
         return (

@@ -67,6 +67,12 @@ class StreamingNovelty:
         )
 
     def scores(self) -> DataFrame:
+        if not self._has_data(self.scores_dir):
+            # a not-yet-fed sink reads as empty (accessor contract
+            # shared with StreamingLshDedup.pairs/index)
+            return self.spark.createDataFrame(
+                [], "doc long, n_grams bigint, known_grams bigint, novelty double"
+            )
         return self.spark.read.parquet(self.scores_dir).select(
             "doc", "n_grams", "known_grams", "novelty"
         )

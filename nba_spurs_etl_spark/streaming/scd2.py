@@ -76,7 +76,13 @@ class Scd2Snapshot(CdcSnapshot):
         batch = batch_df.select(
             k, F.col(v).alias(v), F.col("us").alias("us"), F.col(tb).alias("_tb")
         )
-        snap = self.read()
+        # deterministic version = batch_id + 1 (CdcSnapshot retry
+        # contract): the interval rebuild is NOT idempotent — a retry
+        # reading the already-applied latest snapshot would union the
+        # batch with open rows that ARE those rows, duplicating
+        # versions and emitting zero-length intervals — so read the
+        # untouched version <= batch_id and overwrite batch_id + 1
+        snap = self.store.read_at_or_before(batch_id)
         touched = batch.select(k).distinct()
         untouched = snap.join(F.broadcast(touched), k, "left_anti")
         old_touched = snap.join(F.broadcast(touched), k, "inner")
@@ -107,7 +113,7 @@ class Scd2Snapshot(CdcSnapshot):
             )
         )
         new_snap = untouched.unionByName(closed).unionByName(rebuilt)
-        self._write(new_snap, self._versions()[-1] + 1)
+        self._write(new_snap, batch_id + 1)
 
     def intervals(self) -> DataFrame:
         """Current dimension, in the batch build's column contract."""

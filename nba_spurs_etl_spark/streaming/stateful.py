@@ -21,6 +21,7 @@ which exercises both the EWMA recursion and the state handoff ordering.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -56,9 +57,11 @@ def _make_update_fn(idle_timeout_ms: int | None):
         rows = rows.sort_values(["us", "event_id"])
         for v in rows["value"]:
             n += 1
-            # floor(x+0.5): same positive-value rounding as the batch
-            # twin (python round() is banker's — diverges on halves)
-            total_cents += int(v * 100 + 0.5)
+            # floor(x+0.5): same rounding as the batch twin's F.floor
+            # and the tws processor's math.floor (python round() is
+            # banker's — diverges on halves; bare int() truncates
+            # toward zero — diverges on NEGATIVE values)
+            total_cents += int(math.floor(v * 100 + 0.5))
             ewma = v if ewma is None else ALPHA * v + (1 - ALPHA) * ewma
         state.update((n, total_cents, float(ewma)))
         if idle_timeout_ms is not None:

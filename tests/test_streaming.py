@@ -723,3 +723,148 @@ def test_streaming_markov_vacuum_retains_retry_window(spark, tmp_path):
         spark.createDataFrame([(1, 4_000_000, 3, "b")], schema), 3
     )
     assert sorted(tuple(r) for r in mk.result().collect()) == before
+
+
+def test_agg_state_snapshot_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a re-run of batch k with the same
+    batch_id (driver died between snapshot commit and checkpoint
+    commit) must NOT double-merge the additive delta. The deterministic
+    version = batch_id + 1 scheme re-reads the untouched input version
+    and overwrites — state after the retry equals state after one
+    application."""
+    import os
+
+    from nba_spurs_etl_spark.streaming.incremental import AggStateSnapshot
+
+    base = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 5.0)], ["k", "rid", "amt"]
+    )
+    batch = spark.createDataFrame(
+        [("a", 3, 30.0, 1), ("c", 4, 7.0, 1)], ["k", "rid", "amt", "sign"]
+    )
+    snap = AggStateSnapshot(
+        spark, os.path.join(str(tmp_path), "snap"), keys=["k"],
+        amount="amt", sign="sign",
+    )
+    snap.init_from(base)
+    snap.apply_batch(batch, 0)
+    once = {r.k: (r.n_rows, r.sum_amount) for r in snap.result().collect()}
+    assert once == {"a": (2, 40.0), "b": (1, 5.0), "c": (1, 7.0)}
+    snap.apply_batch(batch, 0)  # the retry
+    assert {
+        r.k: (r.n_rows, r.sum_amount) for r in snap.result().collect()
+    } == once
+    assert snap._versions() == [0, 1]  # overwrote v1, no phantom v2
+
+
+def test_scd2_snapshot_retry_is_idempotent(spark, tmp_path):
+    """Retrying an SCD2 batch with the same batch_id must not duplicate
+    versions or emit zero-length intervals — the interval rebuild is
+    not idempotent against the already-applied snapshot, so the apply
+    must re-read the untouched version <= batch_id."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from nba_spurs_etl_spark.streaming.scd2 import Scd2Snapshot
+
+    snap = Scd2Snapshot(
+        spark, os.path.join(str(tmp_path), "snap"), key="user_id"
+    )
+    snap.init_empty()
+    batch = spark.createDataFrame(
+        [(1, 10.0, 1_000_000, 100), (1, 20.0, 2_000_000, 101)],
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("us", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+            ]
+        ),
+    )
+    snap.apply_batch(batch, 0)
+    once = sorted(tuple(r) for r in snap.intervals().collect())
+    assert [r[1] for r in once] == [1, 2]  # versions 1, 2 exactly once
+    snap.apply_batch(batch, 0)  # the retry
+    again = sorted(tuple(r) for r in snap.intervals().collect())
+    assert again == once
+    assert snap._versions() == [0, 1]
+
+
+def test_cdc_snapshot_keeps_order_col_when_snapshot_carries_it(
+    spark, tmp_path
+):
+    """A snapshot whose schema includes the ordering column (the
+    natural 'last updated at' layout) must not have that column
+    dropped from the changelog — merge_cdc selects every snapshot
+    column from the changelog side."""
+    import os
+
+    from nba_spurs_etl_spark.streaming.cdc import CdcSnapshot
+
+    base = spark.createDataFrame(
+        [(1, "x", 100)], ["k", "val", "updated_at"]
+    )
+    snap = CdcSnapshot(
+        spark, os.path.join(str(tmp_path), "snap"), keys=["k"],
+        order_col="updated_at",
+    )
+    snap.init(base)
+    batch = spark.createDataFrame(
+        [(1, "y", 200, "U"), (2, "z", 150, "I")],
+        ["k", "val", "updated_at", "op"],
+    )
+    snap.apply_batch(batch, 0)
+    got = {r.k: (r.val, r.updated_at) for r in snap.read().collect()}
+    assert got == {1: ("y", 200), 2: ("z", 150)}
+
+
+def test_stateful_profile_negative_value_rounding(spark):
+    """cents rounding is floor(v*100 + 0.5) in ALL THREE profile
+    implementations. A bare int() truncates toward zero and diverges
+    on negative values (int(-1.1) = -1 vs floor(-1.1) = -2) — pinned
+    here by driving the applyInPandasWithState update_fn directly with
+    a fake GroupState and comparing against the batch twin."""
+    import math
+
+    import pandas as pd
+
+    from nba_spurs_etl_spark.streaming.stateful import (
+        _make_update_fn,
+        user_profile_batch,
+    )
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, t):
+            self.stored = t
+
+    st = FakeState()
+    rows = pd.DataFrame(
+        {
+            "user_id": [7, 7, 7],
+            "event_id": [1, 2, 3],
+            "us": [1, 2, 3],
+            "value": [-0.016, 1.25, -2.5],
+        }
+    )
+    out = list(_make_update_fn(None)((7,), iter([rows]), st))[0]
+    stream_cents = int(out["total_cents"].iloc[0])
+    # ground truth, arbitrary precision
+    expect = sum(math.floor(v * 100 + 0.5) for v in [-0.016, 1.25, -2.5])
+    assert stream_cents == expect  # -2 + 126 + -250 = -126, not -125
+
+    ev = spark.createDataFrame(
+        [(7, 1, -0.016, "t", "2024-01-01 00:00:01"),
+         (7, 2, 1.25, "t", "2024-01-01 00:00:02"),
+         (7, 3, -2.5, "t", "2024-01-01 00:00:03")],
+        ["user_id", "event_id", "value", "event_type", "ts_s"],
+    ).select(
+        "user_id", "event_id", "value", "event_type",
+        F.to_timestamp("ts_s").alias("ts"),
+    )
+    batch_cents = user_profile_batch(ev).collect()[0]["total_cents"]
+    assert batch_cents == expect
