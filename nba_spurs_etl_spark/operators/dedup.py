@@ -149,9 +149,17 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Returns (content_hash, keep_id, dup_cnt). One uniform-keyed shuffle;
     at 100 TB hash the *content*, never sort the text itself.
+
+    NULL content is excluded: md5(NULL) is NULL and groupBy treats
+    NULLs as equal, so without the filter every row with missing text
+    (e.g. PERMISSIVE-mode corrupt records surfacing as all-NULL rows)
+    would collapse into ONE phantom duplicate group and a downstream
+    keep-one splice would silently drop them as 'duplicates'. Absent
+    content is not evidence of identical content.
     """
     return (
-        df.select(
+        df.filter(F.col(text_col).isNotNull())
+        .select(
             md5_long(text_col).alias("content_hash"), F.col(id_col).alias("doc")
         )
         .groupBy("content_hash")
@@ -237,38 +245,44 @@ def containment_pairs(
     intersection count.
 
     Plan: identical inverted-index kernel as jaccard (one shuffle
-    keyed by shingle, array-HOF pair emission, posting cap), with BOTH
-    directed rows emitted from the same exploded pair — a
+    keyed by shingle, array-HOF pair emission, posting cap). The
+    intersection is counted ONCE per canonical (doc_a < doc_b) pair
+    and the two directed rows explode AFTER that aggregation — both
+    alternatives are strictly worse: exploding the directions before
+    the count doubles the dominant posting-pair exchange, and a
     union-of-selects over the symmetric counts would make Spark
     recompute the whole posting aggregation once per branch (no
-    cross-branch subtree reuse above an exchange), doubling the
-    dominant shuffle; the plan pin
+    cross-branch subtree reuse above an exchange); the plan pin
     ``test_containment_single_posting_pass`` holds it to one pass.
     """
     pairs = exploded_shingles(df, id_col, text_col, n, max_shingle_freq)
     sizes = pairs.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    directed = (
+    sym = (
         pairs.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
         .filter(F.size("docs") >= 2)
         .select(F.explode(pair_combos(F.col("docs"))).alias("p"))
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("p.doc_a").alias("src"),
-                        F.col("p.doc_b").alias("dst"),
-                    ),
-                    F.struct(
-                        F.col("p.doc_b").alias("src"),
-                        F.col("p.doc_a").alias("dst"),
-                    ),
-                )
-            ).alias("d")
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
         )
-        .groupBy(F.col("d.src").alias("src"), F.col("d.dst").alias("dst"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    directed = sym.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"),
+                    F.col("doc_b").alias("dst"),
+                    F.col("common"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"),
+                    F.col("doc_a").alias("dst"),
+                    F.col("common"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.src", "d.dst", "d.common")
     return (
         directed.join(
             sizes.select(F.col("doc").alias("src"), F.col("n_sh")), "src"
@@ -469,6 +483,15 @@ def minhash_bands(
     (band, bkey) struct array — not a per-band union, which would
     re-evaluate the whole signature subtree once per band.
     """
+    if num_hashes % band_size != 0:
+        # a silent remainder would change the collision-probability
+        # curve the caller sized (trailing hashes ignored), and
+        # band_size > num_hashes would emit ZERO bands — every pair
+        # generator downstream then returns empty with no error
+        raise ValueError(
+            f"band_size={band_size} must divide num_hashes={num_hashes} "
+            f"(r x b banding; got remainder {num_hashes % band_size})"
+        )
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n, max_shingle_freq)
     band_structs = []
     for b in range(num_hashes // band_size):
@@ -669,12 +692,18 @@ def simhash_pairs(
     """
     if num_bands is None:
         num_bands = max_hamming + 1
+    # clip BEFORE the pigeonhole check: validating first and clipping
+    # after silently voided the exact-recall guarantee whenever
+    # max_hamming >= bits (e.g. bits=16, max_hamming=16 clipped 17
+    # bands to 16 <= max_hamming — an all-bits-differing pair within
+    # the radius shares no band and is dropped with no error)
+    num_bands = min(num_bands, bits)
     if num_bands <= max_hamming:
         raise ValueError(
-            f"num_bands={num_bands} must exceed max_hamming={max_hamming} "
-            "for exact recall (pigeonhole)"
+            f"num_bands={num_bands} (<= bits={bits}) must exceed "
+            f"max_hamming={max_hamming} for exact recall (pigeonhole); "
+            "use wider signatures or a smaller radius"
         )
-    num_bands = min(num_bands, bits)
     sig = simhash_signatures(df, id_col, text_col, bits)
     # contiguous bit slices [lo, hi) covering all `bits` bits
     bounds = [round(i * bits / num_bands) for i in range(num_bands + 1)]

@@ -62,10 +62,11 @@ def _cos_sql(av: str, bv: str) -> str:
 SELECT {md5_long_sql("text")} AS content_hash,
   CAST(MIN(doc_id) AS BIGINT) AS keep_id,
   CAST(COUNT(*) AS BIGINT) AS dup_cnt
-FROM documents GROUP BY 1
+FROM documents WHERE text IS NOT NULL GROUP BY 1
 """,
     doc="Exact dedup via 60-bit content hash groupBy; uniform keys, "
-    "one shuffle, no skew at any scale.",
+    "one shuffle, no skew at any scale. NULL content excluded (absent "
+    "text is not identical text).",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")

@@ -46,21 +46,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """Footer sniff: does this events layout carry TIMESTAMP(NANOS)?
+    (round-1 testdata did; later rounds write microseconds). Checked
+    via pyarrow so the nanosAsLong conf is only ever touched for
+    layouts that need it."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return False
+        f = parts[0]
+    try:
+        t = pq.read_schema(f).field("ts").type
+    except (KeyError, OSError):
+        return False
+    return pa.types.is_timestamp(t) and t.unit == "ns"
+
+
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects. Read nanos as long (runtime conf, works on
-    any session the driver hands us) and convert to a microsecond
-    TimestampType column — same truncation DuckDB applies when a client
-    fetches its ns timestamps, so oracles agree."""
+    """events.parquet MAY carry TIMESTAMP(NANOS), which Spark's
+    vectorized parquet reader rejects. For such layouts (sniffed from
+    the footer), read nanos as long and convert to a microsecond
+    TimestampType column — same truncation DuckDB applies when a
+    client fetches its ns timestamps, so oracles agree.
+
+    The nanosAsLong conf is session-wide and deliberately NOT restored
+    after the read: the returned DataFrame is lazy, and its bigint-ts
+    scan plan needs the conf in effect whenever it later executes.
+    The footer sniff confines that session-level change to sessions
+    that actually load a nanos layout (none since round 1)."""
     from pyspark.sql import functions as F
 
+    if not _events_ts_is_nanos(path):
+        return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    ts_type = dict(df.dtypes).get("ts")
-    if ts_type == "bigint":
-        # integer div — ns magnitudes (~1.7e18) overflow double precision
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    # integer div — ns magnitudes (~1.7e18) overflow double precision
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -78,7 +78,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..sources.catalog import _events_ts_is_nanos
+
+    if _events_ts_is_nanos(os.path.join(sf_dir, "events.parquet")):
+        # only for the round-1 nanos layout — the conf is session-wide
+        # and the lazy stream plan needs it in effect at execution, so
+        # it cannot be restored; the footer sniff keeps µs-layout
+        # sessions untouched (sources.catalog._load_events rationale)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # NTZ->timestamp cast below is value-preserving only under UTC; the
     # driver's session carries no conf pins, so set it here.
     spark.conf.set("spark.sql.session.timeZone", "UTC")

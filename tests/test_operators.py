@@ -2052,3 +2052,42 @@ def test_winnowing_guarantee_and_density(spark):
     for r in spans:
         lo, hi = starts[r["doc"]], starts[r["doc"]] + len(shared) - 1
         assert r["span_start"] <= hi and r["span_end"] >= lo, dict(r.asDict())
+
+
+def test_exact_dedup_null_text_not_grouped(spark):
+    """Rows with NULL text (PERMISSIVE-mode corrupt records surface as
+    all-NULL rows) must NOT collapse into one phantom duplicate group
+    — md5(NULL) is NULL and groupBy treats NULLs as equal, so without
+    the filter a keep-one splice would silently drop N-1 unrelated
+    corrupt rows as 'duplicates'."""
+    from nba_spurs_etl_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, "other")],
+        "doc_id long, text string",
+    )
+    rows = exact_dedup(df, "doc_id", "text").collect()
+    assert all(r["content_hash"] is not None for r in rows)
+    by_keep = {r["keep_id"]: r["dup_cnt"] for r in rows}
+    assert by_keep == {1: 2, 5: 1}  # NULLs excluded entirely
+
+
+def test_banding_parameter_validation(spark):
+    """Invalid banding raises instead of silently changing recall:
+    a band_size that does not divide num_hashes ignored trailing
+    hashes (or emitted ZERO bands when band_size > num_hashes, making
+    every pair generator return empty), and simhash's post-validation
+    clip voided the pigeonhole exact-recall guarantee whenever
+    max_hamming >= bits."""
+    from nba_spurs_etl_spark.operators.dedup import (
+        minhash_bands,
+        simhash_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_bands(df, "doc_id", "text", num_hashes=16, band_size=5)
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_bands(df, "doc_id", "text", num_hashes=16, band_size=20)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(df, "doc_id", "text", bits=16, max_hamming=16)

@@ -352,3 +352,45 @@ def test_session_caches_are_weakly_keyed(spark):
         df.unpersist()
     del gf._SILVER_CACHE[s2]
     assert spark in gf._SILVER_CACHE and s2 not in gf._SILVER_CACHE
+
+
+def test_load_events_nanos_layout_sniffed_and_truncated(spark, tmp_path):
+    """The round-1 testdata carried TIMESTAMP(NANOS); later rounds are
+    microseconds. The loader must sniff the footer and (a) read a
+    nanos layout via nanosAsLong + integer-div truncation to µs, (b)
+    leave the session conf UNTOUCHED for µs layouts — nanosAsLong is
+    session-wide and cannot be restored after a lazy read, so it must
+    only ever be set when the layout needs it."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nba_spurs_etl_spark.sources.catalog import (
+        _events_ts_is_nanos,
+        _load_events,
+    )
+
+    # µs layout (current testdata): no sniff hit, conf untouched
+    assert not _events_ts_is_nanos("/root/testdata/sf0.001/events.parquet")
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00.123456789", "2024-01-02 00:00:00.000000001"],
+        format="ISO8601",
+    )
+    path = os.path.join(str(tmp_path), "events.parquet")
+    pq.write_table(
+        pa.table({"event_id": [1, 2], "ts": pa.array(ts, type=pa.timestamp("ns"))}),
+        path,
+        version="2.6",
+        coerce_timestamps=None,
+    )
+    assert _events_ts_is_nanos(path)
+    got = sorted(
+        (r["event_id"], str(r["ts"])) for r in _load_events(spark, path).collect()
+    )
+    assert got == [
+        (1, "2024-01-01 00:00:00.123456"),  # ns truncated to µs
+        (2, "2024-01-02 00:00:00"),
+    ]
