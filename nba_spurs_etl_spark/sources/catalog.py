@@ -53,7 +53,6 @@ def _events_ts_is_nanos(path: str) -> bool:
     layouts that need it."""
     import glob
 
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     f = path
@@ -63,10 +62,21 @@ def _events_ts_is_nanos(path: str) -> bool:
             return False
         f = parts[0]
     try:
-        t = pq.read_schema(f).field("ts").type
-    except (KeyError, OSError):
+        schema = pq.ParquetFile(f).schema
+    except Exception:
         return False
-    return pa.types.is_timestamp(t) and t.unit == "ns"
+    for i in range(len(schema)):
+        col = schema.column(i)
+        if col.name == "ts":
+            # the PARQUET schema, not the arrow view: Spark-written
+            # INT96 timestamps surface as timestamp[ns] in the arrow
+            # schema too, but Spark reads them natively — only the
+            # INT64 Timestamp(nanos) logical type needs nanosAsLong
+            return (
+                col.physical_type == "INT64"
+                and "nanos" in str(col.logical_type).lower()
+            )
+    return False
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
@@ -87,6 +97,8 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") != "bigint":
+        return df  # belt and braces: only convert what nanosAsLong made
     # integer div — ns magnitudes (~1.7e18) overflow double precision
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
