@@ -800,7 +800,10 @@ def embedding_dup_pairs(
     ]
     if lsh_planes is not None:
         cols.append(lsh_bucket(v, lsh_planes).alias("bucket"))
-    base = df.select(*cols)
+    # zero-norm vectors have no cosine to anything; under ANSI mode
+    # (Spark 4 default) one such row would abort the job with
+    # DIVIDE_BY_ZERO. The oracle applies the same nrm > 0 predicate.
+    base = df.select(*cols).filter(F.col("nrm") > 0)
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.doc") < F.col("b.doc")
     if lsh_planes is not None:

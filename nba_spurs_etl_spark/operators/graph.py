@@ -51,10 +51,25 @@ def integer_pagerank(
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ed = edges.join(deg, "src").localCheckpoint(eager=False)
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(scale).cast("long").alias("rank")
+    # initial ranks derive from the CHECKPOINTED frame: building them
+    # from deg would re-run the pair-generation lineage (deg sits
+    # outside the checkpoint) one extra time on the first action
+    ranks = ed.select(F.col("src").alias("node")).distinct().withColumn(
+        "rank", F.lit(scale).cast("long")
     )
     base = scale * (damp_den - damp_num) // damp_den
+    # (num * s) div den decomposed as num*(s div den) + (num*(s%den))
+    # div den — identical value for s >= 0, but the intermediate stays
+    # under num*den of the true quotient instead of num*s: the direct
+    # product overflows BIGINT (ANSI: job-aborting ARITHMETIC_OVERFLOW)
+    # once one hub accumulates ~2^63/num of rank mass, i.e. ~1e8
+    # scale-sized contributions — reachable at the corpus scale the
+    # docstring advertises. This form's headroom is the full BIGINT
+    # range of s itself.
+    damped = (
+        f"{damp_num} * (s div {damp_den})"
+        f" + ({damp_num} * (s % {damp_den})) div {damp_den}"
+    )
     for _ in range(iterations):
         contrib = (
             ed.join(ranks, ed.src == ranks.node)
@@ -66,7 +81,7 @@ def integer_pagerank(
         # the contribution frame covers the full node set each round
         ranks = contrib.select(
             F.col("dst").alias("node"),
-            F.expr(f"{base} + ({damp_num} * s) div {damp_den}").alias("rank"),
+            F.expr(f"{base} + {damped}").alias("rank"),
         )
     return ranks.select("node", F.col("rank").cast("long").alias("rank"))
 
@@ -90,7 +105,11 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     bound holds in expectation for hash-uniform ids (true for the
     md5-keyed dup graphs here).
     """
-    e = pairs.select("doc_a", "doc_b")
+    # the pair frame is referenced THREE times (e1, e2, e3) on three
+    # different join keys, so ReuseExchange can never kick in — without
+    # this checkpoint the pair-generation subtree (e.g. minhash
+    # banding) would run 3x per action
+    e = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
     wedge = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.doc_b") == F.col("e2.doc_a"))
@@ -148,9 +167,15 @@ def label_propagation(pairs: DataFrame, rounds: int = 3) -> DataFrame:
             .groupBy("dst", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # min_by over (-count, label): max count, ties to SMALLEST
+        # label. The negation sits on the count (always numeric) —
+        # negating the label would cast string node ids to double
+        # (ANSI: job-aborting CAST_INVALID_INPUT; non-ANSI: NULL, i.e.
+        # a silently arbitrary tie-break), and struct comparison
+        # handles any orderable label type directly.
         labels = votes.groupBy("dst").agg(
-            F.max_by(
-                "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            F.min_by(
+                "label", F.struct((-F.col("c")).alias("nc"), F.col("label"))
             ).alias("label")
         ).select(F.col("dst").alias("node"), "label")
     return labels

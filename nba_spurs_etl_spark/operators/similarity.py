@@ -33,7 +33,15 @@ def lsh_bucket(vec: Column, planes: int = 8, offset: int = 0) -> Column:
     (candidate cost) and DOWN when recall matters more than latency.
     ``offset`` gives each table of a multi-table scheme its own
     component range (see ``lsh_topk`` n_tables).
+
+    Raises a descriptive runtime error when a vector is shorter than
+    ``offset + planes``: under ANSI mode (Spark 4 default) the bare
+    ``element_at`` would abort the job with an obscure
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT, and with ANSI off it would
+    silently zero the missing bits — both worse than naming the
+    misconfiguration (planes/n_tables too large for the embedding dim).
     """
+    need = offset + planes
     bits = [
         F.when(F.element_at(vec, offset + i + 1) >= 0, F.lit(1 << i)).otherwise(
             F.lit(0)
@@ -43,7 +51,22 @@ def lsh_bucket(vec: Column, planes: int = 8, offset: int = 0) -> Column:
     out = bits[0]
     for b in bits[1:]:
         out = out + b
-    return out.cast("int")
+    return (
+        F.when(F.size(vec) >= F.lit(need), out)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("lsh_bucket: vector dim "),
+                    F.size(vec).cast("string"),
+                    F.lit(
+                        f" < {need} required by offset={offset} + "
+                        f"planes={planes}; lower planes or n_tables"
+                    ),
+                )
+            )
+        )
+        .cast("int")
+    )
 
 
 def _sides(
@@ -51,19 +74,20 @@ def _sides(
     queries: DataFrame,
     id_col: str,
     vec_col: str,
-    planes: int | None,
 ) -> tuple[DataFrame, DataFrame]:
     v = F.col(vec_col)
 
     def prep(df: DataFrame, role: str) -> DataFrame:
-        cols = [
+        # zero-norm vectors (failed encodes, padding rows) have no
+        # defined cosine to anything: under ANSI mode (Spark 4 default)
+        # the division would abort the whole job with DIVIDE_BY_ZERO,
+        # so both sides exclude them up front. The DuckDB oracles apply
+        # the same norm>0 predicate.
+        return df.select(
             F.col(id_col).alias(f"{role}_id"),
             v.alias(f"{role}v"),
             F.sqrt(_dot(v, v)).alias(f"{role}n"),
-        ]
-        if planes is not None:
-            cols.append(lsh_bucket(v, planes).alias("bucket"))
-        return df.select(*cols)
+        ).filter(F.col(f"{role}n") > 0)
 
     # the candidate side carries the per-pair fold work; a single-split
     # scan would score the whole |Q| x |C| space in ONE task
@@ -72,12 +96,16 @@ def _sides(
     )
 
 
-def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+def _rank_topk(scored: DataFrame, k: int, score_col: str = "cos_sim") -> DataFrame:
+    """Per-query top-k window shared by every scorer (cosine and ADC):
+    one tie-break rule ((score DESC, cand_id ASC)) in one place."""
+    w = Window.partitionBy("query_id").orderBy(F.desc(score_col), F.asc("cand_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+        .select(
+            "query_id", "cand_id", score_col, F.col("rnk").cast("int").alias("rnk")
+        )
     )
 
 
@@ -95,7 +123,7 @@ def brute_force_topk(
     on the query id — scales with candidate partitioning, never a
     single-task sort.
     """
-    c, q = _sides(candidates, queries, id_col, vec_col, planes=None)
+    c, q = _sides(candidates, queries, id_col, vec_col)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -137,6 +165,12 @@ def brute_force_topk_arrow(
     q_rows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).collect()
+    if not q_rows:
+        # a (0,)-shaped query matrix breaks the dim loops below; the
+        # JVM path returns an empty frame here, so match it exactly
+        return candidates.sparkSession.createDataFrame(
+            [], "query_id long, cand_id long, cos_sim double, rnk int"
+        )
     qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     qm = np.array([r["qv"] for r in q_rows], dtype=np.float32).astype(np.float64)
 
@@ -155,13 +189,25 @@ def brute_force_topk_arrow(
         return np.sqrt(acc)
 
     qn = _seq_norm(qm)
+    # zero-norm exclusion, the SAME predicate _sides applies JVM-side:
+    # without it numpy yields NaN cosines (0/0) which the window ranks
+    # ABOVE every real score — the zero vector silently becomes top-1
+    # while the JVM path errors. Filter both sides instead.
+    keep = qn > 0
+    qids, qm, qn = qids[keep], qm[keep], qn[keep]
 
     def score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             cm = np.array(list(pdf["cv"]), dtype=np.float32).astype(np.float64)
-            cos = _seq_dot(cm, qm) / np.multiply.outer(_seq_norm(cm), qn)
+            cn = _seq_norm(cm)
+            ck = cn > 0
+            if not ck.all():
+                pdf, cm, cn = pdf[ck], cm[ck], cn[ck]
+                if not len(pdf):
+                    continue
+            cos = _seq_dot(cm, qm) / np.multiply.outer(cn, qn)
             n, m = cos.shape
             yield pd.DataFrame(
                 {
@@ -177,6 +223,62 @@ def brute_force_topk_arrow(
     return _rank_topk(
         scored.filter(F.col("query_id") != F.col("cand_id")), k
     )
+
+
+def _cell_cos(c: Column, vec_c: str, nrm_c: str) -> Column:
+    """cosine(centroid struct c, row vector) with the row norm hoisted."""
+    return _dot(c["cv"], F.col(vec_c)) / (c["cn"] * F.col(nrm_c))
+
+
+def _centroid_literal(cent_rows) -> Column:
+    """(cid, cv, cn) centroid structs inlined as ONE array literal —
+    index metadata shipped inside the plan, so corpus->cell assignment
+    stays a narrow map (shared by ivf_topk / ivf_pq_topk)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r["cid"]).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["cv"]])
+                .cast("array<double>")
+                .alias("cv"),
+                F.lit(r["cn"]).alias("cn"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+
+def _best_cell(cents: Column, vec_c: str, nrm_c: str) -> Column:
+    """Nearest-centroid id by cosine argmax fold, ties to smallest cid.
+
+    Each centroid is scored ONCE (transform), then the fold compares
+    precomputed (cos, cid) structs — the naive fold re-evaluates the
+    dot product in every comparison branch (3x the fold work and a
+    3x-wider codegen tree) for identical values.
+    """
+    init = F.struct(F.lit(-2.0).alias("cos"), F.lit(None).cast("long").alias("cid"))
+    cell_scores = F.transform(
+        cents,
+        lambda c: F.struct(
+            _cell_cos(c, vec_c, nrm_c).alias("cos"), c["cid"].alias("cid")
+        ),
+    )
+    return F.aggregate(
+        cell_scores,
+        init,
+        lambda acc, s: F.when(
+            (s["cos"] > acc["cos"])
+            | ((s["cos"] == acc["cos"]) & (s["cid"] < acc["cid"])),
+            s,
+        ).otherwise(acc),
+    )["cid"]
+
+
+def _nonzero_norm(df: DataFrame, vec_col: str) -> DataFrame:
+    """Exclude zero-norm vectors — no defined cosine direction; under
+    ANSI mode the division aborts the job. Oracles mirror the predicate."""
+    v = F.col(vec_col)
+    return df.filter(_dot(v, v) > 0)
 
 
 def ivf_topk(
@@ -204,62 +306,17 @@ def ivf_topk(
     probe side broadcast.
     """
     v = F.col(vec_col)
+    candidates = _nonzero_norm(candidates, vec_col)
     corpus = spread_for_compute(candidates, id_col).select(
         F.col(id_col).alias("cand_id"),
         v.alias("candv"),
         F.sqrt(_dot(v, v)).alias("candn"),
     )
-    cent_rows = (
-        candidates.select(
-            F.col(id_col).alias("cid"),
-            v.alias("cv"),
-            F.sqrt(_dot(v, v)).alias("cn"),
-        )
-        .orderBy(md5_long(F.col("cid").cast("string")), F.col("cid"))
-        .limit(n_cells)
-        .collect()
-    )
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(r["cid"]).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r["cv"]])
-                .cast("array<double>")
-                .alias("cv"),
-                F.lit(r["cn"]).alias("cn"),
-            )
-            for r in cent_rows
-        ]
-    )
+    cent_rows = _pq_sample_rows(candidates, id_col, vec_col, n_cells, with_norm=True)
+    cents = _centroid_literal(cent_rows)
+    assigned = corpus.withColumn("cell", _best_cell(cents, "candv", "candn"))
 
-    def _cell_cos(c, vec_c: str, nrm_c: str):
-        return _dot(c["cv"], F.col(vec_c)) / (c["cn"] * F.col(nrm_c))
-
-    init = F.struct(
-        F.lit(-2.0).alias("cos"), F.lit(None).cast("long").alias("cid")
-    )
-    # score each centroid ONCE (transform), then argmax-fold over the
-    # precomputed (cos, cid) structs — the naive fold re-evaluates the
-    # dot product in every comparison branch (3x the fold work and a
-    # 3x-wider codegen tree) for identical values
-    cell_scores = F.transform(
-        cents,
-        lambda c: F.struct(
-            _cell_cos(c, "candv", "candn").alias("cos"), c["cid"].alias("cid")
-        ),
-    )
-    best = F.aggregate(
-        cell_scores,
-        init,
-        lambda acc, s: F.when(
-            (s["cos"] > acc["cos"])
-            | ((s["cos"] == acc["cos"]) & (s["cid"] < acc["cid"])),
-            s,
-        ).otherwise(acc),
-    )
-    assigned = corpus.withColumn("cell", best["cid"])
-
-    q = queries.select(
+    q = _nonzero_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         v.alias("queryv"),
         F.sqrt(_dot(v, v)).alias("queryn"),
@@ -320,9 +377,10 @@ def lsh_topk(
     several tables is scored once per collision then deduped by a
     (query_id, cand_id) max-aggregate — scalar rows, one cheap shuffle,
     far lighter than carrying vectors through a pre-score dedup.
-    requires dim >= n_tables * planes.
+    requires dim >= n_tables * planes (lsh_bucket raises a descriptive
+    error otherwise).
     """
-    c, q = _sides(candidates, queries, id_col, vec_col, planes=None)
+    c, q = _sides(candidates, queries, id_col, vec_col)
 
     def with_tables(df: DataFrame, vec: str) -> DataFrame:
         tb = F.explode(
@@ -394,8 +452,6 @@ def tf_cosine_pairs(
     off-diagonal pairs from the checkpointed aggregate (see inline
     note) — the pair volume is shuffled exactly once.
     """
-    from .dedup import spread_for_compute
-
     # tokenize ONCE into a projected column: higher-order functions run
     # interpreted (no codegen subexpression elimination), so an inline
     # split() would re-tokenize per gram — O(words^2) per doc, measured
@@ -709,14 +765,7 @@ def pq_topk(
             ).alias("adc_score"),
         )
     )
-    win = Window.partitionBy("query_id").orderBy(
-        F.col("adc_score").desc(), F.col("cand_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(win))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "adc_score", "rnk")
-    )
+    return _rank_topk(scored, k, score_col="adc_score")
 
 
 def ivf_pq_topk(
@@ -744,6 +793,10 @@ def ivf_pq_topk(
     exchange is the broadcast probe join keyed by cell.
     """
     v = F.col(vec_col)
+    # cosine cell assignment is undefined for zero-norm vectors (and
+    # aborts under ANSI): both sides — including the shared codebook
+    # sample — draw from the norm-filtered corpus, like ivf_topk.
+    candidates = _nonzero_norm(candidates, vec_col)
     # ONE corpus sample feeds BOTH quantizers: the md5 ordering is
     # prefix-closed, so the first n_cells rows of a max(n_cells,
     # n_codes) collect are exactly the IVF sample and the first
@@ -753,41 +806,8 @@ def ivf_pq_topk(
         candidates, id_col, vec_col, max(n_cells, n_codes), with_norm=True
     )
     # ---- IVF coarse quantizer (cosine argmax, ivf_topk convention)
-    cent_rows = sample_rows[:n_cells]
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(r["cid"]).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r["cv"]])
-                .cast("array<double>")
-                .alias("cv"),
-                F.lit(r["cn"]).alias("cn"),
-            )
-            for r in cent_rows
-        ]
-    )
-
-    def _cell_cos(c, vec_c: str, nrm_c: str):
-        return _dot(c["cv"], F.col(vec_c)) / (c["cn"] * F.col(nrm_c))
-
-    cell_scores = F.transform(
-        cents,
-        lambda c: F.struct(
-            _cell_cos(c, "v", "nrm").alias("cos"), c["cid"].alias("cid")
-        ),
-    )
-    init = F.struct(
-        F.lit(-2.0).alias("cos"), F.lit(None).cast("long").alias("cid")
-    )
-    best_cell = F.aggregate(
-        cell_scores,
-        init,
-        lambda acc, s: F.when(
-            (s["cos"] > acc["cos"])
-            | ((s["cos"] == acc["cos"]) & (s["cid"] < acc["cid"])),
-            s,
-        ).otherwise(acc),
-    )["cid"]
+    cents = _centroid_literal(sample_rows[:n_cells])
+    best_cell = _best_cell(cents, "v", "nrm")
 
     # ---- PQ fine quantizer (pq_topk convention: cid-ordered sample)
     code_rows = sorted(sample_rows[:n_codes], key=lambda r: r["cid"])
@@ -807,7 +827,7 @@ def ivf_pq_topk(
         _pq_encode(F.col("v"), cb_lit, m, n_codes, sub).alias("code"),
     )
 
-    q = queries.select(
+    q = _nonzero_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         v.alias("v"),
         F.sqrt(_dot(v, v)).alias("nrm"),
@@ -847,11 +867,4 @@ def ivf_pq_topk(
             ).alias("adc_score"),
         )
     )
-    win = Window.partitionBy("query_id").orderBy(
-        F.col("adc_score").desc(), F.col("cand_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(win))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "adc_score", "rnk")
-    )
+    return _rank_topk(scored, k, score_col="adc_score")

@@ -317,7 +317,8 @@ _DUP_BUCKET = " + ".join(
 WITH e AS (
   SELECT vec_id AS doc, v, sqrt({_dot_sql("v", "v")}) AS nrm,
     CAST({_DUP_BUCKET} AS INT) AS bucket
-  FROM (SELECT vec_id, embedding AS v FROM embeddings)
+  FROM (SELECT vec_id, embedding AS v FROM embeddings
+        WHERE {_dot_sql("embedding", "embedding")} > 0)
 )
 SELECT doc_a, doc_b, cos_sim FROM (
   SELECT a.doc AS doc_a, b.doc AS doc_b,
@@ -368,7 +369,8 @@ def _topk_oracle(bucketed: bool) -> str:
     )
     bucket_col = f", CAST({bucket_expr} AS INT) AS bucket" if bucketed else ""
     return f"""
-WITH base AS (SELECT vec_id, embedding AS v{bucket_col} FROM embeddings),
+WITH base AS (SELECT vec_id, embedding AS v{bucket_col} FROM embeddings
+              WHERE {_dot_sql("embedding", "embedding")} > 0),
 q AS (SELECT vec_id AS query_id, v AS qv{', bucket' if bucketed else ''}
       FROM base WHERE vec_id % 100 = 0),
 c AS (SELECT vec_id AS cand_id, v AS cv{', bucket' if bucketed else ''} FROM base),
@@ -434,7 +436,8 @@ def _topk_lsh_multi_oracle() -> str:
         for t in range(_LSH_TABLES)
     )
     return f"""
-WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+WITH base AS (SELECT vec_id, embedding AS v FROM embeddings
+              WHERE {_dot_sql("embedding", "embedding")} > 0),
 q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 100 = 0),
 c AS (SELECT vec_id AS cand_id, v AS cv FROM base),
 scored AS (
@@ -492,7 +495,7 @@ def _ivf_oracle() -> str:
     return f"""
 WITH base AS (
   SELECT vec_id, embedding AS v, sqrt({_dot_sql("embedding", "embedding")}) AS nrm
-  FROM embeddings
+  FROM embeddings WHERE {_dot_sql("embedding", "embedding")} > 0
 ),
 cents AS (
   SELECT vec_id AS cid, v AS cv, nrm AS cn FROM base
@@ -2219,7 +2222,7 @@ def _ivf_pq_oracle() -> str:
     return f"""
 WITH base AS (
   SELECT vec_id, embedding AS v, sqrt({_dot_sql("embedding", "embedding")}) AS nrm
-  FROM embeddings
+  FROM embeddings WHERE {_dot_sql("embedding", "embedding")} > 0
 ),
 cents AS (
   SELECT vec_id AS cid, v AS cv, nrm AS cn FROM base

@@ -701,6 +701,88 @@ def test_ann_recall_floors(spark):
     assert r_ivfpq >= 0.25, r_ivfpq
 
 
+# ---------------------------------------------------------------------------
+# similarity: degenerate-input guards (round-4 review)
+# ---------------------------------------------------------------------------
+
+
+def _emb4(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_topk_zero_norm_vectors_excluded_both_paths(spark):
+    """A zero-norm vector (failed encode / padding) has no cosine
+    direction: under ANSI the bare division aborts the job, and the
+    numpy path would rank its NaN score first. Both paths must instead
+    EXCLUDE it — and stay bit-identical to each other."""
+    from nba_spurs_etl_spark.operators import similarity
+
+    df = _emb4(spark, [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero-norm candidate
+    ])
+    q = df.filter(F.col("vec_id") == 0)
+    jvm = {
+        (r.query_id, r.cand_id, r.rnk)
+        for r in similarity.brute_force_topk(
+            df, q, "vec_id", "embedding", k=10
+        ).collect()
+    }
+    arrow = {
+        (r.query_id, r.cand_id, r.rnk)
+        for r in similarity.brute_force_topk_arrow(
+            df, q, "vec_id", "embedding", k=10
+        ).collect()
+    }
+    assert jvm == arrow == {(0, 1, 1), (0, 2, 2)}
+
+    # a zero-norm QUERY likewise disappears instead of crashing
+    zq = df.filter(F.col("vec_id") == 3)
+    assert similarity.brute_force_topk(
+        df, zq, "vec_id", "embedding", k=10
+    ).count() == 0
+    assert similarity.brute_force_topk_arrow(
+        df, zq, "vec_id", "embedding", k=10
+    ).count() == 0
+
+    # the cell-assignment paths share the guard (division in argmax)
+    assert similarity.ivf_topk(
+        df, q, "vec_id", "embedding", k=10, n_cells=2, nprobe=2
+    ).count() == 2
+    assert similarity.ivf_pq_topk(
+        df, q, "vec_id", "embedding", k=10,
+        n_cells=2, nprobe=2, m=2, n_codes=2,
+    ).count() == 2
+
+
+def test_topk_arrow_empty_query_set_returns_empty(spark):
+    """No queries -> empty frame with the contract schema, matching the
+    JVM path (previously a driver-side IndexError on the (0,) matrix)."""
+    from nba_spurs_etl_spark.operators import similarity
+
+    df = _emb4(spark, [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])])
+    out = similarity.brute_force_topk_arrow(
+        df, df.filter(F.col("vec_id") < 0), "vec_id", "embedding", k=5
+    )
+    assert out.columns == ["query_id", "cand_id", "cos_sim", "rnk"]
+    assert out.count() == 0
+
+
+def test_lsh_bucket_dim_guard_names_the_misconfiguration(spark):
+    """planes * n_tables beyond the embedding dim must fail with a
+    message naming the knobs, not ANSI's INVALID_ARRAY_INDEX (or, with
+    ANSI off, silently zeroed buckets)."""
+    from nba_spurs_etl_spark.operators import similarity
+
+    df = _emb4(spark, [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.5, 0.5, 0.0, 0.0])])
+    q = df.filter(F.col("vec_id") == 0)
+    with pytest.raises(Exception, match="lsh_bucket"):
+        similarity.lsh_topk(
+            df, q, "vec_id", "embedding", k=5, planes=4, n_tables=3
+        ).collect()
+
 def test_shard_write_layout(spark, tmp_path):
     """The shard manifest must translate into the physical layout it
     promises: repartition(n, shard) + partitionBy -> one directory per
@@ -1762,6 +1844,54 @@ def test_label_propagation_invariant_to_partitioning(spark):
         for r in label_propagation(df.repartition(17), rounds=3).collect()
     )
     assert got == ref and len(ref) > 0
+
+
+def test_label_propagation_string_node_ids(spark):
+    """The tie-break must not cast labels to numbers: string doc ids
+    (the operator is generic over pair lists) previously hit ANSI
+    CAST_INVALID_INPUT via -label; min_by over (-count, label) orders
+    any comparable label type, still deterministically."""
+    from nba_spurs_etl_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    ref = sorted(
+        tuple(r) for r in label_propagation(df.coalesce(1), rounds=3).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in label_propagation(df.repartition(7), rounds=3).collect()
+    )
+    assert got == ref
+    labels = dict(ref)
+    # the a-b-c triangle converges to its smallest label
+    assert labels["a"] == labels["b"] == labels["c"] == "a"
+    assert set(labels) == {"a", "b", "c", "x", "y"}
+
+
+def test_integer_pagerank_hub_headroom(spark):
+    """The damped update must not overflow BIGINT on a hub: with the
+    direct (85 * s) div 100 form, s = 2e17 of accumulated rank mass
+    aborts under ANSI (85*s > 2^63); the decomposed form is exact and
+    survives any BIGINT-sized s."""
+    from nba_spurs_etl_spark.operators.graph import integer_pagerank
+
+    leaves = 20
+    scale = 10 ** 16
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, leaves + 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in integer_pagerank(pairs, iterations=1, scale=scale).collect()
+    }
+    base = scale * 15 // 100
+    exp_hub = base + 85 * (leaves * scale) // 100  # exact, unbounded ints
+    exp_leaf = base + 85 * (scale // leaves) // 100
+    assert got[0] == exp_hub
+    assert all(got[i] == exp_leaf for i in range(1, leaves + 1))
 
 
 def test_global_running_sums_multi_matches_model(spark):
