@@ -112,6 +112,17 @@ def epoch_us(col: Column | str) -> Column:
     return F.unix_micros(c.cast("timestamp"))
 
 
+# NOTE on the engine-parity time-bucketing idiom `(x / F.lit(width))
+# .cast("bigint")`: Spark's double divide + cast truncates toward
+# zero, and DuckDB's BIGINT `//` ALSO truncates toward zero (verified:
+# -1 // 7 = 0, -10 // 7 = -1 — it is NOT a floor for integer
+# operands), so the idiom is parity-exact for negative (pre-1970)
+# epochs too, not just positives. Pinned by
+# tests/test_operators.py::test_epoch_bucket_idiom_matches_duckdb_on_negatives.
+# The double divide is exact for |x| < 2^53 (epoch micros to ~2255)
+# at the bucket widths used (quotient never lands on a rounding edge).
+
+
 # ---------------------------------------------------------------------------
 # cross-engine stable hash
 # ---------------------------------------------------------------------------
@@ -157,11 +168,16 @@ def opponent_from_matchup(col: Column | str) -> Column:
     """Extract the opponent from ``'SAS vs. LAL'`` / ``'SAS @ LAL'``.
 
     3-way CASE as in streaks_and_rivals.sql:63-67; ``split_part``
-    returns '' when the delimiter is absent (Postgres-compatible).
+    returns '' when the delimiter is absent (Postgres-compatible), and
+    the ELSE branch passes the raw matchup through — the reference's
+    ``ELSE matchup``, NOT NULL (an earlier version of this helper
+    nulled unrecognized formats and silently disagreed with the
+    inlined copy in plans/gold.py; there is exactly one definition
+    now, used by the model).
     """
     c = F.col(col) if isinstance(col, str) else col
     return (
         F.when(c.like("%vs.%"), F.split_part(c, F.lit("vs. "), F.lit(2)))
         .when(c.like("%@%"), F.split_part(c, F.lit("@ "), F.lit(2)))
-        .otherwise(F.lit(None).cast("string"))
+        .otherwise(c)
     )

@@ -218,7 +218,7 @@ mx AS (
 q AS (
   SELECT vec_id, v, m / 127.0 AS scale,
     list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)) AS qv
-  FROM mx
+  FROM mx WHERE m > 0
 )
 SELECT vec_id, scale,
   CAST(list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b)
@@ -236,7 +236,9 @@ FROM q
     "norm (integer-exact) and the squared reconstruction error "
     "(sequential in-order fold, partitioning-independent). Pure "
     "narrow map — no shuffle at any scale; the compression stage of "
-    "an embedding-index build.",
+    "an embedding-index build. All-zero (and empty) vectors have no "
+    "quantization scale (0/0), so both engines drop them via m > 0 "
+    "rather than emitting NaN-derived rows / cast errors.",
 )
 def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -247,7 +249,10 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float("-inf")),
         lambda a, b: F.when(b > a, b).otherwise(a),
     )
-    d = d.select("vec_id", "v", m.alias("m"))
+    # all-zero vectors: x*127/m = 0/0 = NaN -> NULL qv Spark-side but a
+    # hard cast error in the DuckDB twin; empty vectors leave m = -inf.
+    # Neither has a defined int8 scale — drop them on both engines.
+    d = d.select("vec_id", "v", m.alias("m")).filter(F.col("m") > 0)
     qv = F.transform(
         F.col("v"),
         lambda x: F.floor(x * 127.0 / F.col("m") + 0.5).cast("bigint"),
@@ -1125,7 +1130,6 @@ def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(9),
         ).alias("bucket"),
     )
-    from pyspark.sql import Window
 
     # ONE fact aggregation; base and week totals are re-aggregations of
     # the kilobyte-sized (weeks x buckets) frame, not extra fact scans.

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalar import davg, season_norm
+from ..functions.scalar import davg, opponent_from_matchup, season_norm
 
 # metric metadata shared by team_weaknesses + players_recommendations:
 # (label, stat column, weakness polarity, best-team agg)
@@ -105,7 +105,10 @@ def home_vs_away(silver: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def _seven_avgs(df: DataFrame, prefix: str = "avg_") -> list:
+def _seven_avgs(prefix: str = "avg_") -> list:
+    # unbound F.col expressions: they aggregate whatever frame the
+    # .agg() is applied to (a DataFrame parameter here would imply a
+    # binding that does not exist)
     return [
         davg(col, scale=3).alias(f"{prefix}{col}") for _, col, _, _ in WEAKNESS_METRICS
     ]
@@ -123,7 +126,7 @@ def team_weaknesses_unpivoted(silver: dict[str, DataFrame]) -> DataFrame:
     spurs = (
         games.filter(F.col("team_name") == "San Antonio Spurs")
         .groupBy(season_norm("season").alias("season2"))
-        .agg(*_seven_avgs(games))
+        .agg(*_seven_avgs())
     )
     joined = games.join(F.broadcast(teams), games.team_id == teams.id)
     league = joined.groupBy(season_norm("season").alias("season2")).agg(
@@ -134,7 +137,7 @@ def team_weaknesses_unpivoted(silver: dict[str, DataFrame]) -> DataFrame:
     )
     per_team = joined.groupBy(
         season_norm("season").alias("season2"), "team_name"
-    ).agg(*_seven_avgs(games))
+    ).agg(*_seven_avgs())
     best = per_team.groupBy("season2").agg(
         *[
             (F.min if agg == "min" else F.max)(f"avg_{col}").alias(f"best_{col}")
@@ -250,7 +253,7 @@ def spurs_player_contributions_unpivoted(silver: dict[str, DataFrame]) -> DataFr
     src = (
         ps.filter(F.col("team_abbreviation") == "SAS")
         .groupBy("player_id", "player_name", "team_abbreviation")
-        .agg(*_seven_avgs(ps))
+        .agg(*_seven_avgs())
     )
     stack_args = []
     for label, col, _, _ in WEAKNESS_METRICS:
@@ -267,8 +270,11 @@ def streaks_and_rivals(silver: dict[str, DataFrame]) -> DataFrame:
 
     Reference: dbt/models/spurs_analysis/streaks_and_rivals.sql.
     Preserved quirk: plus_minus is compared as VARCHAR (lexicographic
-    MAX/MIN, :70,:86). Deviations: streak windows partition by season;
-    deterministic tiebreaks on (streak group) and (opponent).
+    MAX/MIN, :70,:86). Preserved contract: exactly ONE row even when a
+    branch is empty (scalar-subquery NULLs, :92-102). Deviations:
+    streak windows partition by season; deterministic tiebreaks —
+    (game_date, matchup) in the running-sum order, season+grp on the
+    streak pick, opponent+season+game_date on the extreme-game pick.
     """
     games = silver["games"]
     spurs = games.filter(F.col("team_abbreviation") == "SAS").select(
@@ -279,9 +285,11 @@ def streaks_and_rivals(silver: dict[str, DataFrame]) -> DataFrame:
         F.when(F.col("wl") == "W", 1).otherwise(0).alias("is_win"),
         F.when(F.col("wl") == "L", 1).otherwise(0).alias("is_loss"),
     )
+    # matchup tiebreak: two games on one date would otherwise make the
+    # running-sum ROWS frame (and so grp assignment) order-dependent
     w = (
         Window.partitionBy("season")
-        .orderBy("game_date")
+        .orderBy("game_date", "matchup")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
@@ -292,64 +300,83 @@ def streaks_and_rivals(silver: dict[str, DataFrame]) -> DataFrame:
             .groupBy("season", "grp")
             .agg(F.count(F.lit(1)).alias("streak_length"))
         )
+        # season in the tiebreak: grp restarts per season, so
+        # (streak_length, grp) alone is not unique across seasons
         return grouped.orderBy(
-            F.desc("streak_length"), F.asc("grp")
+            F.desc("streak_length"), F.asc("season"), F.asc("grp")
         ).limit(1).select("season", "streak_length")
 
     bws = best_streak("is_win", "is_loss")
     wls = best_streak("is_loss", "is_win")
 
-    opponent = (
-        F.when(
-            F.col("matchup").like("%vs.%"),
-            F.split_part(F.col("matchup"), F.lit("vs. "), F.lit(2)),
-        )
-        .when(
-            F.col("matchup").like("%@%"),
-            F.split_part(F.col("matchup"), F.lit("@ "), F.lit(2)),
-        )
-        .otherwise(F.col("matchup"))
-    )
+    opponent = opponent_from_matchup("matchup")
 
     def extreme_game(agg, order) -> DataFrame:
         ext = spurs.agg(agg(F.col("plus_minus")).alias("ext"))  # VARCHAR max/min!
         return (
             spurs.join(F.broadcast(ext), spurs.plus_minus == ext.ext)
-            .select("season", opponent.alias("opponent"),
+            .select("season", "game_date", opponent.alias("opponent"),
                     F.col("plus_minus").alias("point_differential"))
-            .orderBy(order("point_differential"), F.asc("opponent"))
+            .orderBy(order("point_differential"), F.asc("opponent"),
+                     F.asc("season"), F.asc("game_date"))
             .limit(1)
         )
 
     bw = extreme_game(F.max, F.desc)
     bl = extreme_game(F.min, F.asc)
 
-    return (
-        bws.select(
-            F.col("season").alias("best_winning_streak_season"),
-            F.col("streak_length").alias("best_winning_streak_length"),
+    # Scalar-subquery semantics, not a cross join: the reference's
+    # final SELECT (streaks_and_rivals.sql:92-102) emits exactly ONE
+    # row with NULLs where a sub-result is empty (e.g. a season with
+    # no losses), so each 1-row frame left-joins onto a literal
+    # single-row anchor — a crossJoin chain would collapse to ZERO
+    # rows the moment any branch is empty.
+    one = games.sparkSession.range(1)
+    out = (
+        one.join(
+            F.broadcast(
+                bws.select(
+                    F.col("season").alias("best_winning_streak_season"),
+                    F.col("streak_length").alias("best_winning_streak_length"),
+                )
+            ),
+            F.lit(True),
+            "left",
         )
-        .crossJoin(
-            wls.select(
-                F.col("season").alias("worst_losing_streak_season"),
-                F.col("streak_length").alias("worst_losing_streak_length"),
-            )
+        .join(
+            F.broadcast(
+                wls.select(
+                    F.col("season").alias("worst_losing_streak_season"),
+                    F.col("streak_length").alias("worst_losing_streak_length"),
+                )
+            ),
+            F.lit(True),
+            "left",
         )
-        .crossJoin(
-            bw.select(
-                F.col("season").alias("biggest_win_season"),
-                F.col("opponent").alias("team_beat_by_most"),
-                F.col("point_differential").alias("biggest_win_margin"),
-            )
+        .join(
+            F.broadcast(
+                bw.select(
+                    F.col("season").alias("biggest_win_season"),
+                    F.col("opponent").alias("team_beat_by_most"),
+                    F.col("point_differential").alias("biggest_win_margin"),
+                )
+            ),
+            F.lit(True),
+            "left",
         )
-        .crossJoin(
-            bl.select(
-                F.col("season").alias("biggest_loss_season"),
-                F.col("opponent").alias("team_lost_to_by_most"),
-                F.col("point_differential").alias("biggest_loss_margin"),
-            )
+        .join(
+            F.broadcast(
+                bl.select(
+                    F.col("season").alias("biggest_loss_season"),
+                    F.col("opponent").alias("team_lost_to_by_most"),
+                    F.col("point_differential").alias("biggest_loss_margin"),
+                )
+            ),
+            F.lit(True),
+            "left",
         )
     )
+    return out.drop("id")
 
 
 # players_recommendations branch metadata — labels/positions/reasons are
@@ -379,15 +406,16 @@ def players_recommendations(
 
     Reference: dbt/models/spurs_analysis/players_recommendations.sql.
     The one model->model edge: consumes team_weaknesses_unpivoted
-    (ref() at :7). Deviation: ROW_NUMBER tiebreak on player_id.
-    Preserved quirk: MAX(salary_usd) over VARCHAR (:51).
+    (ref() at :7). Deviations: ROW_NUMBER tiebreak on player_id;
+    NULL metric averages rank last in BOTH directions (see inline
+    note). Preserved quirk: MAX(salary_usd) over VARCHAR (:51).
     """
     if weaknesses is None:
         weaknesses = team_weaknesses_unpivoted(silver)
 
     players, ps = silver["players"], silver["player_stats"]
     p = players.select("player_id", "player", "position").distinct()
-    pgs = ps.groupBy("player_id", "player_name").agg(*_seven_avgs(ps))
+    pgs = ps.groupBy("player_id", "player_name").agg(*_seven_avgs())
     fa = silver["free_agents"].select(F.col("player_id").alias("fa_pid"))
     inj = silver["injuries"].select(F.col("player_id").alias("inj_pid")).distinct()
     sal = (
@@ -434,11 +462,13 @@ def players_recommendations(
     )
     asc_metrics = [c for _, c, asc, _, _ in RECOMMENDATION_BRANCHES if asc]
     is_asc = F.col("metric").isin(asc_metrics)
-    # Replicate per-branch null placement (ASC = nulls first, DESC =
-    # nulls last) since the sign-flip below maps null -> null either way.
-    null_rank = F.when(
-        F.col("metric_value").isNull(), F.when(is_asc, 0).otherwise(2)
-    ).otherwise(1)
+    # NULL metric averages rank LAST in both directions: the DuckDB
+    # twin's default is nulls_last for ASC and DESC alike, and a
+    # never-measured player topping a "best at X" list would be junk.
+    # (The reference's Postgres differs on DESC — nulls-as-largest
+    # puts them FIRST there — a deviation we take deliberately; the
+    # sign-flip below maps null -> null, so placement must be explicit.)
+    null_rank = F.when(F.col("metric_value").isNull(), 2).otherwise(1)
     sort_val = F.when(is_asc, F.col("metric_value")).otherwise(
         -F.col("metric_value")
     )

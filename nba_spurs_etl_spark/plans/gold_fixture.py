@@ -325,35 +325,37 @@ _STREAKS_TAIL = f"""
 ),
 win_seq AS (
   SELECT season, is_win, SUM(is_loss) OVER (
-    PARTITION BY season ORDER BY game_date
+    PARTITION BY season ORDER BY game_date, matchup
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
   FROM spurs
 ),
 loss_seq AS (
   SELECT season, is_loss, SUM(is_win) OVER (
-    PARTITION BY season ORDER BY game_date
+    PARTITION BY season ORDER BY game_date, matchup
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
   FROM spurs
 ),
 bws AS (
   SELECT season, CAST(COUNT(*) AS BIGINT) AS streak_length
   FROM win_seq WHERE is_win = 1 GROUP BY season, grp
-  ORDER BY streak_length DESC, grp ASC LIMIT 1
+  ORDER BY streak_length DESC, season ASC, grp ASC LIMIT 1
 ),
 wls AS (
   SELECT season, CAST(COUNT(*) AS BIGINT) AS streak_length
   FROM loss_seq WHERE is_loss = 1 GROUP BY season, grp
-  ORDER BY streak_length DESC, grp ASC LIMIT 1
+  ORDER BY streak_length DESC, season ASC, grp ASC LIMIT 1
 ),
 bw AS (
   SELECT season, {_OPP} AS opponent, plus_minus AS point_differential
   FROM spurs WHERE plus_minus = (SELECT MAX(plus_minus) FROM spurs)
-  ORDER BY point_differential DESC, opponent ASC LIMIT 1
+  ORDER BY point_differential DESC, opponent ASC, season ASC, game_date ASC
+  LIMIT 1
 ),
 bl AS (
   SELECT season, {_OPP} AS opponent, plus_minus AS point_differential
   FROM spurs WHERE plus_minus = (SELECT MIN(plus_minus) FROM spurs)
-  ORDER BY point_differential ASC, opponent ASC LIMIT 1
+  ORDER BY point_differential ASC, opponent ASC, season ASC, game_date ASC
+  LIMIT 1
 )
 SELECT
   bws.season AS best_winning_streak_season,
@@ -366,7 +368,11 @@ SELECT
   bl.season AS biggest_loss_season,
   bl.opponent AS team_lost_to_by_most,
   bl.point_differential AS biggest_loss_margin
-FROM bws CROSS JOIN wls CROSS JOIN bw CROSS JOIN bl
+FROM (SELECT 1 AS _one) o
+LEFT JOIN bws ON TRUE
+LEFT JOIN wls ON TRUE
+LEFT JOIN bw ON TRUE
+LEFT JOIN bl ON TRUE
 """
 
 

@@ -9,7 +9,7 @@ algorithms differ across engines by design -> rows-only check).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import (
@@ -419,7 +419,6 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     "default RANGE frame would truncate (last_value).",
 )
 def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -477,11 +476,14 @@ def orders_cdc_frames(o: DataFrame) -> tuple[DataFrame, DataFrame]:
     return base, changelog
 
 
-@register(
-    "merge_cdc_orders",
-    group="ext-merge",
-    oracle="""
-WITH chg AS (
+#: SQL twin of orders_cdc_frames + merge_cdc, shared by BOTH oracles
+#: below (merge_cdc_orders, cdc_snapshot_diff) so the changelog rule
+#: has exactly one definition per engine: editing the %7/%11/%13
+#: moduli or the +1000 update delta in one hand-kept copy but not the
+#: other would silently break the diff entry's documented
+#: added==inserts / removed==deletes validation invariant (same
+#: rationale as analytics_ext._MARKOV_PAIR_CTES).
+_CDC_MERGED_CTES = """chg AS (
   SELECT o_orderkey, 'U' AS op, 'X' AS o_orderstatus,
     o_totalprice + 1000 AS o_totalprice
   FROM orders WHERE o_orderkey % 7 = 0
@@ -491,15 +493,25 @@ WITH chg AS (
   UNION ALL
   SELECT o_orderkey + 100000000, 'I', 'N', 1.5
   FROM orders WHERE o_orderkey % 13 = 0
-)
-SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
-  CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
-       ELSE b.o_orderstatus END AS o_orderstatus,
-  CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
-       ELSE b.o_totalprice END AS o_totalprice
-FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) b
-FULL OUTER JOIN chg c ON b.o_orderkey = c.o_orderkey
-WHERE c.op IS NULL OR c.op <> 'D'
+),
+merged AS (
+  SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+    CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
+         ELSE b.o_orderstatus END AS o_orderstatus,
+    CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
+         ELSE b.o_totalprice END AS o_totalprice
+  FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) b
+  FULL OUTER JOIN chg c ON b.o_orderkey = c.o_orderkey
+  WHERE c.op IS NULL OR c.op <> 'D'
+)"""
+
+
+@register(
+    "merge_cdc_orders",
+    group="ext-merge",
+    oracle=f"""
+WITH {_CDC_MERGED_CTES}
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged
 """,
     doc="CDC merge: I/U/D changelog applied onto the orders snapshot "
     "via one full-outer join on the merge key (operators/merge.py). "
@@ -575,7 +587,6 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no
     "running totals exact.",
 )
 def rolling_7d_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
     per_day = (
@@ -883,28 +894,8 @@ def sql_lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cdc_snapshot_diff",
     group="ext-merge diff 2.3",
-    oracle="""
-WITH chg AS (
-  SELECT o_orderkey, 'U' AS op, 'X' AS o_orderstatus,
-    o_totalprice + 1000 AS o_totalprice
-  FROM orders WHERE o_orderkey % 7 = 0
-  UNION ALL
-  SELECT o_orderkey, 'D', NULL, NULL
-  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0
-  UNION ALL
-  SELECT o_orderkey + 100000000, 'I', 'N', 1.5
-  FROM orders WHERE o_orderkey % 13 = 0
-),
-merged AS (
-  SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
-    CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
-         ELSE b.o_orderstatus END AS o_orderstatus,
-    CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
-         ELSE b.o_totalprice END AS o_totalprice
-  FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) b
-  FULL OUTER JOIN chg c ON b.o_orderkey = c.o_orderkey
-  WHERE c.op IS NULL OR c.op <> 'D'
-),
+    oracle=f"""
+WITH {_CDC_MERGED_CTES},
 d AS (
   SELECT
     CASE WHEN b.o_orderkey IS NULL THEN 'added'
@@ -971,10 +962,22 @@ FROM (
     "(.schema(...)); counts prove which generation each row came from.",
 )
 def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     orders = load_table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="spark_schema_evo_")
+    # deterministic scratch path per source dir, cleared before each
+    # build: mkdtemp here leaked one orders-sized directory per
+    # invocation (bench + parity runs invoke this dozens of times per
+    # round), growing /tmp without bound
+    work = os.path.join(
+        tempfile.gettempdir(),
+        "spark_schema_evo_"
+        + hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12],
+    )
+    shutil.rmtree(work, ignore_errors=True)
     k = F.col("o_orderkey")
     orders.filter(k % 2 == 0).select("o_orderkey", "o_totalprice").write.mode(
         "append"
@@ -1233,7 +1236,6 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     "three functions (same partitioning + ordering).",
 )
 def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
@@ -1579,7 +1581,6 @@ FROM dev ORDER BY d DESC, bucket_us LIMIT 1
     "Top-1 via TakeOrdered, no global sort.",
 )
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
     us = epoch_us("ts")
@@ -1653,7 +1654,6 @@ GROUP BY 1
     "outlier_orders_zscore for heavy-tailed value columns.",
 )
 def orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
@@ -1837,7 +1837,6 @@ WHERE o.o_totalprice = s.maxp
     "matching dominance with no-strict-equality.",
 )
 def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
 
     od = load_table(spark, sf_dir, "orders")
     d = od.groupBy(

@@ -601,13 +601,13 @@ def union_topk_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
 
     def branch(segment: str, label: str, reason: str) -> DataFrame:
-        w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        # orderBy+limit IS the rank filter (TakeOrderedAndProject —
+        # no global sort, no window): re-ranking the 3 surviving rows
+        # with a row_number window would be pure dead weight
         return (
             cust.filter(F.col("c_mktsegment") == segment)
             .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-            .limit(3)  # top-k pushdown before the tiny window
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 3)
+            .limit(3)
             .select(
                 "c_custkey",
                 "c_name",
