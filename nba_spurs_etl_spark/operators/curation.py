@@ -30,15 +30,54 @@ from pyspark.sql import functions as F
 from ..functions.scalar import md5_long
 
 
-def _grams(text: Column, n: int) -> Column:
-    """Distinct word n-grams of a text column (guarded for short docs)."""
-    w = F.split(text, " ")
+def _grams_from_tokens(w: Column, n: int) -> Column:
+    """Distinct word n-grams from a PRE-SPLIT token array column
+    (guarded for short docs). Takes tokens, not text, on purpose: see
+    :func:`hashed_grams`."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(w, i, n)),
     )
     return F.array_distinct(
         F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def hashed_grams(
+    df: DataFrame, text: Column, n: int, *keys: Column
+) -> DataFrame:
+    """(keys..., gh): one md5-folded distinct word n-gram per row — the
+    gram stream every decontamination/novelty operator consumes.
+
+    The split() is PROJECTED to a column before the gram transform:
+    higher-order functions run interpreted (no codegen subexpression
+    elimination), so an inline split inside the lambda re-tokenizes
+    the doc once per gram — O(words^2) per doc, the hazard
+    operators/dedup.py:55 documents (measured 3x on the gram stage
+    there). This helper is the single definition of that plumbing;
+    previously three operators (decontaminate, decontaminate_bloom,
+    ngram_novelty) carried hand-kept inline copies.
+    """
+    tok = df.select(*keys, F.split(text, " ").alias("_w"))
+    key_names = tok.columns[:-1]
+    return tok.select(
+        *key_names, F.explode(_grams_from_tokens(F.col("_w"), n)).alias("g")
+    ).select(*key_names, md5_long(F.col("g")).alias("gh"))
+
+
+def _overlap_report(
+    docs: DataFrame, id_col: str, hits: DataFrame, min_hits: int
+) -> DataFrame:
+    """Left-join the per-doc hit counts back onto the corpus so clean
+    docs report hits=0 (shared by both decontaminate variants)."""
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            (F.coalesce("hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
     )
 
 
@@ -68,28 +107,16 @@ def decontaminate(
     strings.
     """
     bcol = bench_text_col or text_col
-    bench_grams = (
-        benchmark.select(F.explode(_grams(F.col(bcol), n)).alias("g"))
-        .select(md5_long(F.col("g")).alias("gh"))
-        .distinct()
+    bench_grams = hashed_grams(benchmark, F.col(bcol), n).distinct()
+    doc_grams = hashed_grams(
+        docs, F.col(text_col), n, F.col(id_col).alias("doc")
     )
-    doc_grams = docs.select(
-        F.col(id_col).alias("doc"), F.explode(_grams(F.col(text_col), n)).alias("g")
-    ).select("doc", md5_long(F.col("g")).alias("gh"))
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "gh")
         .groupBy("doc")
         .agg(F.count_distinct("gh").alias("hits"))
     )
-    return (
-        docs.select(F.col(id_col).alias("doc"))
-        .join(hits, "doc", "left")
-        .select(
-            "doc",
-            F.coalesce("hits", F.lit(0)).alias("hits"),
-            (F.coalesce("hits", F.lit(0)) >= min_hits).alias("contaminated"),
-        )
-    )
+    return _overlap_report(docs, id_col, hits, min_hits)
 
 
 def decontaminate_bloom(
@@ -147,19 +174,23 @@ def decontaminate_bloom(
             ),
         )
 
+    # consumed TWICE (bloom words build + exact verify join): without
+    # the checkpoint the whole benchmark tokenize+explode+md5+distinct
+    # lineage runs two full passes — in exactly the billions-of-grams
+    # regime this variant exists for
     bench_grams = (
-        benchmark.select(F.explode(_grams(F.col(bcol), n)).alias("g"))
-        .select(md5_long(F.col("g")).alias("gh"))
+        hashed_grams(benchmark, F.col(bcol), n)
         .distinct()
+        .localCheckpoint(eager=False)
     )
     words = (
         with_probe(bench_grams.select("gh", F.explode(seeds).alias("seed")))
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("bits"))
     )
-    doc_grams = docs.select(
-        F.col(id_col).alias("doc"), F.explode(_grams(F.col(text_col), n)).alias("g")
-    ).select("doc", md5_long(F.col("g")).alias("gh"))
+    doc_grams = hashed_grams(
+        docs, F.col(text_col), n, F.col(id_col).alias("doc")
+    )
     survivors = (
         with_probe(doc_grams.select("doc", "gh", F.explode(seeds).alias("seed")))
         .join(F.broadcast(words), "word_idx")
@@ -174,15 +205,7 @@ def decontaminate_bloom(
         .groupBy("doc")
         .agg(F.count_distinct("gh").alias("hits"))
     )
-    return (
-        docs.select(F.col(id_col).alias("doc"))
-        .join(hits, "doc", "left")
-        .select(
-            "doc",
-            F.coalesce("hits", F.lit(0)).alias("hits"),
-            (F.coalesce("hits", F.lit(0)) >= min_hits).alias("contaminated"),
-        )
-    )
+    return _overlap_report(docs, id_col, hits, min_hits)
 
 
 def pack_sequences(
@@ -435,15 +458,10 @@ def ngram_novelty(
     oracle is bit-identical.
     """
     rcol = ref_text_col or text_col
-    ref_grams = (
-        reference.select(F.explode(_grams(F.col(rcol), n)).alias("g"))
-        .select(md5_long(F.col("g")).alias("gh"))
-        .distinct()
+    ref_grams = hashed_grams(reference, F.col(rcol), n).distinct()
+    doc_grams = hashed_grams(
+        docs, F.col(text_col), n, F.col(id_col).alias("doc")
     )
-    doc_grams = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(_grams(F.col(text_col), n)).alias("g"),
-    ).select("doc", md5_long(F.col("g")).alias("gh"))
     counts = (
         doc_grams.join(
             F.broadcast(ref_grams.withColumn("known", F.lit(1))),

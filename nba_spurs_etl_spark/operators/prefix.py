@@ -153,10 +153,20 @@ def global_running_sums(
     )
     out = with_local.join(F.broadcast(offsets), "_bkt")
     for name in cols:
+        loc, off = F.col(f"_local_{name}"), F.col(f"_offset_{name}")
+        # NULL algebra must match the sequential window exactly:
+        # SUM() OVER is NULL only until the first non-null value
+        # appears ANYWHERE in the prefix. loc is NULL iff this
+        # bucket's prefix is all-NULL; off is NULL iff every earlier
+        # bucket total is NULL (bucket 0 included — the off_w frame is
+        # empty there). A plain loc + coalesce(off, 0) would return
+        # NULL for a later bucket whose own prefix is all-NULL even
+        # when earlier buckets carried real values.
         out = out.withColumn(
             name,
-            F.col(f"_local_{name}")
-            + F.coalesce(F.col(f"_offset_{name}"), F.lit(0)),
+            F.when(loc.isNull() & off.isNull(), F.lit(None)).otherwise(
+                F.coalesce(loc, F.lit(0)) + F.coalesce(off, F.lit(0))
+            ),
         )
     return out.drop(
         "_bkt",
@@ -185,7 +195,13 @@ def interval_concurrency(
     time axis doubles as the bucket expression. Returns
     (t, delta, tb, concurrency); built on ``global_running_sum``, so it
     inherits the two-phase scale shape.
+
+    Degenerate intervals (end <= start) are DROPPED: [t, t) is empty
+    under half-open semantics, and emitting its boundaries would sort
+    the -1 before its own +1 (the half-open tiebreak), reporting a
+    transiently negative concurrency.
     """
+    df = df.filter(end > start)
     boundaries = df.select(
         F.explode(
             F.array(
@@ -273,12 +289,17 @@ def exact_kth_smallest(
                 # melt the contract above forbids): if rank j lands in
                 # the max class the answer IS mx; otherwise recurse on
                 # the strictly-smaller v < mx slice.
-                n_lo = bucket.filter(F.col("v") < mx).count()
+                # eager checkpoint: the count below and (when rank j
+                # falls short) the next round's histogram both read
+                # the materialized slice — a lazy checkpoint would
+                # re-run the filter scan once per consumer
+                lo = bucket.filter(F.col("v") < mx).localCheckpoint(
+                    eager=True
+                )
+                n_lo = lo.count()
                 if j > n_lo:
                     return mx
-                d = bucket.filter(F.col("v") < mx).localCheckpoint(
-                    eager=False
-                )
+                d = lo
                 continue
             row = (
                 bucket.orderBy("v")

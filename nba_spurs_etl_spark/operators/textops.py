@@ -80,10 +80,20 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n_tok
     mean_word_len = (n_chars - (n_tok - 1)).cast("double") / n_tok
     stop_ratio = stopword_hits(text_col, LANG_STOPWORDS["en"]).cast("double") / n_tok
-    alpha_ratio = (
-        F.length(F.regexp_replace(F.col(text_col) if isinstance(text_col, str) else text_col, "[^A-Za-z]", ""))
-        .cast("double")
-        / n_chars
+    # empty text: 0 alpha chars of 0 is defined as 0.0 — the bare
+    # division aborts under ANSI (Spark 4 throws DIVIDE_BY_ZERO even
+    # for doubles) and DuckDB yields NULL, silently dropping the doc
+    # from score filters; the oracle carries the same CASE. (The token
+    # denominators are safe: split('') is [''] in both engines.)
+    alpha_chars = F.length(
+        F.regexp_replace(
+            F.col(text_col) if isinstance(text_col, str) else text_col,
+            "[^A-Za-z]",
+            "",
+        )
+    ).cast("double")
+    alpha_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        alpha_chars / n_chars
     )
     # clamp helpers keep the blend in [0,1]
     len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
@@ -327,9 +337,13 @@ def chunk_documents(
     generator expression (sequence -> transform -> posexplode), so the
     expansion happens inside the scan stage with no shuffle and no
     Python; chunk text is built by slice + concat_ws, never substring
-    arithmetic on the raw string.
+    arithmetic on the raw string. The token array is PROJECTED to a
+    column first: HOF lambdas run interpreted (no codegen
+    subexpression elimination), so an inline split would re-tokenize
+    the doc once per chunk — O(words^2/stride) per doc, the dedup.py:55
+    hazard.
     """
-    w = words(text_col)
+    w = F.col("_w")
     starts = F.sequence(F.lit(1), F.size(w), F.lit(stride))
     chunks = F.transform(
         starts,
@@ -340,7 +354,9 @@ def chunk_documents(
         ),
     )
     return df.select(
-        F.col(id_col).alias("doc"), F.posexplode(chunks).alias("chunk_idx", "c")
+        F.col(id_col).alias("doc"), words(text_col).alias("_w")
+    ).select(
+        "doc", F.posexplode(chunks).alias("chunk_idx", "c")
     ).select(
         "doc",
         F.col("chunk_idx").cast("int").alias("chunk_idx"),

@@ -620,16 +620,13 @@ SELECT doc_id AS doc,
   CAST(len(list_filter(string_split(text, ' '),
     t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))
     AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
-  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-    / length(text) AS alpha_ratio,
+  CASE WHEN length(text) = 0 THEN 0.0
+       ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+            / length(text) END AS alpha_ratio,
   0.25 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
-  + 0.25 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-            / len(string_split(text, ' ')))
-  + 0.25 * least(2 * CAST(len(list_filter(string_split(text, ' '),
-      t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))
-      AS DOUBLE) / len(string_split(text, ' ')), 1.0)
-  + 0.25 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-            / length(text)) AS quality_score
+  + 0.25 * distinct_ratio
+  + 0.25 * least(2 * stopword_ratio, 1.0)
+  + 0.25 * alpha_ratio AS quality_score
 FROM documents
 """,
     doc="Corpus-filtering quality features + composite score; exact "

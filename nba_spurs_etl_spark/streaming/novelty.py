@@ -39,8 +39,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import md5_long
-from ..operators.curation import _grams
+from ..operators.curation import hashed_grams
 
 
 class StreamingNovelty:
@@ -78,24 +77,20 @@ class StreamingNovelty:
         )
 
     def _batch_grams(self, batch_df: DataFrame) -> DataFrame:
-        return batch_df.select(
+        return hashed_grams(
+            batch_df,
+            F.col(self.text_col),
+            self.n,
             F.col(self.id_col).alias("doc"),
-            F.explode(_grams(F.col(self.text_col), self.n)).alias("g"),
-        ).select("doc", md5_long(F.col("g")).alias("gh"))
+        )
 
     def seed(self, reference: DataFrame, text_col: str | None = None) -> None:
         """Load a static reference corpus as the index's first entry
         (bid=-1): every later batch scores against it plus whatever
         streamed before that batch."""
-        grams = (
-            reference.select(
-                F.explode(
-                    _grams(F.col(text_col or self.text_col), self.n)
-                ).alias("g")
-            )
-            .select(md5_long(F.col("g")).alias("gh"))
-            .distinct()
-        )
+        grams = hashed_grams(
+            reference, F.col(text_col or self.text_col), self.n
+        ).distinct()
         grams.write.mode("overwrite").parquet(
             os.path.join(self.index_dir, "bid=-1")
         )

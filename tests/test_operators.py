@@ -1846,6 +1846,94 @@ def test_label_propagation_invariant_to_partitioning(spark):
     assert got == ref and len(ref) > 0
 
 
+def test_quality_features_empty_text_matches_oracle(spark):
+    """Empty text: alpha_ratio is 0/0 — bare division ABORTS under
+    ANSI (Spark 4 throws DIVIDE_BY_ZERO even for doubles) and yields
+    NULL in DuckDB; both sides define it as 0.0. The testdata corpus
+    has no empty docs, so this drives the guard branch directly,
+    end-to-end against the registered oracle."""
+    import duckdb
+
+    from nba_spurs_etl_spark.operators import textops
+    from nba_spurs_etl_spark.plans.registry import oracles
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "the cat sat"), (3, None)], "doc_id long, text string"
+    )
+    got = {
+        r["doc"]: r
+        for r in textops.quality_features(docs, "doc_id", "text").collect()
+    }
+    assert got[1]["alpha_ratio"] == 0.0
+    assert got[1]["quality_score"] is not None
+    assert got[3]["alpha_ratio"] is None  # NULL text propagates NULL
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, ''), (2, 'the cat sat'), (CAST(3 AS BIGINT), CAST(NULL AS VARCHAR))"
+        ") t(doc_id, text)"
+    )
+    duck = {r[0]: r for r in con.sql(oracles()["text_quality"]).fetchall()}
+    cols = ["doc", "n_tokens", "n_chars", "distinct_ratio", "mean_word_len",
+            "stopword_ratio", "alpha_ratio", "quality_score"]
+    for doc in (1, 2, 3):
+        assert tuple(got[doc][c] for c in cols) == duck[doc], doc
+
+
+def test_streaks_one_row_contract_on_empty_branch(spark):
+    """The reference model's final SELECT is a row of scalar
+    subqueries (streaks_and_rivals.sql:92-102): an all-wins input must
+    still yield exactly ONE row, with NULL losing-streak columns — the
+    previous crossJoin chain collapsed to zero rows."""
+    from nba_spurs_etl_spark.plans import gold
+
+    games = spark.createDataFrame(
+        [
+            ("SAS", "2024", "2024-01-01", "SAS vs. LAL", "5", "W"),
+            ("SAS", "2024", "2024-01-02", "SAS @ DEN", "7", "W"),
+        ],
+        "team_abbreviation string, season string, game_date string, "
+        "matchup string, plus_minus string, wl string",
+    )
+    out = gold.streaks_and_rivals({"games": games}).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["best_winning_streak_length"] == 2
+    assert r["worst_losing_streak_season"] is None
+    assert r["worst_losing_streak_length"] is None
+    assert r["team_beat_by_most"] == "DEN"  # VARCHAR max: '7' > '5'
+    assert r["team_lost_to_by_most"] == "LAL"  # VARCHAR min quirk
+
+
+def test_epoch_bucket_idiom_matches_duckdb_on_negatives(spark):
+    """The engine-parity time-bucketing idiom `(x / width)
+    .cast('bigint')` truncates toward zero — and so does DuckDB's
+    BIGINT `//` (it is NOT a floor for integer operands: -1 // 7 = 0).
+    Pin the equivalence on negative (pre-1970) epochs so neither side
+    is 'fixed' to floor semantics unilaterally."""
+    import duckdb
+
+    vals = [-604_800_000_001, -604_800_000_000, -1, 0, 1,
+            604_799_999_999, 604_800_000_000, -86_400_000_000 * 3 - 7]
+    df = spark.createDataFrame([(v,) for v in vals], "x bigint")
+    got = {
+        r["x"]: (r["wk"], r["day"])
+        for r in df.select(
+            "x",
+            (F.col("x") / F.lit(604_800_000_000)).cast("bigint").alias("wk"),
+            (F.col("x") / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    duck = con.sql(
+        "SELECT x, x // 604800000000, x // 86400000000 FROM (SELECT "
+        "unnest($vals) AS x)", params={"vals": vals}
+    ).fetchall()
+    assert got == {x: (wk, day) for x, wk, day in duck}
+    assert got[-1] == (0, 0)  # both truncate toward zero
+
+
 def test_label_propagation_string_node_ids(spark):
     """The tie-break must not cast labels to numbers: string doc ids
     (the operator is generic over pair lists) previously hit ANSI
@@ -1892,6 +1980,41 @@ def test_integer_pagerank_hub_headroom(spark):
     exp_leaf = base + 85 * (scale // leaves) // 100
     assert got[0] == exp_hub
     assert all(got[i] == exp_leaf for i in range(1, leaves + 1))
+
+
+def test_global_running_sum_all_null_bucket_carries_offset(spark):
+    """A later bucket whose own prefix is all-NULL must still report
+    the carried offset (sequential SUM() OVER ignores NULLs but stays
+    NULL only until the FIRST non-null anywhere); rows before any
+    non-null value stay NULL."""
+    from nba_spurs_etl_spark.operators.prefix import global_running_sum
+
+    rows = [(1, None), (2, 5), (10, None), (11, None), (20, 7)]
+    df = spark.createDataFrame(rows, "k bigint, x bigint")
+    got = {
+        r["k"]: r["run"]
+        for r in global_running_sum(
+            df.repartition(4), ["k"], "x", out_col="run", num_buckets=4
+        ).collect()
+    }
+    assert got == {1: None, 2: 5, 10: 5, 11: 5, 20: 12}
+
+
+def test_interval_concurrency_drops_degenerate_intervals(spark):
+    """[t, t) is empty under half-open semantics: its boundaries must
+    not appear (previously the -1 sorted before its own +1 and the
+    sweep reported a negative concurrency)."""
+    from nba_spurs_etl_spark.operators.prefix import interval_concurrency
+
+    rows = [(5, 5, 1), (3, 8, 2), (8, 9, 3)]
+    df = spark.createDataFrame(rows, "s bigint, e bigint, id bigint")
+    out = interval_concurrency(
+        df, F.col("s"), F.col("e"), F.col("id"), num_buckets=2
+    ).collect()
+    concs = [r["concurrency"] for r in sorted(out, key=lambda r: (r["t"], r["delta"], r["tb"]))]
+    # intervals [3,8) and [8,9): boundaries 3:+1 ->1, 8:-1 ->0, 8:+1 ->1, 9:-1 ->0
+    assert concs == [1, 0, 1, 0]
+    assert all(c >= 0 for c in concs)
 
 
 def test_global_running_sums_multi_matches_model(spark):

@@ -395,9 +395,20 @@ def test_bloom_decontaminate_probes_broadcast_bits(spark, catalog):
     """The bloom variant must probe a BROADCAST compressed words table
     (never a sort-merge join of corpus grams against eval grams), and
     the corpus-gram explode must feed the bloom filter directly —
-    the gram stream dies in its own stage when bits miss."""
+    the gram stream dies in its own stage when bits miss.
+
+    The one join allowed to be non-broadcast in the static plan is the
+    final per-doc report LEFT JOIN: its build side sits above the
+    bench-grams localCheckpoint (computed once, consumed by both the
+    words build and the exact verify), whose stats are unknown at plan
+    time — AQE re-plans that join from runtime sizes, and at scale a
+    shuffle there is correct anyway (hits is bounded by |docs|, not
+    gram volume)."""
     plan = fmt_plan(catalog["corpus_decontaminate_bloom"](spark, SF_SMOKE))
-    assert "SortMergeJoin" not in plan
+    # gram-volume joins never sort-merge; only the scalar-rows report
+    # join may (and it must be the LeftOuter one)
+    smj = re.findall(r"SortMergeJoin (\w+)", plan)
+    assert set(smj) <= {"LeftOuter"}, smj
     # the words-table probe and the exact verify join both broadcast
     assert plan.count("BroadcastHashJoin") >= 2
     assert "bit_or" in plan  # the compressed filter build
