@@ -54,12 +54,20 @@ def _d2(a: Column, b: Column) -> Column:
     )
 
 
-def _assign(df: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
-    """Argmin over literal centroids: (*df.columns, cell, d2) — narrow map."""
+def _assign(
+    df: DataFrame, cents: list[tuple[object, list[float]]],
+    cid_type: str = "bigint",
+) -> DataFrame:
+    """Argmin over literal centroids: (*df.columns, cell, d2) — narrow map.
+
+    ``cid_type`` is the seed id column's Spark type: casting string doc
+    ids to long would turn every centroid id into NULL and silently
+    freeze the whole clustering (NULL cells match no update key).
+    """
     cent_arr = F.array(
         *[
             F.struct(
-                F.lit(cid).cast("long").alias("cid"),
+                F.lit(cid).cast(cid_type).alias("cid"),
                 F.array(*[F.lit(float(x)) for x in cv])
                 .cast("array<double>")
                 .alias("cv"),
@@ -76,7 +84,7 @@ def _assign(df: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
         ),
     )
     init = F.struct(
-        F.lit(float("inf")).alias("d2"), F.lit(None).cast("long").alias("cid")
+        F.lit(float("inf")).alias("d2"), F.lit(None).cast(cid_type).alias("cid")
     )
     best = F.aggregate(
         scored,
@@ -109,6 +117,9 @@ def kmeans_lloyd(
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    # centroid ids keep the seed id column's NATIVE type: string doc
+    # ids cast to long would all become NULL (frozen clustering)
+    cid_type = df.schema[id_col].dataType.simpleString()
     cents = [
         (r["vid"], list(r["v"]))
         for r in base.orderBy(
@@ -118,7 +129,7 @@ def kmeans_lloyd(
         .collect()
     ]
     for it in range(iters):
-        assigned = _assign(base, cents)
+        assigned = _assign(base, cents, cid_type)
         if it == iters - 1:
             return assigned.select(
                 F.col("vid").alias(id_col), "cell", "d2"

@@ -40,25 +40,42 @@ def asof_join_backward(
     ``payload`` maps right-column -> output-column. ``right_tiebreak``
     makes the choice among equal right timestamps deterministic
     (highest tiebreak wins).
+
+    The payload rides as ONE struct, not per-column last() calls: the
+    struct of the matched right row is non-NULL even when its FIELDS
+    are NULL, so (a) a latest match whose value is NULL yields NULL
+    (DuckDB ASOF semantics) instead of resurrecting a superseded older
+    value, and (b) multiple payload columns always come from the SAME
+    right row — per-column ignorenulls carries could stitch fields
+    from different rows. Right rows with NULL time are excluded up
+    front: NULL <= t is not a match (they would otherwise sort first
+    and act as a universal earliest match).
     """
     lcols = left.columns
+    rtypes = dict(right.dtypes)
+    pl_type = (
+        "struct<"
+        + ",".join(f"`{out}`:{rtypes[src]}" for src, out in payload.items())
+        + ">"
+    )
     l = left.select(
         F.col(key).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(None).cast("long").alias("_tb"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(dict(right.dtypes)[src]).alias(out)
-          for src, out in payload.items()],
+        F.lit(None).cast(pl_type).alias("_pl"),
     )
-    r = right.select(
+    r = right.filter(F.col(right_time).isNotNull()).select(
         F.col(key).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         (F.col(right_tiebreak).cast("long") if right_tiebreak else F.lit(0))
         .alias("_tb"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
-        *[F.col(src).alias(out) for src, out in payload.items()],
+        F.struct(
+            *[F.col(src).alias(out) for src, out in payload.items()]
+        ).alias("_pl"),
     )
     unioned = l.unionByName(r)
     w = (
@@ -69,12 +86,12 @@ def asof_join_backward(
     carried = unioned.select(
         "_side",
         *lcols,
-        *[
-            F.last(out, ignorenulls=True).over(w).alias(out)
-            for out in payload.values()
-        ],
+        F.last("_pl", ignorenulls=True).over(w).alias("_pl"),
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    return carried.filter(F.col("_side") == 1).select(
+        *lcols,
+        *[F.col(f"_pl.{out}").alias(out) for out in payload.values()],
+    )
 
 
 def range_join_buckets(
@@ -101,6 +118,11 @@ def range_join_buckets(
     ``point_time``/``start``/``end`` are integer (e.g. epoch-us)
     columns; ``end`` is exclusive.
     """
+    # degenerate intervals (end <= start) contain nothing under the
+    # exclusive-end contract — and worse, Spark's sequence() auto-steps
+    # -1 when start > stop, so one corrupt inverted interval would
+    # explode into a DESCENDING run of millions of phantom bucket rows
+    intervals = intervals.filter(F.col(end) > F.col(start))
     # integer `div`, not `/`: epoch-us magnitudes overflow double
     # precision and a boundary-adjacent point would mis-bucket
     ivals = intervals.withColumn(

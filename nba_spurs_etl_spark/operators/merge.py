@@ -26,9 +26,15 @@ from pyspark.sql import functions as F
 def latest_by_key(
     changelog: DataFrame, keys: list[str], order_col: str
 ) -> DataFrame:
-    """One winning row per key: highest ``order_col`` (ties -> arbitrary
-    but deterministic via the ordering's last tiebreak on all keys)."""
-    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    """One winning row per key: highest ``order_col``; ties broken
+    deterministically by the remaining columns in name order (a bare
+    DESC(order_col) window picks whichever tied row arrives first —
+    run-, partitioning- and retry-dependent, which would make every
+    CDC compaction built on this nondeterministic)."""
+    rest = sorted(c for c in changelog.columns if c not in keys and c != order_col)
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(order_col), *[F.asc(c) for c in rest]
+    )
     return (
         changelog.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

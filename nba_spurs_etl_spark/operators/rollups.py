@@ -21,11 +21,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scalar import epoch_us, md5_long
+from ..functions.scalar import epoch_us
 
 
 def time_bucket(ts: Column, seconds: int) -> Column:
-    """Epoch-aligned bucket start (timestamp), integer arithmetic."""
+    """Epoch-aligned bucket start (timestamp), integer arithmetic.
+
+    ``us - us % width`` is truncation-aligned, not floor-aligned, for
+    pre-1970 timestamps — deliberately: DuckDB's ``%`` takes the
+    dividend's sign too, so the oracles bucket identically for any
+    sign (the engine-parity idiom pinned in functions/scalar.py)."""
     us = epoch_us(ts)
     width = seconds * 1_000_000
     return F.timestamp_micros(us - us % F.lit(width))
@@ -52,9 +57,22 @@ def rollup_finest(
 
 
 def rollup_coarser(
-    finer: DataFrame, keys: list[str], seconds: int
+    finer: DataFrame, keys: list[str], seconds: int,
+    finer_seconds: int | None = None,
 ) -> DataFrame:
-    """Finer partials -> coarser partials (no raw-data scan)."""
+    """Finer partials -> coarser partials (no raw-data scan).
+
+    PRECONDITION: ``seconds`` must be an integer multiple of the finer
+    level's width — each finer bucket is assigned wholly to the
+    coarser bucket containing its START, so a non-nesting width would
+    silently misplace the tail of every straddling bucket. Pass
+    ``finer_seconds`` to have the nesting checked.
+    """
+    if finer_seconds is not None and seconds % finer_seconds != 0:
+        raise ValueError(
+            f"coarser width {seconds}s does not nest finer width "
+            f"{finer_seconds}s — partials would be misassigned"
+        )
     return (
         finer.groupBy(
             time_bucket(F.col("bucket"), seconds).alias("bucket"), *keys
@@ -89,13 +107,17 @@ def two_phase_agg(
 ) -> DataFrame:
     """Skew-safe count+sum per key: salt -> partial agg -> merge.
 
-    The salt is hash-derived from the full row's value column (any
-    spreading function works — it only needs to distribute a hot key's
-    rows); results are identical to a direct groupBy, which is exactly
-    what the catalog oracle checks.
+    The salt is hash-derived from the FULL ROW (like salted_join):
+    results are identical to a direct groupBy — what the catalog
+    oracle checks — and a hot key spreads across reducers even when
+    all its rows share one value (value-derived salting would put the
+    classic zero-amount/default-enum hot key back on a single
+    reducer). Residual case: exact duplicate rows share a salt; the
+    aggregate stays correct, only their spreading degrades.
     """
     salted = df.withColumn(
-        "_salt", (md5_long(F.col(value_col).cast("string")) % salt_buckets)
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
     )
     partial = salted.groupBy(*keys, "_salt").agg(
         F.count(F.lit(1)).alias("p_cnt"),

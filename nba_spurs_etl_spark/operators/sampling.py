@@ -39,10 +39,14 @@ def split_label(
     """The train/validation/test label expression (column-level, for
     composed pipelines that attach the split without a join)."""
     b = split_bucket(id_col, salt)
+    # NULL ids hash to a NULL bucket: both when() branches skip, and a
+    # bare otherwise('test') would silently dump every bad-id row into
+    # the TEST split (eval contamination). A NULL split keeps them
+    # visible — filter or fail upstream.
     return (
         F.when(b < train_pct, F.lit("train"))
         .when(b < train_pct + valid_pct, F.lit("validation"))
-        .otherwise(F.lit("test"))
+        .when(b.isNotNull(), F.lit("test"))
     )
 
 

@@ -359,8 +359,8 @@ def hypertable_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     m1 = rollups.rollup_finest(ev, "ts", ["event_type"], "value", 60)
-    m5 = rollups.rollup_coarser(m1, ["event_type"], 300)
-    h1 = rollups.rollup_coarser(m5, ["event_type"], 3600)
+    m5 = rollups.rollup_coarser(m1, ["event_type"], 300, finer_seconds=60)
+    h1 = rollups.rollup_coarser(m5, ["event_type"], 3600, finer_seconds=300)
     return rollups.finalize_rollup(h1, ["event_type"])
 
 

@@ -30,9 +30,11 @@ class Check:
         if self.kind == "not_null":
             pred = F.col(self.column).isNull()
         elif self.kind == "accepted_values":
-            pred = ~F.col(self.column).isin(*self.values) | F.col(
-                self.column
-            ).isNull()
+            # dbt's accepted_values test EXCLUDES NULLs (its compiled
+            # `column NOT IN (...)` is NULL for NULL input, never
+            # selected) — counting NULLs here would fail tables the
+            # reference suite passes; nullability is not_null's job
+            pred = ~F.col(self.column).isin(*self.values)
         else:
             raise ValueError(f"unknown check kind {self.kind!r}")
         return df.filter(pred).count()
