@@ -43,7 +43,9 @@ game_base AS (
     g,
     g // {GAMES_PER_DAY} AS d,
     (g // {GAMES_PER_DAY} + g % {GAMES_PER_DAY}) % {N_TEAMS} AS home,
-    (g // {GAMES_PER_DAY} + g % {GAMES_PER_DAY} + {GAMES_PER_DAY}) % {N_TEAMS} AS away,
+    (g // {GAMES_PER_DAY} + {GAMES_PER_DAY}
+     + (g % {GAMES_PER_DAY} + g // {GAMES_PER_DAY}) % {GAMES_PER_DAY})
+      % {N_TEAMS} AS away,
     85 + ({H("ph", _GS)} % 38) * 2 AS pts_h,
     86 + ({H("pa", _GS)} % 38) * 2 AS pts_a
   FROM range(0, {N_GAMES}) AS t(g)

@@ -50,6 +50,32 @@ def _cos_sql(av: str, bv: str) -> str:
     )
 
 
+def _bucket_sql(vec: str, planes: int, offset: int = 0) -> str:
+    """Sign-LSH bucket key — the SQL twin of similarity.lsh_bucket's
+    bit convention (component >= 0 sets bit i), with the same per-table
+    component offset. ONE definition for every oracle that mirrors it
+    (dup pairs, single-table top-k, multi-table top-k): a sign or
+    offset change edited in one hand-kept copy would silently
+    desynchronize the others."""
+    return " + ".join(
+        f"CASE WHEN {vec}[{offset + i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+        for i in range(planes)
+    )
+
+
+def _pq_l2_sql(vec: str, cw: str, sub: int) -> str:
+    """Subspace L2 distance between a vector slice and a codeword
+    slice (s is the enclosing lambda's subspace index) — the SQL twin
+    of similarity._pq_encode's fold, shared by the PQ and IVF-PQ
+    oracles."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {sub}), "
+        f"i -> (CAST({vec}[s*{sub}+i] AS DOUBLE) - CAST({cw}[s*{sub}+i] AS DOUBLE))"
+        f" * (CAST({vec}[s*{sub}+i] AS DOUBLE) - CAST({cw}[s*{sub}+i] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup: exact
 # ---------------------------------------------------------------------------
@@ -304,10 +330,7 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUP_PLANES = 6  # 64 sign-LSH buckets: ~2^6 reduction of the pair space
 
-_DUP_BUCKET = " + ".join(
-    f"CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
-    for i in range(_DUP_PLANES)
-)
+_DUP_BUCKET = _bucket_sql("v", _DUP_PLANES)
 
 
 @register(
@@ -358,10 +381,7 @@ _LSH_PLANES = 4
 
 
 def _topk_oracle(bucketed: bool) -> str:
-    bucket_expr = " + ".join(
-        f"CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
-        for i in range(_LSH_PLANES)
-    )
+    bucket_expr = _bucket_sql("v", _LSH_PLANES)
     join = (
         "c.bucket = q.bucket AND c.cand_id != q.query_id"
         if bucketed
@@ -425,14 +445,9 @@ _LSH_TABLES = 4
 
 
 def _topk_lsh_multi_oracle() -> str:
-    def bucket_expr(vec: str, t: int) -> str:
-        return " + ".join(
-            f"CASE WHEN {vec}[{t * _LSH_PLANES + i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
-            for i in range(_LSH_PLANES)
-        )
-
     any_tbl = " OR ".join(
-        f"({bucket_expr('c.cv', t)}) = ({bucket_expr('q.qv', t)})"
+        f"({_bucket_sql('c.cv', _LSH_PLANES, t * _LSH_PLANES)})"
+        f" = ({_bucket_sql('q.qv', _LSH_PLANES, t * _LSH_PLANES)})"
         for t in range(_LSH_TABLES)
     )
     return f"""
@@ -1169,7 +1184,7 @@ def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH seq AS (
   SELECT user_id, event_id, value, epoch_us(ts) AS us,
     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
-      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) >= 1800000000
       OR lag(epoch_us(ts)) OVER (
       PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
     THEN 1 ELSE 0 END AS is_new
@@ -1202,7 +1217,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ev.withColumn(
         "is_new",
         F.when(
-            (F.col("us") - F.lag("us").over(w) > 1_800_000_000)
+            # >= not >: session_window is half-open [start, last+gap),
+            # so an event at EXACTLY prev+gap starts a NEW session —
+            # the stream twin (stream_queries.py) and its oracle use >=,
+            # and the tested stream/batch equivalence holds only if the
+            # batch islands split on the same boundary
+            (F.col("us") - F.lag("us").over(w) >= 1_800_000_000)
             | F.lag("us").over(w).isNull(),
             1,
         ).otherwise(0),
@@ -1227,7 +1247,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH seq AS (
   SELECT user_id, event_id, value, epoch_us(ts) AS us,
     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
-      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) >= 1800000000
       OR lag(epoch_us(ts)) OVER (
       PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
     THEN 1 ELSE 0 END AS is_new
@@ -1271,7 +1291,12 @@ def events_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ev.withColumn(
         "is_new",
         F.when(
-            (F.col("us") - F.lag("us").over(w) > 1_800_000_000)
+            # >= not >: session_window is half-open [start, last+gap),
+            # so an event at EXACTLY prev+gap starts a NEW session —
+            # the stream twin (stream_queries.py) and its oracle use >=,
+            # and the tested stream/batch equivalence holds only if the
+            # batch islands split on the same boundary
+            (F.col("us") - F.lag("us").over(w) >= 1_800_000_000)
             | F.lag("us").over(w).isNull(),
             1,
         ).otherwise(0),
@@ -1404,8 +1429,16 @@ FROM spine s LEFT JOIN monthly mo ON s.m = mo.m
     "dedup_minhash_components). Identical SQL text runs on DuckDB.",
 )
 def orders_month_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
     orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("_orders_spine_rcte")
+    # per-invocation view name, dropped right after spark.sql()
+    # resolves it: a fixed session-global name is racy under
+    # concurrent invocation (another caller's replace between this
+    # registration and analysis would silently mix datasets) and
+    # leaked the view after the build
+    view = f"_orders_spine_rcte_{uuid.uuid4().hex[:12]}"
+    orders.createOrReplaceTempView(view)
     # Resolve the spine bounds ONCE (2-value driver scalar): a
     # correlated (SELECT hi FROM bounds) inside the recursion is
     # re-evaluated at EVERY recursion level, i.e. one full-table
@@ -1424,7 +1457,7 @@ def orders_month_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orders_month_spine_recursive: orders table is empty — "
             "no o_orderdate bounds to build the month spine from"
         )
-    return spark.sql(f"""
+    out = spark.sql(f"""
 WITH RECURSIVE spine(m) AS (
   SELECT DATE '{lo}'
   UNION ALL
@@ -1434,12 +1467,14 @@ WITH RECURSIVE spine(m) AS (
 monthly AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
     COUNT(*) AS orders_cnt
-  FROM _orders_spine_rcte GROUP BY 1
+  FROM {view} GROUP BY 1
 )
 SELECT CAST(s.m AS STRING) AS month,
   COALESCE(mo.orders_cnt, 0L) AS orders_cnt
 FROM spine s LEFT JOIN monthly mo ON s.m = mo.m
 """)
+    spark.catalog.dropTempView(view)
+    return out
 
 
 @register(
@@ -1580,10 +1615,19 @@ def text_chargram_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_for_compute(
         load_table(spark, sf_dir, "documents"), "doc_id"
     )
+    # short-doc guard: Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0] (two spurious grams per short doc) where DuckDB's
+    # generate_series(1, 0) is empty — the same trap
+    # dedup.shingles_from_tokens and textops.repetition_cols guard;
+    # NULL text falls to the empty branch on both engines
     grams = docs.select(
         F.explode(
-            F.expr("transform(sequence(1, greatest(length(text) - 2, 0)),"
-                   " i -> substring(text, i, 3))")
+            F.expr(
+                "CASE WHEN length(text) >= 3 THEN "
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3)) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
         ).alias("gram")
     )
     return (
@@ -1630,7 +1674,6 @@ def _kmeans_oracle(k: int = 8) -> str:
         "list_reduce(list_transform(generate_series(1, len(q.v)), "
         "i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])), (x, y) -> x + y)"
     )
-    d2_c1 = d2_c0.replace("c.cv", "c.cv")  # same shape vs refreshed centroids
     return f"""
 WITH q AS (
   SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1663,8 +1706,8 @@ c1 AS (
   ) n ON c0.cid = n.cid
 )
 SELECT vid AS vec_id, cid AS cell, d2 FROM (
-  SELECT q.vid, c.cid, {d2_c1} AS d2,
-    ROW_NUMBER() OVER (PARTITION BY q.vid ORDER BY {d2_c1}, c.cid) AS rn
+  SELECT q.vid, c.cid, {d2_c0} AS d2,
+    ROW_NUMBER() OVER (PARTITION BY q.vid ORDER BY {d2_c0}, c.cid) AS rn
   FROM q CROSS JOIN c1 c
 ) WHERE rn = 1
 """
@@ -2131,14 +2174,6 @@ _PQ_M, _PQ_CODES, _PQ_SUB = 16, 32, 4
 def _pq_oracle() -> str:
     m, nc, sub = _PQ_M, _PQ_CODES, _PQ_SUB
 
-    def _l2_terms(vec: str, cw: str) -> str:
-        return (
-            f"list_reduce(list_transform(generate_series(1, {sub}), "
-            f"i -> (CAST({vec}[s*{sub}+i] AS DOUBLE) - CAST({cw}[s*{sub}+i] AS DOUBLE))"
-            f" * (CAST({vec}[s*{sub}+i] AS DOUBLE) - CAST({cw}[s*{sub}+i] AS DOUBLE))), "
-            f"(x, y) -> x + y)"
-        )
-
     return f"""
 WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
 cents AS (
@@ -2151,7 +2186,7 @@ coded AS (
     list_transform(generate_series(0, {m - 1}), s ->
       list_reduce(
         list_transform(generate_series(1, {nc}), j -> {{
-          'd2': {_l2_terms("b.v", "cb.cbl[j]")},
+          'd2': {_pq_l2_sql("b.v", "cb.cbl[j]", sub)},
           'j': j - 1 }}),
         (a, c) -> CASE WHEN c.d2 < a.d2 OR (c.d2 = a.d2 AND c.j < a.j)
                   THEN c ELSE a END).j) AS code
@@ -2208,14 +2243,6 @@ def _ivf_pq_oracle() -> str:
     m, nc, sub = _PQ_M, _PQ_CODES, _PQ_SUB
     cells, nprobe = _IVF_CELLS, _IVF_NPROBE
 
-    def _l2_terms(vec: str, cw: str) -> str:
-        return (
-            f"list_reduce(list_transform(generate_series(1, {sub}), "
-            f"i -> (CAST({vec}[s*{sub}+i] AS DOUBLE) - CAST({cw}[s*{sub}+i] AS DOUBLE))"
-            f" * (CAST({vec}[s*{sub}+i] AS DOUBLE) - CAST({cw}[s*{sub}+i] AS DOUBLE))), "
-            f"(x, y) -> x + y)"
-        )
-
     return f"""
 WITH base AS (
   SELECT vec_id, embedding AS v, sqrt({_dot_sql("embedding", "embedding")}) AS nrm
@@ -2245,7 +2272,7 @@ coded AS (
     list_transform(generate_series(0, {m - 1}), s ->
       list_reduce(
         list_transform(generate_series(1, {nc}), j -> {{
-          'd2': {_l2_terms("a.candv", "cb.cbl[j]")},
+          'd2': {_pq_l2_sql("a.candv", "cb.cbl[j]", sub)},
           'j': j - 1 }}),
         (x, c) -> CASE WHEN c.d2 < x.d2 OR (c.d2 = x.d2 AND c.j < x.j)
                   THEN c ELSE x END).j) AS code

@@ -24,6 +24,25 @@ from ..streaming import (
 from .registry import register, registry
 
 
+def _work_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic scratch dir per (query, source dir), CLEARED on
+    each invocation: mkdtemp here leaked one changelog/snapshot/index
+    copy per invocation (bench + parity re-run these entries many
+    times per round), growing /tmp without bound."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_stream_{tag}_"
+        + hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12],
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return work
+
+
 @register(
     "stream_tumbling_agg",
     group="2.9 ext-stream",
@@ -240,14 +259,26 @@ def stream_stream_left_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions=8,
     )
     ev = load_table(spark, sf_dir, "events")
-    maxes = (
-        ev.filter(F.col("event_type").isin("click", "purchase"))
+    # BOTH event classes must be present: the closed-region cut is
+    # min over the per-type maxima, and in the stream an absent side's
+    # watermark never advances (no unmatched row would ever flush), so
+    # a min over only the present type would silently compare a
+    # drained-empty stream result against a non-empty oracle. Fail
+    # loudly instead of mismatching.
+    per_type = {
+        r["event_type"]: r["mx"]
+        for r in ev.filter(F.col("event_type").isin("click", "purchase"))
         .groupBy("event_type")
         .agg(F.max(epoch_us("ts")).alias("mx"))
-        .agg(F.min("mx").alias("m"))
-        .first()
-    )
-    final_wm = maxes["m"] - 600_000_000  # 10-min watermark delay
+        .collect()
+    }
+    missing = {"click", "purchase"} - set(per_type)
+    if missing:
+        raise ValueError(
+            f"stream_stream_left_join: events table has no {sorted(missing)} "
+            "rows — the watermark-closed comparison region is undefined"
+        )
+    final_wm = min(per_type.values()) - 600_000_000  # 10-min watermark delay
     return drained.filter(
         F.col("click_us") + 1_800_000_000 <= final_wm - 60_000_000
     )
@@ -314,13 +345,12 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from ..streaming.cdc import CdcSnapshot
     from .olap_ext import orders_cdc_frames
 
     base, changelog = orders_cdc_frames(load_table(spark, sf_dir, "orders"))
-    work = tempfile.mkdtemp(prefix="spark_cdc_stream_")
+    work = _work_dir("cdc", sf_dir)
     logdir = os.path.join(work, "log")
     # two appends -> two files -> (with maxFilesPerTrigger=1) the
     # stream applies the changelog across >= 2 micro-batches
@@ -359,14 +389,13 @@ def stream_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_lsh_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from ..streaming.dedup_stream import (
         StreamingLshDedup,
         read_documents_stream,
     )
 
-    work = tempfile.mkdtemp(prefix="spark_stream_lsh_")
+    work = _work_dir("lsh", sf_dir)
     dd = StreamingLshDedup(spark, work)
     q = dd.attach(
         read_documents_stream(spark, sf_dir), os.path.join(work, "ckpt")
@@ -406,7 +435,6 @@ def stream_dedup_lsh_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_scd2_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     import glob
 
@@ -421,7 +449,7 @@ def stream_scd2_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract of an SCD2 apply (index-metadata collect: 1 row)
     mn, mx = ev.agg(F.min("us"), F.max("us")).first()
     mid = (mn + mx) // 2
-    work = tempfile.mkdtemp(prefix="spark_scd2_stream_")
+    work = _work_dir("scd2", sf_dir)
     logdir = os.path.join(work, "log")
     ev.filter(F.col("us") < mid).coalesce(1).write.mode("append").parquet(logdir)
     first = set(glob.glob(os.path.join(logdir, "*.parquet")))
@@ -463,7 +491,6 @@ def stream_scd2_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_incremental_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from ..streaming.incremental import AggStateSnapshot
     from .olap_ext import INCR_KEYS, orders_incremental_frames
@@ -472,7 +499,7 @@ def stream_incremental_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
     )
 
-    work = tempfile.mkdtemp(prefix="spark_incr_stream_")
+    work = _work_dir("incr", sf_dir)
     logdir = os.path.join(work, "log")
     # commutative state: an arbitrary (parity) split still converges
     k = F.col("o_orderkey")
@@ -520,12 +547,11 @@ def stream_incremental_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_novelty_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from ..streaming.dedup_stream import read_documents_stream
     from ..streaming.novelty import StreamingNovelty
 
-    work = tempfile.mkdtemp(prefix="spark_stream_novelty_")
+    work = _work_dir("novelty", sf_dir)
     nv = StreamingNovelty(spark, work)
     docs = load_table(spark, sf_dir, "documents")
     nv.seed(docs.filter(F.col("doc_id") % 10 == 0))
@@ -557,11 +583,10 @@ def stream_novelty_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_markov_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from ..streaming.markov import StreamingMarkov
 
-    work = tempfile.mkdtemp(prefix="spark_stream_markov_")
+    work = _work_dir("markov", sf_dir)
     mk = StreamingMarkov(spark, work)
     mk.seed_empty()
     q = mk.attach(

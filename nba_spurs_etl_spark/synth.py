@@ -9,11 +9,16 @@ unseeded ``random.*`` generators (``dags:185-285``):
    derived from ``md5`` of a salted key (``functions.scalar.md5_long``),
    so the *identical* table can be regenerated in pure SQL by the
    DuckDB oracle — the whole silver layer becomes oracle-checkable.
-2. **Schedule validity.** Games come from a round-robin construction
-   (day d, slot k: home=(d+k)%30 vs away=(d+k+15)%30, 82 days) so every
-   team plays exactly once per day — game_date is unique per team,
-   which makes the reference's ``SUM(..) OVER (ORDER BY game_date)``
-   windows tie-free (SURVEY §7.4.5).
+2. **Schedule validity.** Games come from a rotating partition pairing
+   (day d, slot k: home=(d+k)%30 vs away=(d+15+((k+d)%15))%30, 82
+   days): the home half {d..d+14} and away half {d+15..d+29} partition
+   the league, so every team plays exactly once per day — game_date is
+   unique per team, which keeps the reference's ``SUM(..) OVER (ORDER
+   BY game_date)`` windows tie-free (SURVEY §7.4.5) — while the
+   within-half rotation by (k+d)%15 varies each team's opponent day to
+   day (a fixed +15 partner would give every team ONE opponent all
+   season, leaving the per-opponent logic — streaks' team_beat_by_most,
+   opponent tie-breaks — exercised against a single value).
 
 All columns are **strings** (the reference's all-VARCHAR silver,
 ``dags:380``); gold models re-cast. Spurs rows are biased (lower
@@ -95,8 +100,6 @@ def _games_side(games: DataFrame, side: str) -> DataFrame:
     opp = F.col("away") if is_home else F.col("home")
     my_pts = F.col("pts_h") if is_home else F.col("pts_a")
     opp_pts = F.col("pts_a") if is_home else F.col("pts_h")
-    hs = _h("s" + side, F.col("g"))
-
     # Spurs bias: worse shooting + more turnovers (-> Debilidad rows),
     # more rebounds (-> Fortaleza row). Applied per-side so only SAS rows move.
     is_sas = me == SPURS_IDX
@@ -133,8 +136,7 @@ def _games_side(games: DataFrame, side: str) -> DataFrame:
         reb.cast("string").alias("reb"),
         (F.lit(1) + _h("f5" + side, F.col("g")) % 10).cast("string").alias("blk"),
         (F.lit(3) + _h("f6" + side, F.col("g")) % 13).cast("string").alias("stl"),
-        hs.alias("_order_salt"),  # dropped below; keeps lineage simple
-    ).drop("_order_salt")
+    )
 
 
 def build_games(spark: SparkSession) -> DataFrame:
@@ -150,7 +152,14 @@ def build_games(spark: SparkSession) -> DataFrame:
         "g",
         "d",
         ((F.col("d") + F.col("k")) % N_TEAMS).alias("home"),
-        ((F.col("d") + F.col("k") + GAMES_PER_DAY) % N_TEAMS).alias("away"),
+        (
+            (
+                F.col("d")
+                + GAMES_PER_DAY
+                + (F.col("k") + F.col("d")) % GAMES_PER_DAY
+            )
+            % N_TEAMS
+        ).alias("away"),
         (F.lit(85) + (_h("ph", F.col("g")) % 38) * 2).alias("pts_h"),
         (F.lit(86) + (_h("pa", F.col("g")) % 38) * 2).alias("pts_a"),
     )
