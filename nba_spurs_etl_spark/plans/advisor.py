@@ -42,9 +42,13 @@ def _subtree(plan: str, node_label: str) -> str:
     """The tree-section lines under ``node_label`` (e.g. "Exchange (7)"):
     subsequent lines rendered at deeper indentation, until the tree
     returns to this node's depth. Depth = column where the node name
-    starts after the ``:  +-`` glyph gutter."""
-    tree = plan.split("\n\n", 1)[0]
-    lines = tree.splitlines()
+    starts after the ``:  +-`` glyph gutter.
+
+    Searches EVERY tree block of the formatted plan — the main tree
+    AND each subquery's tree (after "===== Subqueries ====="): node
+    ids harvested from the whole plan can live in a subquery section,
+    and restricting to the first block would return '' for those,
+    silently passing whatever hazard the caller is auditing."""
 
     def depth(line: str) -> int | None:
         m = re.search(r"[+:]- ", line)
@@ -53,18 +57,22 @@ def _subtree(plan: str, node_label: str) -> str:
     # negative lookbehind: "Exchange (24)" must not match inside
     # "BroadcastExchange (24)"
     label_re = re.compile(r"(?<![A-Za-z])" + re.escape(node_label))
-    out: list[str] = []
-    d0 = None
-    for line in lines:
-        if d0 is None:
-            if label_re.search(line):
-                d0 = depth(line) or 0
+    for tree in plan.split("\n\n"):
+        if not label_re.search(tree):
             continue
-        d = depth(line)
-        if d is not None and d <= d0:
-            break
-        out.append(line)
-    return "\n".join(out)
+        out: list[str] = []
+        d0 = None
+        for line in tree.splitlines():
+            if d0 is None:
+                if label_re.search(line):
+                    d0 = depth(line) or 0
+                continue
+            d = depth(line)
+            if d is not None and d <= d0:
+                break
+            out.append(line)
+        return "\n".join(out)
+    return ""
 
 
 def audit_plan(df: DataFrame, allow: set[str] | None = None) -> list[tuple[str, str]]:

@@ -64,6 +64,11 @@ def set_priority(names: list[str]) -> None:
     unknown = [n for n in names if n not in _REGISTRY]
     if unknown:
         raise ValueError(f"set_priority: unknown queries {unknown}")
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        # a hand-rotation typo that lists a name twice would silently
+        # shrink the driver's 50-entry correctness prefix by one
+        raise ValueError(f"set_priority: duplicate queries {dupes}")
     _PRIORITY[:] = names
 
 

@@ -1846,6 +1846,146 @@ def test_label_propagation_invariant_to_partitioning(spark):
     assert got == ref and len(ref) > 0
 
 
+def test_subtree_searches_subquery_sections():
+    """_subtree must find nodes in subquery tree blocks, not only the
+    main tree — SinglePartition hazards inside scalar subqueries were
+    invisible to the audit (empty subtree -> no finding)."""
+    from nba_spurs_etl_spark.plans.advisor import _subtree
+
+    plan = (
+        "* Project (1)\n"
+        "+- Exchange (2)\n"
+        "   +- HashAggregate (3)\n"
+        "\n"
+        "===== Subqueries =====\n"
+        "\n"
+        "Subquery:1\n"
+        "+- Exchange (9)\n"
+        "   +- Window (10)\n"
+        "      +- Scan parquet (11)\n"
+    )
+    sub = _subtree(plan, "Exchange (9)")
+    assert "Scan parquet" in sub
+    assert "HashAggregate" not in sub
+
+
+def test_set_priority_rejects_duplicates():
+    from nba_spurs_etl_spark.plans import registry
+
+    saved = list(registry._PRIORITY)
+    name = saved[0]
+    try:
+        with pytest.raises(ValueError, match="duplicate"):
+            registry.set_priority([name, name])
+    finally:
+        registry.set_priority(saved)
+
+
+def test_asof_join_null_payload_null_time_same_row(spark):
+    """DuckDB ASOF semantics: the payload comes from THE latest
+    matching right row — a NULL value there stays NULL (not a
+    resurrected older value), all payload columns come from the same
+    row, and a NULL right_time is never a match."""
+    left = spark.createDataFrame([(1, 3), (2, 0)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, None), (2, None, 99.0)],
+        "k long, rt long, v double",
+    )
+    out = {
+        r["k"]: (r["price"], r["match_t"])
+        for r in asof_join_backward(
+            left, right, "k", "t", "rt", {"v": "price", "rt": "match_t"}
+        ).collect()
+    }
+    # k=1: latest match is rt=2 whose v is NULL — price NULL, match_t 2
+    # (per-column carries would stitch price=10 from rt=1 with match_t=2)
+    assert out[1] == (None, 2)
+    # k=2: the only right row has NULL rt — not a universal match
+    assert out[2] == (None, None)
+
+
+def test_latest_by_key_tie_break_deterministic(spark):
+    from nba_spurs_etl_spark.operators.merge import latest_by_key
+
+    rows = [(1, 5, "U", 100.0), (1, 5, "D", None), (2, 1, "I", 7.0)]
+    df = spark.createDataFrame(rows, "k long, ts long, op string, val double")
+    a = sorted(map(tuple, latest_by_key(df.coalesce(1), ["k"], "ts").collect()))
+    b = sorted(map(tuple, latest_by_key(df.repartition(7), ["k"], "ts").collect()))
+    assert a == b
+    assert a[0][2] == "D"  # tie at ts=5 -> smallest op wins, every run
+
+
+def test_kmeans_lloyd_string_ids(spark):
+    """Centroid ids must keep the seed id's native type: casting
+    string doc ids to long made every cell NULL and silently froze
+    the clustering."""
+    from nba_spurs_etl_spark.operators.clustering import kmeans_lloyd
+
+    rows = [(f"doc_{i}", [float(i % 3), float(i)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id string, v array<float>")
+    out = kmeans_lloyd(df, "doc_id", "v", k=2, iters=2).collect()
+    assert len(out) == 6
+    assert all(r["cell"] is not None for r in out)
+    assert len({r["cell"] for r in out}) == 2
+
+
+def test_split_label_null_id_not_test(spark):
+    """NULL ids must not silently land in the TEST split (eval
+    contamination); they get a NULL split instead."""
+    from nba_spurs_etl_spark.operators.sampling import split_label
+
+    df = spark.createDataFrame([(None,), ("a",)], "id string")
+    got = {
+        r["id"]: r["split"]
+        for r in df.select("id", split_label("id").alias("split")).collect()
+    }
+    assert got[None] is None
+    assert got["a"] in ("train", "validation", "test")
+
+
+def test_rollup_coarser_rejects_non_nesting_width(spark):
+    from nba_spurs_etl_spark.operators.rollups import rollup_coarser
+
+    df = spark.createDataFrame([], "bucket timestamp, cnt long, "
+                               "val_sum decimal(18,2), val_min string, "
+                               "val_max string")
+    with pytest.raises(ValueError, match="nest"):
+        rollup_coarser(df, [], 90, finer_seconds=60)
+
+
+def test_chargram_short_docs_match_oracle(spark, tmp_path):
+    """Docs shorter than one trigram (and NULL text) must emit zero
+    grams: Spark's sequence(1, 0) is a DESCENDING [1, 0] — without the
+    guard each short doc emitted two spurious grams that DuckDB's
+    empty generate_series never counts."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nba_spurs_etl_spark.plans.catalog import queries
+    from nba_spurs_etl_spark.plans.registry import oracles
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["", "ab", None, "abcdef", "xyz"]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = sorted(
+        (r["gram"], r["cnt"])
+        for r in queries()["text_chargram_dist"](spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    duck = sorted(con.sql(oracles()["text_chargram_dist"]).fetchall())
+    assert got == duck
+    assert got == [("abc", 1), ("bcd", 1), ("cde", 1), ("def", 1), ("xyz", 1)]
+
+
 def test_quality_features_empty_text_matches_oracle(spark):
     """Empty text: alpha_ratio is 0/0 — bare division ABORTS under
     ANSI (Spark 4 throws DIVIDE_BY_ZERO even for doubles) and yields
