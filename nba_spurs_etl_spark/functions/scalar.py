@@ -30,9 +30,6 @@ from pyspark.sql import functions as F
 # exact-arithmetic aggregates (oracle-deterministic)
 # ---------------------------------------------------------------------------
 
-DEC = "decimal(18,2)"
-
-
 def dsum(col: Column | str, scale: int = 2) -> Column:
     """Exact SUM: cast to decimal first, return double.
 

@@ -50,19 +50,24 @@ _REAL_MAGICS = {
 }
 
 
-def encode_fake_image(width: int, height: int, seed: str) -> bytes:
-    """Deterministic FIMG blob: md5-stream pixels (test/data synth)."""
-    need = width * height
+def _md5_stream(seed: str, need: int) -> bytes:
+    """Deterministic byte stream: concatenated md5(seed:i) digests —
+    the one generator behind both fake-media encoders."""
     out = bytearray()
     i = 0
     while len(out) < need:
         out.extend(hashlib.md5(f"{seed}:{i}".encode()).digest())
         i += 1
+    return bytes(out[:need])
+
+
+def encode_fake_image(width: int, height: int, seed: str) -> bytes:
+    """Deterministic FIMG blob: md5-stream pixels (test/data synth)."""
     return (
         FAKE_MAGIC
         + width.to_bytes(2, "big")
         + height.to_bytes(2, "big")
-        + bytes(out[:need])
+        + _md5_stream(seed, width * height)
     )
 
 
@@ -120,25 +125,27 @@ FAKE_AUDIO_MAGIC = b"FAUD"
 _REAL_AUDIO_MAGICS = {
     b"RIFF": "riff/wav",
     b"ID3": "mp3",
-    b"\xff\xfb": "mp3",
     b"OggS": "ogg",
     b"fLaC": "flac",
 }
 
 
+def _is_mpeg_sync(data: bytes) -> bool:
+    """Headerless MPEG audio frame: 11 sync bits (0xFF + top 3 bits of
+    the next byte) — covers MPEG-1/2/2.5 layer frames (0xFFFB, 0xFFF3,
+    0xFFF2, 0xFFE3, ...), not just the single 0xFFFB variant; matching
+    only that one variant tagged common MP3s 'malformed' (permanently
+    bad) instead of 'needs-codec' (reprocessable)."""
+    return len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+
+
 def encode_fake_audio(sample_rate: int, n_samples: int, seed: str) -> bytes:
     """Deterministic FAUD blob: md5-stream PCM (test/data synth)."""
-    need = n_samples * 2
-    out = bytearray()
-    i = 0
-    while len(out) < need:
-        out.extend(hashlib.md5(f"{seed}:{i}".encode()).digest())
-        i += 1
     return (
         FAKE_AUDIO_MAGIC
         + sample_rate.to_bytes(4, "big")
         + n_samples.to_bytes(4, "big")
-        + bytes(out[:need])
+        + _md5_stream(seed, n_samples * 2)
     )
 
 
@@ -159,6 +166,11 @@ def decode_audio(data: bytes) -> tuple[int, "object"]:
                 f"{fmt} decode requires an audio codec (librosa/ffmpeg); "
                 "FAUD blobs exercise the same pipeline codec-free"
             )
+    if _is_mpeg_sync(data):
+        raise NotImplementedError(
+            "mpeg-audio decode requires an audio codec (librosa/ffmpeg); "
+            "FAUD blobs exercise the same pipeline codec-free"
+        )
     if data[:4] != FAKE_AUDIO_MAGIC or len(data) < 12:
         raise ValueError("not an audio blob (bad magic)")
     sr = int.from_bytes(data[4:8], "big")
@@ -211,6 +223,15 @@ def audio_pipeline_features(
         for pdf in batches:
             rows = []
             for doc, blob in zip(pdf["doc"], pdf["data"]):
+                if blob is None:
+                    # bytes(None) is a TypeError no handler below
+                    # catches — a NULL payload must be an error ROW,
+                    # not a task failure (the isolation contract)
+                    rows.append(
+                        (doc, None, None, None, None, None, None, None,
+                         "null-payload")
+                    )
+                    continue
                 b = bytes(blob)
                 try:
                     sr, s = decode_audio(b)
@@ -261,20 +282,26 @@ def featurize_binary(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs = [bytes(x) for x in pdf["data"]]
-            hashes = [_hash60(b) for b in blobs]
+            # NULL payload -> NULL features, exactly the oracle's
+            # md5(NULL) = NULL row (bytes(None) would kill the task);
+            # pandas nullable Int dtypes carry the NAs through Arrow
+            blobs = [None if x is None else bytes(x) for x in pdf["data"]]
+            hashes = [None if b is None else _hash60(b) for b in blobs]
             yield pd.DataFrame(
                 {
                     "doc": pdf["doc"].astype("int64"),
                     "n_bytes": pd.Series(
-                        [len(b) for b in blobs], dtype="int64"
+                        [None if b is None else len(b) for b in blobs],
+                        dtype="Int64",
                     ),
-                    "byte_hash": pd.Series(hashes, dtype="int64"),
+                    "byte_hash": pd.Series(hashes, dtype="Int64"),
                     "fake_width": pd.Series(
-                        [160 + h % 1760 for h in hashes], dtype="int32"
+                        [None if h is None else 160 + h % 1760 for h in hashes],
+                        dtype="Int32",
                     ),
                     "fake_height": pd.Series(
-                        [90 + (h % 997) for h in hashes], dtype="int32"
+                        [None if h is None else 90 + (h % 997) for h in hashes],
+                        dtype="Int32",
                     ),
                 }
             )
@@ -308,6 +335,13 @@ def image_pipeline_features(
         for pdf in batches:
             rows = []
             for doc, blob in zip(pdf["doc"], pdf["data"]):
+                if blob is None:
+                    # NULL payload -> error row, never bytes(None)
+                    rows.append(
+                        (doc, None, None, None, None, None, None, None,
+                         None, "null-payload")
+                    )
+                    continue
                 b = bytes(blob)
                 try:
                     w, h, px = decode_image(b)
@@ -365,6 +399,11 @@ def sample_frames(
         for pdf in batches:
             docs, idxs, hashes = [], [], []
             for doc, blob in zip(pdf["doc"], pdf["data"]):
+                if blob is None:
+                    # oracle twin: n_frames = 1 + md5(NULL) % 8 is
+                    # NULL, and range(0, NULL) unnests to NOTHING —
+                    # a NULL container yields zero frame rows
+                    continue
                 b = bytes(blob)
                 n = 1 + _hash60(b) % max_frames
                 for i in range(n):
@@ -391,8 +430,21 @@ def resize_fit(w_col: str, h_col: str, box: int = 224):
     step slots into featurize_binary's pandas pass.
     """
     w, h = F.col(w_col), F.col(h_col)
-    t_w = F.when(w >= h, F.lit(box)).otherwise(F.floor(w * box / h)).cast("int")
-    t_h = F.when(w >= h, F.floor(h * box / w)).otherwise(F.lit(box)).cast("int")
+    # greatest(1, ...): an extreme aspect ratio (long_side > box *
+    # short_side) floors the short target to 0, and the pandas
+    # executor (image_pipeline_features) clamps the SAME formula to
+    # >= 1 — the plan and the execution must agree on the degenerate
+    # case or a planned 0-dim image breaks the resample downstream
+    t_w = (
+        F.when(w >= h, F.lit(box))
+        .otherwise(F.greatest(F.lit(1), F.floor(w * box / h)))
+        .cast("int")
+    )
+    t_h = (
+        F.when(w >= h, F.greatest(F.lit(1), F.floor(h * box / w)))
+        .otherwise(F.lit(box))
+        .cast("int")
+    )
     return t_w, t_h
 
 

@@ -1846,6 +1846,45 @@ def test_label_propagation_invariant_to_partitioning(spark):
     assert got == ref and len(ref) > 0
 
 
+def test_multimodal_null_payload_isolation(spark):
+    """A NULL binary payload must not kill the task (bytes(None) is a
+    TypeError no media handler catches). Each pass has a defined NULL
+    contract matching its oracle: error row (image/audio pipelines),
+    NULL-feature row (featurize: md5(NULL) = NULL), zero frame rows
+    (sample_frames: range(0, NULL) unnests empty)."""
+    from nba_spurs_etl_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, mm.encode_fake_image(4, 3, "s")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    img = {r["doc"]: r["error"] for r in
+           mm.image_pipeline_features(df, "doc_id", "payload").collect()}
+    assert img[1] is None and img[2] == "null-payload"
+
+    adf = spark.createDataFrame(
+        [(1, mm.encode_fake_audio(8000, 16, "s")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    aud = {r["doc"]: r["error"] for r in
+           mm.audio_pipeline_features(adf, "doc_id", "payload").collect()}
+    assert aud[1] is None and aud[2] == "null-payload"
+
+    feats = {r["doc"]: r["byte_hash"] for r in
+             mm.featurize_binary(df, "doc_id", "payload").collect()}
+    assert feats[1] is not None and feats[2] is None
+
+    frames = mm.sample_frames(df, "doc_id", "payload").collect()
+    assert {r["doc"] for r in frames} == {1}
+
+    # MPEG-2/2.5 sync variants are codec-gated, not 'malformed'
+    mp3ish = spark.createDataFrame(
+        [(1, b"\xff\xf3" + b"\x00" * 30)], "doc_id long, payload binary"
+    )
+    err = mm.audio_pipeline_features(mp3ish, "doc_id", "payload").collect()
+    assert err[0]["error"].startswith("needs-codec")
+
+
 def test_subtree_searches_subquery_sections():
     """_subtree must find nodes in subquery tree blocks, not only the
     main tree — SinglePartition hazards inside scalar subqueries were
