@@ -50,18 +50,45 @@ set_priority([
     # this rotation. Everything rotated out keeps its full DuckDB-
     # oracle parity test in tests/test_parity.py.
     "dedup_substring_spans",
-    "dedup_substring_spans_winnowed",
     "text_winnow_fingerprints",
     "corpus_dsir_topk",
     "corpus_decontaminate_neardup",
     "text_bpe_merges",
     "orders_bootstrap_ci_by_priority",
     "events_bigram_lift",
-    # r01+r02 driver-green silver_games / silver_player_stats rotated
-    # out late round 3 for the brand-new global-prefix-sum operators
-    # (both keep full pytest parity)
-    "orders_running_revenue",
-    "events_concurrency_hourly",
+    # ROTATED round 5 (VERDICT r04 item 2): the thirteen twice-driver-
+    # green entries (orders_running_revenue, events_concurrency_hourly,
+    # dedup_incremental_batch, dedup_simhash_banded,
+    # stream_dedup_lsh_index, quality_assertions, top1_per_group,
+    # global_rank_topk, streaks_gaps_islands, union_topk_branches,
+    # split_part_extract, stream_session_agg, stream_cdc_apply) plus
+    # five once-green entries whose operator-family sibling stays in
+    # the prefix (dedup_substring_spans_winnowed,
+    # orders_sample_aes_per_priority, fuzzy_match_customers_d2,
+    # similarity_topk_pq, events_path_trigrams) rotated out for the
+    # eighteen operators the r04 verdict named — entries whose only
+    # evidence so far is pytest oracles. All eighteen re-verified
+    # side-by-side MATCH vs DuckDB at sf0.01 before this rotation;
+    # everything rotated out keeps its full DuckDB-oracle parity test
+    # in tests/test_parity.py.
+    "lineitem_median_twophase",
+    "orders_salted_skew_join",
+    "events_wow_change",
+    "fd_violation_audit",
+    "orders_abc_classification",
+    "events_cumulative_users",
+    "customer_entity_resolution",
+    "part_copurchase_lift",
+    "part_copurchase_kcore",
+    "events_last_touch_attribution",
+    "join_skew_planner",
+    "events_sliding_distinct_users",
+    "events_gap_log2_histogram",
+    "orders_ks_statistic",
+    "orders_bootstrap_ci",
+    "text_feature_hashing",
+    "events_countmin_estimate",
+    "stream_markov_transitions",
     # ROTATED again mid round 4: sixteen twice-or-thrice-driver-green
     # entries (q3/q6/q18/q9/q21, asof_purchase_click, merge_cdc_orders,
     # corpus_pipeline, dedup_embedding_cosine, dedup_minhash_components,
@@ -75,16 +102,13 @@ set_priority([
     "dedup_containment",
     "corpus_ngram_novelty",
     "orders_sample_aes_topk",
-    "orders_sample_aes_per_priority",
     "events_cusum_changepoint",
     "orders_winsorized_stats",
-    "similarity_topk_pq",
     "similarity_topk_ivf_pq",
     "stream_novelty_index",
     "events_seasonal_anomaly",
     "graph_label_propagation",
     "events_markov_transitions",
-    "events_path_trigrams",
     "orders_hhi_concentration",
     "orders_skyline_pareto",
     # ROTATED round 4 (VERDICT r03 item 2): eleven twice-driver-green
@@ -97,7 +121,6 @@ set_priority([
     # parity test in tests/test_parity.py.
     "dedup_components_star",
     "fuzzy_match_customers",
-    "fuzzy_match_customers_d2",
     "orders_equidepth_price_histogram",
     "scd2_asof_enrich",
     "stream_scd2_apply",
@@ -106,21 +129,6 @@ set_priority([
     "corpus_decontaminate_bloom",
     "gold_team_weaknesses_wide",
     "top1_per_group_maxby",
-    # dedup_exact (driver-green r01+r02) rotated out for the new
-    # incremental batch-vs-index dedup
-    "dedup_incremental_batch",
-    "dedup_simhash_banded",
-    # stream_tumbling_agg (driver-green r02) rotated out for the new
-    # streaming LSH dedup
-    "stream_dedup_lsh_index",
-    "quality_assertions",
-    "top1_per_group",
-    "global_rank_topk",
-    "streaks_gaps_islands",
-    "union_topk_branches",
-    "split_part_extract",
-    "stream_session_agg",
-    "stream_cdc_apply",
 ])
 
 

@@ -1162,8 +1162,10 @@ _CK_MOD = 1 << 60
     oracle=f"""
 WITH h AS (
   SELECT {md5_long_sql(
-      "CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' || "
-      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"
+      "CAST(o_orderkey AS VARCHAR) || '|' || "
+      "COALESCE(o_orderstatus, '<NULL>') || '|' || "
+      "COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),"
+      " '<NULL>')"
   )} AS rh
   FROM orders
 )
@@ -1180,9 +1182,13 @@ FROM h GROUP BY 1
     "costs one kilobyte exchange, and a mismatch pinpoints 1/"
     f"{_CK_BUCKETS} of the keyspace to re-diff — the anti-entropy "
     "pattern, vs diffing whole tables. The checksum value is canonical "
-    "(decimal-formatted price), so ANY engine computing the same "
-    "formula agrees; addition is commutative, so partitioning and "
-    "retry order never change it. One map-combined shuffle of "
+    "(decimal-formatted price, NULL fields encoded as an explicit "
+    "'<NULL>' sentinel — concat_ws's silent NULL-skip would make "
+    "('A', NULL) and (NULL, 'A') collide AND diverge from any "
+    "engine whose || nulls the whole row, found by the differential "
+    "fuzzer), so ANY engine computing the same formula agrees; "
+    "addition is commutative, so partitioning and retry order never "
+    "change it. One map-combined shuffle of "
     f"{_CK_BUCKETS} partial rows per task.",
 )
 def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1191,12 +1197,16 @@ def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+    null_s = F.lit("<NULL>")
     rh = md5_long(
         F.concat_ws(
             "|",
             F.col("o_orderkey").cast("string"),
-            F.col("o_orderstatus"),
-            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            F.coalesce(F.col("o_orderstatus"), null_s),
+            F.coalesce(
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                null_s,
+            ),
         )
     )
     return (
@@ -2374,6 +2384,7 @@ WITH v AS (
   SELECT o_totalprice AS p,
     CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a
   FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
 ),
 g AS (
   SELECT p, CAST(SUM(a) AS BIGINT) AS c1,
@@ -2409,6 +2420,10 @@ FROM r CROSS JOIN t GROUP BY n1, n2
     "never a single-task window. Each "
     "CDF value is one exact-int division; KS is a max over "
     "identically-computed doubles — bit-identical across engines. "
+    "NULL prices are excluded up front: a row with no price has no "
+    "position in a price ECDF, and engines disagree on where NULL "
+    "sorts (Spark windows default NULLS FIRST ascending, DuckDB "
+    "NULLS LAST — found by the differential fuzzer). "
     "The continuous-distribution companion to events_drift_chi2.",
 )
 def orders_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2416,6 +2431,7 @@ def orders_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     od = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+        & F.col("o_totalprice").isNotNull()
     )
     v = od.select(
         F.col("o_totalprice").alias("p"),

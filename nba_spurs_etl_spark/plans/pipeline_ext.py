@@ -388,16 +388,30 @@ def _topk_oracle(bucketed: bool) -> str:
         else "c.cand_id != q.query_id"
     )
     bucket_col = f", CAST({bucket_expr} AS INT) AS bucket" if bucketed else ""
+    # the LSH operator dedups (query_id, cand_id) pairs by max-score
+    # (a pair colliding in several tables must score once) — which
+    # also collapses duplicate input ids to one candidate row, the
+    # sane retrieval contract ("each cand_id at most once per query").
+    # The oracle mirrors that grain; the brute-force form keeps the
+    # input grain verbatim on both sides (no dedup either engine).
+    # Divergence found by the differential fuzzer on duplicated keys.
+    dedup_pairs = (
+        "SELECT query_id, cand_id, MAX(cos_sim) AS cos_sim "
+        "FROM scored0 GROUP BY 1, 2"
+        if bucketed
+        else "SELECT * FROM scored0"
+    )
     return f"""
 WITH base AS (SELECT vec_id, embedding AS v{bucket_col} FROM embeddings
               WHERE {_dot_sql("embedding", "embedding")} > 0),
 q AS (SELECT vec_id AS query_id, v AS qv{', bucket' if bucketed else ''}
       FROM base WHERE vec_id % 100 = 0),
 c AS (SELECT vec_id AS cand_id, v AS cv{', bucket' if bucketed else ''} FROM base),
-scored AS (
+scored0 AS (
   SELECT query_id, cand_id, {_cos_sql("qv", "cv")} AS cos_sim
   FROM c JOIN q ON {join}
-)
+),
+scored AS ({dedup_pairs})
 SELECT query_id, cand_id, cos_sim, CAST(rn AS INT) AS rnk
 FROM (
   SELECT *, ROW_NUMBER() OVER (
@@ -455,9 +469,15 @@ WITH base AS (SELECT vec_id, embedding AS v FROM embeddings
               WHERE {_dot_sql("embedding", "embedding")} > 0),
 q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 100 = 0),
 c AS (SELECT vec_id AS cand_id, v AS cv FROM base),
-scored AS (
+scored0 AS (
   SELECT query_id, cand_id, {_cos_sql("qv", "cv")} AS cos_sim
   FROM c JOIN q ON c.cand_id != q.query_id AND ({any_tbl})
+),
+scored AS (
+  -- pair grain mirrors lsh_topk's (query_id, cand_id) max-aggregate:
+  -- duplicate input ids collapse to one candidate row (fuzzer-found)
+  SELECT query_id, cand_id, MAX(cos_sim) AS cos_sim
+  FROM scored0 GROUP BY 1, 2
 )
 SELECT query_id, cand_id, cos_sim, CAST(rn AS INT) AS rnk
 FROM (
