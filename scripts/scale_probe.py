@@ -62,6 +62,10 @@ NAMES = [
     "dedup_substring_spans", "corpus_dsir_topk", "text_bpe_merges",
     "corpus_decontaminate_neardup", "text_winnow_fingerprints",
     "dedup_substring_spans_winnowed",
+    # round-5 additions (the r04 verdict's unprobed list)
+    "search_bm25_topk", "stream_markov_transitions",
+    "orders_bootstrap_ci_by_priority", "multimodal_audio_pipeline",
+    "events_cusum_changepoint",
 ]
 
 
@@ -77,6 +81,23 @@ def build(spark, dst: str, k: int) -> None:
         out = reps[0]
         for d in reps[1:]:
             out = out.unionByName(d)
+        if name in ("events", "documents"):
+            # the streaming readers narrow their listings with
+            # pathGlobFilter=<name>.parquet (see sources/repack.py
+            # KEEP_SINGLE_FILE) — these two must be single FILES, not
+            # part-file directories. Write one file with ~64 row
+            # groups so batch scans still split across cores.
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pdf = out.toPandas()
+            tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+            pq.write_table(
+                tbl,
+                f"{dst}/{name}.parquet",
+                row_group_size=max(1, len(pdf) // 64),
+            )
+            return
         out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
 
     rep("lineitem", {"l_orderkey": 10_000_000})
