@@ -121,30 +121,83 @@ def team_weaknesses_unpivoted(silver: dict[str, DataFrame]) -> DataFrame:
     The 7-branch UNION ALL (which re-joins the same 3 CTEs seven times,
     :67-156) collapses to ONE 3-way join + a stack() unpivot — same
     rows, one pass.
+
+    Round 5: the three CTEs themselves (spurs / league / best) fold
+    into ONE grouped pass + a regroup instead of three aggregation
+    subtrees joined on season2 — 5 Spark jobs -> 2 at fixture scale
+    (each broadcast subtree was its own job), and one shuffle of the
+    fact rows instead of three at any scale. Bit-exactness is by
+    decimal decomposition: ``davg`` is
+    ``cast(sum(decimal) as double) / count``, decimal sums re-sum
+    exactly across the per-team grain, counts add, and the single IEEE
+    division happens once at the end either way. The reference's CTE
+    asymmetry is preserved: spurs aggregates ALL its games rows while
+    league/best aggregate only rows that join teams — the teams join
+    is LEFT here with a match flag, matched-only sums feeding
+    league/best and all-rows sums feeding spurs. Seasons are emitted
+    exactly when both the spurs CTE and the joined CTEs would be
+    non-empty (the original INNER joins on season2).
     """
     games, teams = silver["games"], silver["teams"]
-    spurs = (
-        games.filter(F.col("team_name") == "San Antonio Spurs")
-        .groupBy(season_norm("season").alias("season2"))
-        .agg(*_seven_avgs())
-    )
-    joined = games.join(F.broadcast(teams), games.team_id == teams.id)
-    league = joined.groupBy(season_norm("season").alias("season2")).agg(
-        *[
-            davg(col, scale=3).alias(f"avg_league_{col}")
-            for _, col, _, _ in WEAKNESS_METRICS
-        ]
-    )
+    # the all-rows (spurs) sums below equal the reference's UNJOINED
+    # spurs CTE only while each games row matches <= 1 teams row —
+    # guaranteed upstream: silver ingest PK-validates teams.id
+    # (sources/silver.py raises on duplicates, like the reference's
+    # INSERT)
+    joined = games.join(F.broadcast(teams), games.team_id == teams.id, "left")
+    matched = teams["id"].isNotNull()
+    cols = [col for _, col, _, _ in WEAKNESS_METRICS]
     per_team = joined.groupBy(
         season_norm("season").alias("season2"), "team_name"
-    ).agg(*_seven_avgs())
-    best = per_team.groupBy("season2").agg(
+    ).agg(
+        F.count(F.lit(1)).alias("all_rows"),
+        F.sum(F.when(matched, 1).otherwise(0)).alias("m_rows"),
         *[
-            (F.min if agg == "min" else F.max)(f"avg_{col}").alias(f"best_{col}")
-            for _, col, _, agg in WEAKNESS_METRICS
-        ]
+            F.sum(F.when(matched, F.col(c)).cast("decimal(18,3)")).alias(
+                f"msum_{c}"
+            )
+            for c in cols
+        ],
+        *[F.count(F.when(matched, F.col(c))).alias(f"mcnt_{c}") for c in cols],
+        *[F.sum(F.col(c).cast("decimal(18,3)")).alias(f"asum_{c}") for c in cols],
+        *[F.count(F.col(c)).alias(f"acnt_{c}") for c in cols],
     )
-    wide = spurs.join(league, "season2").join(best, "season2")
+    sas = F.col("team_name") == "San Antonio Spurs"
+    m_avg = {
+        c: F.col(f"msum_{c}").cast("double") / F.col(f"mcnt_{c}") for c in cols
+    }
+    wide = (
+        per_team.groupBy("season2")
+        .agg(
+            F.sum(F.when(sas, F.col("all_rows"))).alias("_spurs_rows"),
+            F.sum("m_rows").alias("_m_rows"),
+            *[
+                F.max(
+                    F.when(
+                        sas,
+                        F.col(f"asum_{c}").cast("double") / F.col(f"acnt_{c}"),
+                    )
+                ).alias(f"avg_{c}")
+                for c in cols
+            ],
+            *[
+                (
+                    F.sum(F.when(F.col("m_rows") > 0, F.col(f"msum_{c}")))
+                    .cast("double")
+                    / F.sum(F.when(F.col("m_rows") > 0, F.col(f"mcnt_{c}")))
+                ).alias(f"avg_league_{c}")
+                for c in cols
+            ],
+            *[
+                (F.min if agg == "min" else F.max)(
+                    F.when(F.col("m_rows") > 0, m_avg[col])
+                ).alias(f"best_{col}")
+                for _, col, _, agg in WEAKNESS_METRICS
+            ],
+        )
+        .filter(F.col("_spurs_rows").isNotNull() & (F.col("_m_rows") > 0))
+        .drop("_spurs_rows", "_m_rows")
+    )
 
     stack_args = []
     for label, col, polarity, _ in WEAKNESS_METRICS:
@@ -293,90 +346,114 @@ def streaks_and_rivals(silver: dict[str, DataFrame]) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    def best_streak(flag: str, brk: str) -> DataFrame:
-        grouped = (
-            spurs.withColumn("grp", F.sum(brk).over(w))
-            .filter(F.col(flag) == 1)
-            .groupBy("season", "grp")
-            .agg(F.count(F.lit(1)).alias("streak_length"))
+    # Round 5: the former four branch subtrees (two streak windows, two
+    # extreme-game sorts), each materialized as its own broadcast job,
+    # fold into two global aggregations — 7 Spark jobs -> 4 at fixture
+    # scale. BOTH running sums ride ONE window pass; the win/loss grp
+    # streams melt to long form and each pick is a min_by argmax whose
+    # struct key reproduces the former ORDER BY exactly
+    # ((length DESC, season ASC, grp ASC) == min of
+    # (-length, season, grp); rows of the other kind carry a NULL key
+    # and min_by skips them). A global aggregate returns exactly ONE
+    # row even on empty input, so the reference's scalar-subquery
+    # one-row contract (NULLs where a branch is empty, :92-102) holds
+    # with no literal-anchor join chain.
+    flagged = spurs.select(
+        "season", "game_date", "matchup", "plus_minus", "is_win", "is_loss",
+        F.sum("is_loss").over(w).alias("grp_w"),
+        F.sum("is_win").over(w).alias("grp_l"),
+    )
+    long = (
+        flagged.select(
+            "season",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("win").alias("kind"),
+                        F.col("grp_w").alias("grp"),
+                        F.col("is_win").alias("flag"),
+                    ),
+                    F.struct(
+                        F.lit("loss").alias("kind"),
+                        F.col("grp_l").alias("grp"),
+                        F.col("is_loss").alias("flag"),
+                    ),
+                )
+            ).alias("s"),
         )
-        # season in the tiebreak: grp restarts per season, so
-        # (streak_length, grp) alone is not unique across seasons
-        return grouped.orderBy(
-            F.desc("streak_length"), F.asc("season"), F.asc("grp")
-        ).limit(1).select("season", "streak_length")
-
-    bws = best_streak("is_win", "is_loss")
-    wls = best_streak("is_loss", "is_win")
+        .select("season", "s.kind", "s.grp", "s.flag")
+        .filter(F.col("flag") == 1)
+    )
+    streaks = long.groupBy("kind", "season", "grp").agg(
+        F.count(F.lit(1)).alias("streak_length")
+    )
+    # season in the tiebreak: grp restarts per season, so
+    # (streak_length, grp) alone is not unique across seasons
+    streak_key = F.struct(
+        (-F.col("streak_length")).alias("k1"),
+        F.col("season").alias("k2"),
+        F.col("grp").alias("k3"),
+    )
+    streak_val = F.struct("season", "streak_length")
+    picks_streak = streaks.agg(
+        F.min_by(
+            streak_val, F.when(F.col("kind") == "win", streak_key)
+        ).alias("bws"),
+        F.min_by(
+            streak_val, F.when(F.col("kind") == "loss", streak_key)
+        ).alias("wls"),
+    )
 
     opponent = opponent_from_matchup("matchup")
-
-    def extreme_game(agg, order) -> DataFrame:
-        ext = spurs.agg(agg(F.col("plus_minus")).alias("ext"))  # VARCHAR max/min!
-        return (
-            spurs.join(F.broadcast(ext), spurs.plus_minus == ext.ext)
-            .select("season", "game_date", opponent.alias("opponent"),
-                    F.col("plus_minus").alias("point_differential"))
-            .orderBy(order("point_differential"), F.asc("opponent"),
-                     F.asc("season"), F.asc("game_date"))
-            .limit(1)
-        )
-
-    bw = extreme_game(F.max, F.desc)
-    bl = extreme_game(F.min, F.asc)
-
-    # Scalar-subquery semantics, not a cross join: the reference's
-    # final SELECT (streaks_and_rivals.sql:92-102) emits exactly ONE
-    # row with NULLs where a sub-result is empty (e.g. a season with
-    # no losses), so each 1-row frame left-joins onto a literal
-    # single-row anchor — a crossJoin chain would collapse to ZERO
-    # rows the moment any branch is empty.
-    one = games.sparkSession.range(1)
-    out = (
-        one.join(
-            F.broadcast(
-                bws.select(
-                    F.col("season").alias("best_winning_streak_season"),
-                    F.col("streak_length").alias("best_winning_streak_length"),
-                )
-            ),
-            F.lit(True),
-            "left",
-        )
-        .join(
-            F.broadcast(
-                wls.select(
-                    F.col("season").alias("worst_losing_streak_season"),
-                    F.col("streak_length").alias("worst_losing_streak_length"),
-                )
-            ),
-            F.lit(True),
-            "left",
-        )
-        .join(
-            F.broadcast(
-                bw.select(
-                    F.col("season").alias("biggest_win_season"),
-                    F.col("opponent").alias("team_beat_by_most"),
-                    F.col("point_differential").alias("biggest_win_margin"),
-                )
-            ),
-            F.lit(True),
-            "left",
-        )
-        .join(
-            F.broadcast(
-                bl.select(
-                    F.col("season").alias("biggest_loss_season"),
-                    F.col("opponent").alias("team_lost_to_by_most"),
-                    F.col("point_differential").alias("biggest_loss_margin"),
-                )
-            ),
-            F.lit(True),
-            "left",
-        )
+    # VARCHAR max/min, as the reference (:70,:86); the equi-join on the
+    # extreme value makes every surviving row's point_differential
+    # EQUAL, so the former ORDER BY (pd, opponent, season, game_date)
+    # reduces to the pure-ASC (opponent, season, game_date) min_by key
+    ext = spurs.agg(
+        F.max("plus_minus").alias("mx"), F.min("plus_minus").alias("mn")
     )
-    return out.drop("id")
+    matches = spurs.join(
+        F.broadcast(ext),
+        (spurs.plus_minus == ext.mx) | (spurs.plus_minus == ext.mn),
+    ).select(
+        "season", "game_date", opponent.alias("opponent"),
+        F.col("plus_minus").alias("point_differential"), "mx", "mn",
+    )
+    game_key = F.struct(
+        F.col("opponent").alias("k1"),
+        F.col("season").alias("k2"),
+        F.col("game_date").alias("k3"),
+    )
+    game_val = F.struct("season", "opponent", "point_differential")
+    picks_game = matches.agg(
+        F.min_by(
+            game_val,
+            F.when(F.col("point_differential") == F.col("mx"), game_key),
+        ).alias("bw"),
+        F.min_by(
+            game_val,
+            F.when(F.col("point_differential") == F.col("mn"), game_key),
+        ).alias("bl"),
+    )
+
+    # Scalar-subquery semantics (streaks_and_rivals.sql:92-102): both
+    # pick frames are GLOBAL aggregates — exactly one row each even on
+    # empty input, with NULL structs where a branch is empty — so their
+    # cross join is exactly one row and the struct fields unpack into
+    # the reference's columns (NULL struct -> NULL fields).
+    out = picks_streak.crossJoin(F.broadcast(picks_game))
+    return out.select(
+        F.col("bws.season").alias("best_winning_streak_season"),
+        F.col("bws.streak_length").alias("best_winning_streak_length"),
+        F.col("wls.season").alias("worst_losing_streak_season"),
+        F.col("wls.streak_length").alias("worst_losing_streak_length"),
+        F.col("bw.season").alias("biggest_win_season"),
+        F.col("bw.opponent").alias("team_beat_by_most"),
+        F.col("bw.point_differential").alias("biggest_win_margin"),
+        F.col("bl.season").alias("biggest_loss_season"),
+        F.col("bl.opponent").alias("team_lost_to_by_most"),
+        F.col("bl.point_differential").alias("biggest_loss_margin"),
+    )
 
 
 # players_recommendations branch metadata — labels/positions/reasons are
@@ -416,26 +493,56 @@ def players_recommendations(
     players, ps = silver["players"], silver["player_stats"]
     p = players.select("player_id", "player", "position").distinct()
     pgs = ps.groupBy("player_id", "player_name").agg(*_seven_avgs())
-    fa = silver["free_agents"].select(F.col("player_id").alias("fa_pid"))
-    inj = silver["injuries"].select(F.col("player_id").alias("inj_pid")).distinct()
-    sal = (
-        silver["salaries"]
-        .groupBy("player_id")
-        .agg(F.max("salary_usd").alias("salary_usd"))  # VARCHAR max, as reference
-        .select(F.col("player_id").alias("sal_pid"), "salary_usd")
+    # Round 5: the three per-player side tables (free-agent flag,
+    # injury flag, max-salary) fold into ONE union + groupBy and a
+    # single broadcast, instead of three separately-materialized
+    # broadcast subtrees (each was its own Spark job at fixture
+    # scale). Equivalence: the former right sides were unique per
+    # player_id (fa deduped upstream, inj .distinct(), sal grouped),
+    # so each left join preserved row count — exactly what one left
+    # join to a grouped frame does; EXISTS-ness becomes a max(flag),
+    # and the VARCHAR MAX(salary_usd) quirk (:51) is associative, so
+    # grouping the raw salary rows gives the identical max.
+    flags = (
+        silver["free_agents"]
+        .select(
+            F.col("player_id").alias("pid"),
+            F.lit("fa").alias("kind"),
+            F.lit(None).cast("string").alias("sal"),
+        )
+        .unionByName(
+            silver["injuries"].select(
+                F.col("player_id").alias("pid"),
+                F.lit("inj").alias("kind"),
+                F.lit(None).cast("string").alias("sal"),
+            )
+        )
+        .unionByName(
+            silver["salaries"].select(
+                F.col("player_id").alias("pid"),
+                F.lit("sal").alias("kind"),
+                F.col("salary_usd").alias("sal"),
+            )
+        )
+        .groupBy("pid")
+        .agg(
+            F.max(F.when(F.col("kind") == "fa", 1).otherwise(0)).alias("faf"),
+            F.max(F.when(F.col("kind") == "inj", 1).otherwise(0)).alias("injf"),
+            F.max(F.when(F.col("kind") == "sal", F.col("sal"))).alias(
+                "salary_usd"
+            ),  # VARCHAR max, as reference
+        )
     )
 
     ranked = (
         p.join(pgs, "player_id")
-        .join(F.broadcast(fa), p.player_id == fa.fa_pid, "left")
-        .join(F.broadcast(inj), p.player_id == inj.inj_pid, "left")
-        .join(sal, p.player_id == sal.sal_pid, "left")
+        .join(F.broadcast(flags), p.player_id == flags.pid, "left")
         .select(
             "player_id",
             F.col("player").alias("player_name"),
             "position",
-            F.col("fa_pid").isNotNull().alias("is_free_agent"),
-            F.col("inj_pid").isNotNull().alias("is_injured"),
+            F.coalesce(F.col("faf") == 1, F.lit(False)).alias("is_free_agent"),
+            F.coalesce(F.col("injf") == 1, F.lit(False)).alias("is_injured"),
             F.col("salary_usd").cast("double").alias("salary"),
             *[F.col(f"avg_{c}") for _, c, _, _ in WEAKNESS_METRICS],
         )
