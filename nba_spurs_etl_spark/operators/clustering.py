@@ -112,9 +112,12 @@ def kmeans_lloyd(
     Init: the k corpus vectors with smallest ``(md5(id), id)`` — a
     seeded sample the oracle re-derives (same convention as
     ``similarity.ivf_topk``). ``d2`` is the squared distance to the
-    FINAL assigned centroid.
+    FINAL assigned centroid. NULL vectors are excluded up front: they
+    have no distance to anything, and the NULL assignment would both
+    poison the centroid update and land at engine-dependent rank
+    positions in the oracle (differential-fuzzer find).
     """
-    base = df.select(
+    base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
     # centroid ids keep the seed id column's NATIVE type: string doc

@@ -196,7 +196,12 @@ def decontaminate_bloom(
         .join(F.broadcast(words), "word_idx")
         .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0)
         .groupBy("doc", "gh")
-        .agg(F.count(F.lit(1)).alias("k_hits"))
+        # DISTINCT seeds, not row count: a duplicated doc row (or a
+        # repeated gram within one doc) multiplies the probe rows, and
+        # a plain count == num_hashes then REJECTS true hits — a bloom
+        # false negative, which the exact verify join cannot repair
+        # (differential-fuzzer find)
+        .agg(F.count_distinct("seed").alias("k_hits"))
         .filter(F.col("k_hits") == num_hashes)  # ALL probes must hit
         .select("doc", "gh")
     )
@@ -230,7 +235,13 @@ def pack_sequences(
     shard anyway). Token counts are whitespace tokens here; swap the
     token expression for a real tokenizer count column when available.
     """
-    toks = docs.select(
+    # a doc without text has no tokens to pack (its NULL n_tok would
+    # poison every later offset in its shard's running sum) and one
+    # without a shard key cannot be routed — excluded, mirrored in the
+    # oracle (differential-fuzzer find)
+    toks = docs.filter(
+        F.col(text_col).isNotNull() & F.col(shard_col).isNotNull()
+    ).select(
         F.col(shard_col).alias("shard"),
         F.col(id_col).alias("doc"),
         F.size(F.split(F.col(text_col), " ")).alias("n_tok"),

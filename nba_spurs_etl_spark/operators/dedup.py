@@ -102,10 +102,24 @@ def exploded_shingles(
     max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """(id, shingle) pairs; optionally drop shingles hotter than
-    ``max_shingle_freq`` docs (skew + noise control at scale)."""
+    ``max_shingle_freq`` docs (skew + noise control at scale).
+
+    The input is deduplicated to the DISTINCT (id, text) document set
+    first: every consumer computes SET statistics (jaccard,
+    containment, minhash, prefix filtering), and a duplicated doc row
+    would double its (doc, shingle) stream — measured jaccard drifts
+    past 1.0 in the counting forms and the prefix lemma's row-count
+    arithmetic under-covers the distinct positions, silently dropping
+    true pairs (differential-fuzzer find). The oracles'
+    _SHINGLES_CTE mirrors the DISTINCT. One doc-grain exchange; the
+    per-row shingle list is already distinct, so gram-grain streams
+    stay single-shuffle.
+    """
     df = spread_for_compute(df, id_col)
     pairs = df.select(
-        F.col(id_col).alias("doc"), tokens(text_col).alias("_w")
+        F.col(id_col).alias("doc"), F.col(text_col).alias("_t")
+    ).distinct().select(
+        F.col("doc"), tokens(F.col("_t")).alias("_w")
     ).select(
         "doc", F.explode(shingles_from_tokens(F.col("_w"), n)).alias("shingle")
     )
@@ -301,9 +315,15 @@ def containment_pairs(
 def _hashed_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(doc, h): md5-folded shingles — 8-byte shuffle keys/arrays
-    instead of n-gram strings (same fold ``tf_cosine_pairs`` uses; a
-    60-bit collision merging two shingles is the accepted 2^-60 risk)."""
+    """(doc, h): md5-folded DISTINCT shingles — 8-byte shuffle
+    keys/arrays instead of n-gram strings (same fold
+    ``tf_cosine_pairs`` uses; a 60-bit collision merging two shingles
+    is the accepted 2^-60 risk).
+
+    Set grain is guaranteed upstream: ``exploded_shingles`` dedupes
+    the (id, text) document rows, and each row's shingle list is
+    distinct, so (doc, h) needs no extra distinct exchange here.
+    """
     return exploded_shingles(df, id_col, text_col, n).select(
         "doc", md5_long(F.col("shingle")).alias("h")
     )

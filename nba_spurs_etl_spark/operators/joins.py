@@ -49,7 +49,12 @@ def asof_join_backward(
     right row — per-column ignorenulls carries could stitch fields
     from different rows. Right rows with NULL time are excluded up
     front: NULL <= t is not a match (they would otherwise sort first
-    and act as a universal earliest match).
+    and act as a universal earliest match). Right rows with a NULL KEY
+    are excluded too: an SQL equi/ASOF join never matches NULL = NULL,
+    but the window-partition composition would happily group all
+    NULL-key rows together and "match" them (differential-fuzzer
+    find); NULL-key LEFT rows stay and yield a NULL payload, exactly
+    like DuckDB's ASOF LEFT JOIN.
     """
     lcols = left.columns
     rtypes = dict(right.dtypes)
@@ -66,7 +71,9 @@ def asof_join_backward(
         *[F.col(c) for c in lcols],
         F.lit(None).cast(pl_type).alias("_pl"),
     )
-    r = right.filter(F.col(right_time).isNotNull()).select(
+    r = right.filter(
+        F.col(right_time).isNotNull() & F.col(key).isNotNull()
+    ).select(
         F.col(key).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),

@@ -434,15 +434,21 @@ def resize_fit(w_col: str, h_col: str, box: int = 224):
     # short_side) floors the short target to 0, and the pandas
     # executor (image_pipeline_features) clamps the SAME formula to
     # >= 1 — the plan and the execution must agree on the degenerate
-    # case or a planned 0-dim image breaks the resample downstream
+    # case or a planned 0-dim image breaks the resample downstream.
+    # NULL dims (undecodable payload) plan NULL targets EXPLICITLY:
+    # without the guard, `w >= h` being NULL routes into the otherwise
+    # branch and greatest() silently drops the NULL operand, planning
+    # a "224 x 1" resize for an image with no known dims
+    # (differential-fuzzer find).
+    defined = w.isNotNull() & h.isNotNull()
     t_w = (
-        F.when(w >= h, F.lit(box))
-        .otherwise(F.greatest(F.lit(1), F.floor(w * box / h)))
+        F.when(defined & (w >= h), F.lit(box))
+        .when(defined, F.greatest(F.lit(1), F.floor(w * box / h)))
         .cast("int")
     )
     t_h = (
-        F.when(w >= h, F.greatest(F.lit(1), F.floor(h * box / w)))
-        .otherwise(F.lit(box))
+        F.when(defined & (w >= h), F.greatest(F.lit(1), F.floor(h * box / w)))
+        .when(defined, F.lit(box))
         .cast("int")
     )
     return t_w, t_h

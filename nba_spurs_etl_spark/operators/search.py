@@ -69,9 +69,22 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.agg(
+    # avgdl as exact-integer SUM / COUNT, not F.avg: a float mean's
+    # addend order follows partition arrival, so engines (and runs)
+    # disagree by an ulp — which shifts EVERY score and flips
+    # sub-jitter rank gaps (differential-fuzzer find). dlen is an
+    # integer, so the sum is exact and the single IEEE division is
+    # bit-reproducible; the oracle mirrors SUM/COUNT.
+    # corpus stats over the DISTINCT (id, text) document set — a
+    # duplicated doc row must not weight avgdl or inflate n_docs
+    stats = docs.select(
+        F.col(id_col), F.col(text_col)
+    ).distinct().agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
+        (
+            F.sum(F.size(F.split(F.col(text_col), " "))).cast("double")
+            / F.count(F.size(F.split(F.col(text_col), " ")))
+        ).alias("avgdl"),
     )
 
     contrib = (
@@ -81,6 +94,7 @@ def bm25_topk(
         .select(
             "query_id",
             "doc",
+            "term",
             (
                 F.log(
                     F.lit(1.0)
@@ -95,7 +109,20 @@ def bm25_topk(
             ).alias("s"),
         )
     )
-    scored = contrib.groupBy("query_id", "doc").agg(F.sum("s").alias("score"))
+    # term-ORDERED fold, not F.sum: a float sum's addend order follows
+    # partition arrival, so two docs with the SAME contribution
+    # multiset (true score ties) can land an ulp apart in either
+    # direction and flip against the doc-id tiebreak non-reproducibly
+    # (differential-fuzzer find); the sorted fold makes the double
+    # deterministic and the oracle mirrors it with
+    # list(s ORDER BY term). Per-pair arrays are |query terms| long.
+    scored = contrib.groupBy("query_id", "doc").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score")
+    )
     win = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc").asc()
     )

@@ -52,7 +52,12 @@ def lsh_bucket(vec: Column, planes: int = 8, offset: int = 0) -> Column:
     for b in bits[1:]:
         out = out + b
     return (
-        F.when(F.size(vec) >= F.lit(need), out)
+        # NULL vector -> NULL bucket (never matches a join key), not a
+        # raise: size(NULL) is NULL, which would otherwise fall through
+        # to the error branch and abort on data the caller's norm
+        # filter is about to drop anyway (differential-fuzzer find)
+        F.when(vec.isNull(), F.lit(None))
+        .when(F.size(vec) >= F.lit(need), out)
         .otherwise(
             F.raise_error(
                 F.concat(
@@ -162,6 +167,13 @@ def brute_force_topk_arrow(
     import numpy as np
     import pandas as pd
 
+    # NULL vectors are excluded JVM-side (the same predicate _sides
+    # applies on the brute-force path): a None element inside an Arrow
+    # batch crashes the np.array build with an inhomogeneous-shape
+    # error before the numpy zero-norm guards below can run
+    # (differential-fuzzer find)
+    candidates = _nonzero_norm(candidates, vec_col)
+    queries = _nonzero_norm(queries, vec_col)
     q_rows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).collect()
@@ -347,6 +359,15 @@ def ivf_topk(
             ).alias("cos_sim"),
         )
     )
+    # pair grain ("each cand_id at most once per query"), the family
+    # contract shared with lsh_topk: duplicate input rows — candidate,
+    # query, or sampled-centroid duplicates doubling a probed cell —
+    # would otherwise occupy several top-k slots, and the oracles'
+    # row-collapsing argmin assignments would disagree on the grain
+    # (differential-fuzzer find); scalar rows, map-combined
+    scored = scored.groupBy("query_id", "cand_id").agg(
+        F.max("cos_sim").alias("cos_sim")
+    )
     return _rank_topk(scored, k)
 
 
@@ -411,10 +432,14 @@ def lsh_topk(
             ).alias("cos_sim"),
         )
     )
-    if n_tables > 1:
-        scored = scored.groupBy("query_id", "cand_id").agg(
-            F.max("cos_sim").alias("cos_sim")
-        )
+    # unconditional (not just n_tables > 1): the pair grain is the
+    # contract — "each cand_id at most once per query" — and duplicate
+    # INPUT ids would otherwise occupy several top-k slots in the
+    # single-table form too (differential-fuzzer find); scalar rows,
+    # map-combined, negligible at any scale
+    scored = scored.groupBy("query_id", "cand_id").agg(
+        F.max("cos_sim").alias("cos_sim")
+    )
     return _rank_topk(scored, k)
 
 
@@ -550,7 +575,16 @@ def label_centroids(
     groups of millions of vectors swap the fold for the two-phase
     dim-sequential sum used by similarity_topk_arrow (same result,
     tree-sized state) — the output contract stays identical.
+
+    Unlabeled rows and NULL vectors are excluded: a NULL group key is
+    not a label, and one NULL vector inside the fold poisons the whole
+    centroid to NULL — posexplode then silently DELETES that group
+    from the output while the oracle keeps a NULL-valued one
+    (differential-fuzzer find); the oracle mirrors the predicate.
     """
+    df = df.filter(
+        F.col(group_col).isNotNull() & F.col(vec_col).isNotNull()
+    )
     sv = F.array_sort(
         F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v")))
     )
@@ -729,6 +763,13 @@ def pq_topk(
     by the oracle.
     """
     v = F.col(vec_col)
+    # NULL / zero-norm vectors cannot be encoded: a NULL vec leaves the
+    # argmin fold at its -1 sentinel and the ADC lookup indexes 0
+    # (INVALID_INDEX_OF_ZERO — differential-fuzzer find). Same
+    # _nonzero_norm convention as every other path in this family; the
+    # oracle mirrors norm > 0.
+    candidates = _nonzero_norm(candidates, vec_col)
+    queries = _nonzero_norm(queries, vec_col)
     code_rows = sorted(
         _pq_sample_rows(candidates, id_col, vec_col, n_codes),
         key=lambda r: r["cid"],
@@ -764,6 +805,15 @@ def pq_topk(
                 lambda a, t: a + t,
             ).alias("adc_score"),
         )
+    )
+    # pair grain ("each cand_id at most once per query"), the family
+    # contract shared with lsh_topk: duplicate input rows — candidate,
+    # query, or sampled-centroid duplicates doubling a probed cell —
+    # would otherwise occupy several top-k slots, and the oracles'
+    # row-collapsing argmin assignments would disagree on the grain
+    # (differential-fuzzer find); scalar rows, map-combined
+    scored = scored.groupBy("query_id", "cand_id").agg(
+        F.max("adc_score").alias("adc_score")
     )
     return _rank_topk(scored, k, score_col="adc_score")
 
@@ -866,5 +916,14 @@ def ivf_pq_topk(
                 lambda a, t: a + t,
             ).alias("adc_score"),
         )
+    )
+    # pair grain ("each cand_id at most once per query"), the family
+    # contract shared with lsh_topk: duplicate input rows — candidate,
+    # query, or sampled-centroid duplicates doubling a probed cell —
+    # would otherwise occupy several top-k slots, and the oracles'
+    # row-collapsing argmin assignments would disagree on the grain
+    # (differential-fuzzer find); scalar rows, map-combined
+    scored = scored.groupBy("query_id", "cand_id").agg(
+        F.max("adc_score").alias("adc_score")
     )
     return _rank_topk(scored, k, score_col="adc_score")

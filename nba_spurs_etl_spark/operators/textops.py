@@ -148,8 +148,15 @@ def rolling_fingerprint(col: str | Column) -> Column:
 
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-doc profile: token counts, lang guess, fingerprints
-    (order-insensitive + rolling)."""
-    return df.select(
+    (order-insensitive + rolling).
+
+    NULL-text docs are excluded: there is nothing to profile, and the
+    per-row expressions disagree across engines on NULL (Spark's
+    split(NULL) vs DuckDB's NULL propagation through md5/list ops —
+    differential-fuzzer find). Callers wanting a row per doc should
+    left-join the profile back.
+    """
+    return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc"),
         whitespace_token_count(text_col).alias("ws_tokens"),
         regex_token_count(text_col).alias("re_tokens"),

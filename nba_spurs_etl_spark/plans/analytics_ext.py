@@ -785,7 +785,7 @@ def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH b AS (
   SELECT date_trunc('hour', ts) AS h, event_type, value,
     epoch_us(ts) AS us, event_id
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 r AS (
   SELECT h, event_type, value,
@@ -810,7 +810,11 @@ FROM r GROUP BY 1, 2
     "are plain extremes; one bucketed agg shuffle, map-side combined.",
 )
 def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
+    # a timeless event belongs to no bar, and the all-NULL-us group's
+    # open/close order is engine-dependent (differential-fuzzer find)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
         F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
         "event_type",
         "value",
@@ -886,6 +890,7 @@ SELECT user_id,
   CAST(LEAD(epoch_us(ts)) OVER w AS BIGINT) AS effective_to_us,
   LEAD(epoch_us(ts)) OVER w IS NULL AS is_current
 FROM events
+WHERE user_id IS NOT NULL AND ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 """,
     doc="SCD Type-2 dimension build: each user's event stream becomes "
@@ -898,8 +903,14 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     "intervals — no state carried between runs).",
 )
 def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "value", epoch_us("ts").alias("us"), "event_id"
+    # a change row without an identity or a timestamp cannot version a
+    # dimension (and NULL placement in the time order differs between
+    # engines — differential-fuzzer class); mirrored in the oracle and
+    # in scd2_asof_enrich's dim CTE, which reuses this builder
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "value", epoch_us("ts").alias("us"), "event_id")
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     return ev.select(
@@ -1010,6 +1021,7 @@ WITH dim AS (
     CAST(epoch_us(ts) AS BIGINT) AS effective_from_us,
     CAST(LEAD(epoch_us(ts)) OVER w AS BIGINT) AS effective_to_us
   FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 ),
 purchases AS (
@@ -1199,6 +1211,7 @@ _MARKOV_PAIR_CTES = """seq AS (
     lead(epoch_us(ts)) OVER (
       PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dus
   FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
 ),
 pair AS (
   SELECT event_type AS src_type, dst AS dst_type FROM seq
@@ -1212,9 +1225,21 @@ c AS (
 
 def _markov_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of _MARKOV_PAIR_CTES: one user-keyed window pass
-    emits consecutive pairs, then a map-combined count."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", epoch_us("ts").alias("us")
+    emits consecutive pairs, then a map-combined count.
+
+    Rows lacking an identity, a timestamp, or a type cannot form a
+    typed per-user transition step, and engines disagree on where NULL
+    sorts inside the user partition's time order (differential-fuzzer
+    find) — excluded up front, mirrored in the CTE.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("user_id", "event_id", "event_type", epoch_us("ts").alias("us"))
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     return (
@@ -1272,6 +1297,7 @@ WITH seq AS (
     lead(epoch_us(ts), 1) OVER w AS us1,
     lead(epoch_us(ts), 2) OVER w AS us2
   FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 )
 SELECT t0 || '>' || t1 || '>' || t2 AS path,
@@ -1282,7 +1308,7 @@ WHERE t2 IS NOT NULL
 GROUP BY 1
 ORDER BY n DESC, path
 LIMIT 20
-""",
+""",  # seq filters NULL user/ts/type: see _markov_pair_counts
     doc="Clickstream path mining: the 20 most frequent 3-step "
     "event-type paths across users, steps at most 30 min apart "
     "(path = 'a>b>c'). Same single user-keyed window exchange as "
@@ -1291,8 +1317,15 @@ LIMIT 20
     "frame — deterministic (n DESC, path ASC) tie-break.",
 )
 def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", epoch_us("ts").alias("us")
+    # same typed/timed/identified-step contract as _markov_pair_counts
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("user_id", "event_id", "event_type", epoch_us("ts").alias("us"))
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     seq = ev.select(
@@ -1407,7 +1440,7 @@ WITH weekly AS (
   SELECT event_type,
     (epoch_us(ts) // 604800000000) AS week_no,
     CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT event_type, CAST(week_no AS BIGINT) AS week_no, n,
   CAST(lag(n) OVER (PARTITION BY event_type ORDER BY week_no)
@@ -1428,7 +1461,10 @@ FROM weekly
     "consumer.",
 )
 def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts rows belong to no week, and the NULL week group would sit
+    # at opposite ends of the lag order in the two engines
+    # (differential-fuzzer find)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     weekly = (
         ev.select(
             "event_type",
@@ -1504,7 +1540,7 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH d AS (
   SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 w AS (
   SELECT d.day + t.i AS win_end, d.user_id
@@ -1526,7 +1562,9 @@ FROM w GROUP BY 1
     "already-collapsed frame.",
 )
 def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # timeless rows belong to no activity window (differential-fuzzer
+    # find, same contract as the tumbling/sliding aggregates)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     d = ev.select(
         (epoch_us("ts") / F.lit(86_400_000_000)).cast("bigint").alias("day"),
         "user_id",

@@ -106,7 +106,7 @@ WITH toks AS (
   SELECT source AS shard, doc_id AS doc,
     len(string_split(text, ' ')) AS n_tok,
     {md5_long_sql("'pk_' || CAST(doc_id AS VARCHAR)")} AS ord
-  FROM documents
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
 ),
 placed AS (
   SELECT shard, doc, n_tok,
@@ -411,7 +411,12 @@ _NEG_B, _NEG_K, _NEG_PROBES = 64, 4, 8
 WITH reps AS (
   SELECT {md5_long_sql("CAST(doc_id AS VARCHAR)")} % {_NEG_B} AS bucket,
     arg_min(doc_id, doc_id) AS rep_id,
-    arg_min(source, doc_id) AS rep_source
+    -- struct-packed: bare arg_min(source, doc_id) SKIPS rows whose
+    -- source is NULL (DuckDB aggregates ignore NULL inputs) and would
+    -- stitch the min-doc's id with ANOTHER row's source, while
+    -- Spark's struct-min keeps row semantics (differential-fuzzer
+    -- find)
+    arg_min(struct_pack(s := source), doc_id).s AS rep_source
   FROM documents GROUP BY 1
 ),
 probes AS (

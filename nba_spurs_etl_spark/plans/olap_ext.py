@@ -203,13 +203,22 @@ clicks AS (
 SELECT p.event_id, p.user_id,
   CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
   CAST(epoch_us(c.ts) AS BIGINT) AS last_click_us
-FROM purchases p
+FROM (SELECT * FROM purchases WHERE ts IS NOT NULL) p
 ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+UNION ALL
+SELECT event_id, user_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM purchases WHERE ts IS NULL
 """,
     doc="As-of (backward) join: latest click at-or-before each purchase, "
     "per user. Spark composition: union + one key-partitioned sort + "
     "last(ignorenulls) window — no range-join explosion (see "
-    "operators/joins.py). Oracle: DuckDB's native ASOF JOIN.",
+    "operators/joins.py). Oracle: DuckDB's native ASOF JOIN, with the "
+    "NULL-probe-time branch made explicit: a purchase with no "
+    "timestamp matches NO click ('ts >= NULL' is not a match; "
+    "DuckDB's ASOF implementation would otherwise hand it the user's "
+    "LATEST click via its NULLS-LAST merge order — differential-"
+    "fuzzer find), and NULL-key/NULL-time clicks are non-matches on "
+    "both sides (operators/joins.asof_join_backward).",
 )
 def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -409,7 +418,7 @@ SELECT o_custkey, o_orderkey,
   LAST_VALUE(o_orderkey) OVER (
     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS latest_order
-FROM orders
+FROM orders WHERE o_orderdate IS NOT NULL
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """,
     doc="Analytic window family over per-customer order history: "
@@ -420,7 +429,11 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 )
 def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
-    o = load_table(spark, sf_dir, "orders")
+    # dateless orders have no position in the per-customer date order
+    # (differential-fuzzer find, same contract as window_dist_functions)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ntile_w = Window.partitionBy("o_custkey").orderBy(
@@ -1233,6 +1246,7 @@ SELECT o_custkey, o_orderkey,
     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
   ) AS second_price
 FROM orders
+WHERE o_orderdate IS NOT NULL
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """,
     doc="Distribution window functions (completes the analytic-function "
@@ -1247,8 +1261,13 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 )
 def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    # a dateless order has no rank position in the per-customer date
+    # order — engines place its NULL at opposite ends
+    # (differential-fuzzer find); mirrored in the oracle
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
     )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w_full = w.rowsBetween(
@@ -1271,9 +1290,14 @@ SELECT o_custkey,
   CAST(arg_max(o_orderkey,
        (CAST(o_orderdate AS DATE) - DATE '1970-01-01') * 10000000000
        + o_orderkey) AS BIGINT) AS latest_orderkey,
-  arg_max(o_totalprice,
+  -- struct-packed: arg_max(o_totalprice, ...) would SKIP rows whose
+  -- price is NULL (DuckDB aggregates ignore NULL inputs) and return
+  -- the max over priced rows, while Spark's max_by returns the
+  -- latest ROW's price even when that price is NULL — the row
+  -- semantics are the contract (differential-fuzzer find)
+  arg_max(struct_pack(p := o_totalprice),
        (CAST(o_orderdate AS DATE) - DATE '1970-01-01') * 10000000000
-       + o_orderkey) AS latest_price,
+       + o_orderkey).p AS latest_price,
   CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY o_custkey
 """,
@@ -1309,7 +1333,7 @@ WITH ranked AS (
   SELECT o_totalprice,
     ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
     COUNT(*) OVER () AS n
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 )
 SELECT CAST((rn - 1) * 16 // n AS BIGINT) AS bucket,
   CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -1323,13 +1347,17 @@ FROM ranked GROUP BY 1
     "(operators/prefix.py), bucket = (rn-1)*16 div n — "
     "floor-division bucketing identical in the SQL oracle. The "
     "equi-depth boundaries fall out of the per-bucket MIN/MAX. "
-    "Integer div avoids float boundary misbuckets.",
+    "Integer div avoids float boundary misbuckets. NULL prices are "
+    "excluded up front: they have no position in a price order, and "
+    "engines disagree on where NULL sorts (differential-fuzzer find).",
 )
 def orders_equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import global_running_sum
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select("o_orderkey", "o_totalprice")
     )
     n = orders.count()  # scalar, one pushed-down count pass
     ranked = global_running_sum(
@@ -1421,7 +1449,11 @@ SELECT
   CASE WHEN o_orderpriority LIKE '%-%'
        THEN substr(o_orderpriority, 1, 1) ELSE o_orderpriority END
     AS prio_code,
-  split_part(o_orderpriority, '-', 2) AS prio_name,
+  -- explicit NULL branch: DuckDB's split_part(NULL, ...) returns ''
+  -- (documented quirk) while Spark NULL-propagates, the SQL-standard
+  -- behavior the UDF inherits (differential-fuzzer find)
+  CASE WHEN o_orderpriority IS NULL THEN NULL
+       ELSE split_part(o_orderpriority, '-', 2) END AS prio_name,
   CAST(COUNT(*) AS BIGINT) AS cnt
 FROM orders
 GROUP BY 1, 2
@@ -1470,7 +1502,7 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
     ORDER BY CAST(o_orderdate AS DATE), o_orderkey
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
     AS running_revenue
-FROM orders
+FROM orders WHERE o_orderdate IS NOT NULL
 """,
     doc="GLOBAL running revenue over the (orderdate, orderkey) total "
     "order — the window shape Spark executes as ONE task when written "
@@ -1483,7 +1515,12 @@ FROM orders
 def orders_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import global_running_sum
 
-    orders = load_table(spark, sf_dir, "orders").select(
+    # a dateless order has no position in the (orderdate, orderkey)
+    # total order — engines place its NULL at opposite ends
+    # (differential-fuzzer find); mirrored in the oracle
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    ).select(
         "o_orderkey",
         # integer day index: same ordering as the date, and numeric so it
         # doubles as the quantile-bucket axis
@@ -1506,9 +1543,11 @@ def orders_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="2.5 ext-prefix sweep",
     oracle="""
 WITH b AS (
-  SELECT epoch_us(ts) AS t_us, 1 AS delta, event_id AS tb FROM events
+  SELECT epoch_us(ts) AS t_us, 1 AS delta, event_id AS tb
+  FROM events WHERE ts IS NOT NULL
   UNION ALL
-  SELECT epoch_us(ts) + 600000000, -1, event_id FROM events
+  SELECT epoch_us(ts) + 600000000, -1, event_id
+  FROM events WHERE ts IS NOT NULL
 ),
 r AS (
   SELECT t_us,
@@ -1533,8 +1572,13 @@ FROM r GROUP BY 1
 def events_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import interval_concurrency
 
-    ev = load_table(spark, sf_dir, "events").select(
-        epoch_us("ts").alias("t_us"), "event_id"
+    # an interval with no start time doesn't exist — NULL ts would
+    # otherwise become a NULL hour bucket placed differently by the
+    # two engines' sweep orders (differential-fuzzer find)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(epoch_us("ts").alias("t_us"), "event_id")
     )
     sweep = interval_concurrency(
         ev,
@@ -1565,7 +1609,7 @@ def events_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH hourly AS (
   SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
     CAST(COUNT(*) AS BIGINT) AS k
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 tot AS (SELECT CAST(SUM(k) AS DOUBLE) / COUNT(*) AS mean_k,
                CAST(COUNT(*) AS BIGINT) AS n_hours FROM hourly),
@@ -1592,7 +1636,9 @@ FROM dev ORDER BY d DESC, bucket_us LIMIT 1
 )
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
-    ev = load_table(spark, sf_dir, "events")
+    # a NULL-ts row would form a NULL hour bucket and shift the whole
+    # cumulative-deviation series (differential-fuzzer find)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     us = epoch_us("ts")
     hourly = (
         ev.select((us - us % 3_600_000_000).alias("bucket_us"))
@@ -1632,7 +1678,7 @@ WITH ranked AS (
     ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                        ORDER BY o_totalprice, o_orderkey) AS rn,
     COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 ),
 bounds AS (
   SELECT o_orderpriority,
@@ -1665,8 +1711,13 @@ GROUP BY 1
 )
 def orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
+    # order statistics are positions in the PRICE order — a NULL price
+    # has none, and the engines would place it at opposite ends
+    # (differential-fuzzer find); mirrored in the oracle
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
     )
     w = Window.partitionBy("o_orderpriority").orderBy(
         "o_totalprice", "o_orderkey"
@@ -1783,7 +1834,7 @@ WITH spend AS (
 SELECT o_orderpriority,
   CAST(COUNT(*) AS BIGINT) AS n_customers,
   {dsum_sql("s")} AS total_spend,
-  {dbig_sql("SUM(s * s)")}
+  {dbig_sql("SUM(CAST(s AS DECIMAL(19,2)) * CAST(s AS DECIMAL(19,2)))")}
     / ({dsum_sql("s")} * {dsum_sql("s")}) AS hhi,
   CAST(MAX(s) AS DOUBLE) / {dsum_sql("s")} AS top_share
 FROM spend GROUP BY 1
@@ -1794,7 +1845,11 @@ FROM spend GROUP BY 1
     "(sum of per-customer squared spend, decimal(37,4)) and the only "
     "float ops are the final casts/divide — bit-identical across "
     "engines where a per-share float sum would drift with partition "
-    "order. dbig handles the >2^53-unscaled squared sum. Two "
+    "order. dbig handles the >2^53-unscaled squared sum; the oracle "
+    "squares via DECIMAL(19,2) operands because DuckDB keeps the "
+    "source width for the product (an 18-digit square overflows on "
+    "whale customers — differential-fuzzer find) while Spark widens "
+    "to decimal(37,4) automatically. Two "
     "map-combined aggregations, no window, no join.",
 )
 def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2039,7 +2094,7 @@ WITH s AS (
   SELECT l_extendedprice AS p,
     ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn,
     COUNT(*) OVER () AS n
-  FROM lineitem
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
 )
 SELECT CAST(n AS BIGINT) AS n, CAST((n + 1) // 2 AS BIGINT) AS k,
   p AS median
@@ -2059,7 +2114,12 @@ FROM s WHERE rn = (n + 1) // 2
 def lineitem_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import exact_kth_smallest
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # the median is a position in the PRICE order; a NULL price has
+    # none, and n must count only ranked rows (differential-fuzzer
+    # find) — mirrored in the oracle
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
     n = li.count()
     k = (n + 1) // 2
     med = exact_kth_smallest(li, "l_extendedprice", k)

@@ -31,7 +31,10 @@ shingle_pairs AS (
         generate_series(1, len(w) - 2),
         i -> array_to_string(w[i:i+2], ' ')))
     ELSE [] END) AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  -- DISTINCT doc rows: mirrors operators/dedup.exploded_shingles'
+  -- set grain (duplicated rows would double the shingle stream)
+  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        FROM (SELECT DISTINCT doc_id, text FROM documents))
 )"""
 
 
@@ -556,10 +559,16 @@ probes AS (
     FROM base q CROSS JOIN cents c WHERE q.vec_id % 100 = 0
   ) t WHERE rn <= {_IVF_NPROBE}
 ),
-scored AS (
+scored0 AS (
   SELECT p.query_id, a.cand_id,
     {_dot_sql("p.qv", "a.candv")} / (p.qn * a.candn) AS cos_sim
   FROM assigned a JOIN probes p ON a.cell = p.cell AND a.cand_id != p.query_id
+),
+-- pair grain mirrors ivf_topk (family contract, see lsh oracles):
+-- duplicate rows/centroids collapse to one candidate per query
+scored AS (
+  SELECT query_id, cand_id, MAX(cos_sim) AS cos_sim
+  FROM scored0 GROUP BY 1, 2
 )
 SELECT query_id, cand_id, cos_sim, CAST(rn AS INT) AS rnk
 FROM (
@@ -616,7 +625,7 @@ def _lang_case_sql() -> str:
 WITH hits AS (
   SELECT doc_id, text,
     {", ".join(f"{_lang_hits_sql(lang)} AS hits_{lang}" for lang in textops.LANG_STOPWORDS)}
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id AS doc,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
@@ -909,7 +918,9 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH per_label AS (
   SELECT label, list(embedding ORDER BY vec_id) AS vecs
-  FROM embeddings GROUP BY label
+  FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
+  GROUP BY label
 ),
 cent AS (
   SELECT label, CAST(len(vecs) AS BIGINT) AS n_vecs,
@@ -954,9 +965,13 @@ def _corpus_pipeline_oracle() -> str:
     so the pipeline oracle can never drift from its stages."""
     c4 = registry()["text_c4_filters"].oracle
     rep = registry()["text_repetition"].oracle
+    # DISTINCT on the filter sets: the Spark side filters ROWS in
+    # place, while a bare doc_id join would MULTIPLY duplicate-id rows
+    # (2 copies -> 2x2x2 = 8 joined rows — differential-fuzzer find);
+    # distinct restores per-row pass/fail semantics
     return f"""
-WITH c4 AS (SELECT doc FROM ({c4}) WHERE c4_keep),
-rep AS (SELECT doc FROM ({rep}) WHERE gopher_keep),
+WITH c4 AS (SELECT DISTINCT doc FROM ({c4}) WHERE c4_keep),
+rep AS (SELECT DISTINCT doc FROM ({rep}) WHERE gopher_keep),
 kept AS (
   SELECT d.doc_id, d.text FROM documents d
   JOIN c4 ON d.doc_id = c4.doc
@@ -1136,10 +1151,14 @@ WITH feats AS (
   FROM documents
 )
 SELECT doc, fake_width, fake_height,
-  CAST(CASE WHEN fake_width >= fake_height THEN 224
-       ELSE FLOOR(fake_width * 224 / fake_height) END AS INT) AS target_w,
-  CAST(CASE WHEN fake_width >= fake_height
-       THEN FLOOR(fake_height * 224 / fake_width) ELSE 224 END AS INT) AS target_h
+  CAST(CASE WHEN fake_width IS NULL OR fake_height IS NULL THEN NULL
+       WHEN fake_width >= fake_height THEN 224
+       ELSE GREATEST(FLOOR(fake_width * 224 / fake_height), 1)
+       END AS INT) AS target_w,
+  CAST(CASE WHEN fake_width IS NULL OR fake_height IS NULL THEN NULL
+       WHEN fake_width >= fake_height
+       THEN GREATEST(FLOOR(fake_height * 224 / fake_width), 1)
+       ELSE 224 END AS INT) AS target_h
 FROM feats
 """,
     doc="Aspect-preserving resize planning over decoded dims: the "
@@ -1173,13 +1192,19 @@ SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR) AS window_start,
   CAST(COUNT(*) AS BIGINT) AS events,
   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """,
     doc="5-minute tumbling window aggregate (batch form; the streaming "
-    "twin in streaming/events.py computes the identical frame).",
+    "twin in streaming/events.py computes the identical frame). "
+    "NULL-ts rows are excluded explicitly on both sides: they belong "
+    "to no window — Spark's window() silently drops them while "
+    "DuckDB's time_bucket groups them under a NULL bucket "
+    "(differential-fuzzer find), and a streaming source could never "
+    "watermark them.",
 )
 def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
@@ -1208,7 +1233,7 @@ WITH seq AS (
       OR lag(epoch_us(ts)) OVER (
       PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
     THEN 1 ELSE 0 END AS is_new
-  FROM events
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 sess AS (
   SELECT user_id, event_id, value, us,
@@ -1230,8 +1255,14 @@ GROUP BY user_id, session_no
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "value", epoch_us("ts").alias("us")
+    # a row with no user identity or no timestamp cannot belong to a
+    # session, and engines disagree on where NULL sorts inside the
+    # user partition's time order (found by the differential fuzzer) —
+    # excluded up front, mirrored in the oracle
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_id", "value", epoch_us("ts").alias("us"))
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     seq = ev.withColumn(
@@ -1271,7 +1302,7 @@ WITH seq AS (
       OR lag(epoch_us(ts)) OVER (
       PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
     THEN 1 ELSE 0 END AS is_new
-  FROM events
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 sess AS (
   SELECT user_id, event_id, value, us,
@@ -1304,8 +1335,14 @@ GROUP BY 1, 2, 3
 def events_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "value", epoch_us("ts").alias("us")
+    # a row with no user identity or no timestamp cannot belong to a
+    # session, and engines disagree on where NULL sorts inside the
+    # user partition's time order (found by the differential fuzzer) —
+    # excluded up front, mirrored in the oracle
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_id", "value", epoch_us("ts").alias("us"))
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     seq = ev.withColumn(
@@ -1348,7 +1385,7 @@ WITH expanded AS (
       time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
     ]) AS VARCHAR) AS window_start,
     event_type, value
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT window_start, event_type,
   CAST(COUNT(*) AS BIGINT) AS events,
@@ -1361,7 +1398,8 @@ GROUP BY window_start, event_type
     "unnests the two bucket starts explicitly.",
 )
 def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts rows belong to no window (same contract as tumbling)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
         .agg(
@@ -1664,7 +1702,9 @@ def text_chargram_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH seq AS (
   SELECT user_id, list(value ORDER BY epoch_us(ts), event_id) AS vals
-  FROM events GROUP BY user_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
 )
 SELECT user_id,
   CAST(len(vals) AS BIGINT) AS n_events,
@@ -1694,10 +1734,17 @@ def _kmeans_oracle(k: int = 8) -> str:
         "list_reduce(list_transform(generate_series(1, len(q.v)), "
         "i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])), (x, y) -> x + y)"
     )
+    # rid gives every INPUT ROW its own argmin partition: partitioning
+    # by vid would silently collapse duplicate-id rows to one (and
+    # starve the centroid update of their weight) while Spark's
+    # narrow-map assignment labels every row — differential-fuzzer
+    # find. NULL embeddings are excluded on both sides: no distance.
     return f"""
 WITH q AS (
-  SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  SELECT vec_id AS vid,
+    row_number() OVER () AS rid,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 c0 AS (
   SELECT vid AS cid, v AS cv FROM q
@@ -1705,8 +1752,8 @@ c0 AS (
 ),
 a0 AS (
   SELECT vid, v, cid AS cell FROM (
-    SELECT q.vid, q.v, c.cid,
-      ROW_NUMBER() OVER (PARTITION BY q.vid ORDER BY {d2_c0}, c.cid) AS rn
+    SELECT q.vid, q.rid, q.v, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.rid ORDER BY {d2_c0}, c.cid) AS rn
     FROM q CROSS JOIN c0 c
   ) WHERE rn = 1
 ),
@@ -1726,8 +1773,8 @@ c1 AS (
   ) n ON c0.cid = n.cid
 )
 SELECT vid AS vec_id, cid AS cell, d2 FROM (
-  SELECT q.vid, c.cid, {d2_c0} AS d2,
-    ROW_NUMBER() OVER (PARTITION BY q.vid ORDER BY {d2_c0}, c.cid) AS rn
+  SELECT q.vid, q.rid, c.cid, {d2_c0} AS d2,
+    ROW_NUMBER() OVER (PARTITION BY q.rid ORDER BY {d2_c0}, c.cid) AS rn
   FROM q CROSS JOIN c1 c
 ) WHERE rn = 1
 """
@@ -2093,25 +2140,39 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="ext-search",
     oracle="""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-dl AS (SELECT doc_id AS doc, len(w) AS dlen FROM d),
+-- DISTINCT: a duplicated doc row would otherwise appear twice in dl
+-- and the scored JOIN would double that doc's score contributions,
+-- while Spark folds dlen into the tf group key (differential-fuzzer
+-- find)
+dl AS (SELECT DISTINCT doc_id AS doc, len(w) AS dlen FROM d),
 post AS (SELECT doc_id AS doc, t AS term, COUNT(*) AS tf
          FROM d, UNNEST(w) AS u(t) GROUP BY 1, 2),
-stats AS (SELECT COUNT(*) AS n_docs, AVG(dlen) AS avgdl FROM dl),
+-- SUM/COUNT, not AVG: exact-integer mean, see bm25_topk's avgdl note
+stats AS (SELECT COUNT(*) AS n_docs,
+          CAST(SUM(dlen) AS DOUBLE) / COUNT(dlen) AS avgdl FROM dl),
 qt AS (SELECT DISTINCT doc_id AS query_id, t AS term
        FROM (SELECT doc_id, UNNEST(w[1:3]) AS t FROM d WHERE doc_id % 100 = 0)
        WHERE t <> ''),
 dfreq AS (SELECT term, COUNT(DISTINCT doc) AS df FROM post
           WHERE term IN (SELECT term FROM qt) GROUP BY 1),
 scored AS (
-  SELECT qt.query_id, post.doc,
-    SUM( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-         * (post.tf * 2.2)
-         / (post.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avgdl)) ) AS score
-  FROM qt
-  JOIN post ON post.term = qt.term
-  JOIN dfreq ON dfreq.term = qt.term
-  JOIN dl ON dl.doc = post.doc
-  CROSS JOIN stats
+  -- term-ORDERED fold mirrors operators/search.py::bm25_topk's
+  -- deterministic summation (see its comment): a bare SUM's addend
+  -- order is unspecified, and true score ties flip by an ulp
+  SELECT query_id, doc,
+    list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                (x, y) -> x + y) AS score
+  FROM (
+    SELECT qt.query_id, post.doc, qt.term,
+      ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        * (post.tf * 2.2)
+        / (post.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avgdl)) AS s
+    FROM qt
+    JOIN post ON post.term = qt.term
+    JOIN dfreq ON dfreq.term = qt.term
+    JOIN dl ON dl.doc = post.doc
+    CROSS JOIN stats
+  )
   GROUP BY 1, 2
 )
 SELECT query_id, doc, CAST(rank AS INT) AS rank FROM (
@@ -2194,8 +2255,13 @@ _PQ_M, _PQ_CODES, _PQ_SUB = 16, 32, 4
 def _pq_oracle() -> str:
     m, nc, sub = _PQ_M, _PQ_CODES, _PQ_SUB
 
+    # norm>0 mirrors pq_topk's _nonzero_norm (family convention): a
+    # NULL vector cannot be encoded — Spark's argmin fold would stay
+    # at its -1 sentinel and ADC would index 0 (differential-fuzzer
+    # crash find)
     return f"""
-WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+WITH base AS (SELECT vec_id, embedding AS v FROM embeddings
+              WHERE {_dot_sql("embedding", "embedding")} > 0),
 cents AS (
   SELECT vec_id AS cid, v AS cv FROM base
   ORDER BY {md5_long_sql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT {nc}
@@ -2221,12 +2287,17 @@ qlut AS (
           (x, y) -> x + y))) AS lut
   FROM base q CROSS JOIN cb WHERE q.vec_id % 100 = 0
 ),
-scored AS (
+scored0 AS (
   SELECT ql.query_id, c.cand_id,
     list_reduce(list_transform(generate_series(1, {m}), s ->
       ql.lut[s][c.code[s] + 1]), (x, y) -> x + y) AS adc_score
   FROM coded c CROSS JOIN qlut ql
   WHERE c.cand_id != ql.query_id
+),
+-- pair grain mirrors pq_topk (family contract, see lsh oracles)
+scored AS (
+  SELECT query_id, cand_id, MAX(adc_score) AS adc_score
+  FROM scored0 GROUP BY 1, 2
 )
 SELECT query_id, cand_id, adc_score, CAST(rn AS INT) AS rnk FROM (
   SELECT *, ROW_NUMBER() OVER (
@@ -2317,12 +2388,17 @@ qlut AS (
           (x, y) -> x + y))) AS lut
   FROM probes p CROSS JOIN cb
 ),
-scored AS (
+scored0 AS (
   SELECT ql.query_id, c.cand_id,
     list_reduce(list_transform(generate_series(1, {m}), s ->
       ql.lut[s][c.code[s] + 1]), (x, y) -> x + y) AS adc_score
   FROM coded c JOIN qlut ql ON c.cell = ql.cell
   WHERE c.cand_id != ql.query_id
+),
+-- pair grain mirrors ivf_pq_topk (family contract, see lsh oracles)
+scored AS (
+  SELECT query_id, cand_id, MAX(adc_score) AS adc_score
+  FROM scored0 GROUP BY 1, 2
 )
 SELECT query_id, cand_id, adc_score, CAST(rn AS INT) AS rnk FROM (
   SELECT *, ROW_NUMBER() OVER (

@@ -457,7 +457,7 @@ WITH seq AS (
       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
     ) AS brk
-  FROM orders
+  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
 ),
 islands AS (
   SELECT o_custkey, brk, CAST(SUM(is_f) AS BIGINT) AS streak_len
@@ -483,8 +483,14 @@ LIMIT 5
     "(o_orderdate, o_orderkey) everywhere.",
 )
 def streaks_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"
+    # a streak needs an owner and an order position: NULL custkey would
+    # form a pseudo-customer whose tie at the LIMIT boundary resolves
+    # differently per engine (NULLS FIRST vs LAST), and NULL dates
+    # scramble the island order (differential-fuzzer find)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
     )
     w = (
         Window.partitionBy("o_custkey")
@@ -723,12 +729,16 @@ def derived_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPLIT_PART_SQL = """
 SELECT
-  split_part(p_brand, '#', 2) AS brand_series,
+  CASE WHEN p_brand IS NULL THEN NULL
+       ELSE split_part(p_brand, '#', 2) END AS brand_series,
   CAST(COUNT(*) AS BIGINT) AS parts_cnt,
   {avg_sz} AS avg_size
 FROM part
 GROUP BY 1
 """.format(avg_sz=davg_sql("p_size", scale=0))
+# explicit NULL branch: DuckDB's split_part(NULL, ...) returns ''
+# (documented quirk) while Spark NULL-propagates — without it a NULL
+# brand merges into the '' series group (differential-fuzzer class)
 
 
 @register(

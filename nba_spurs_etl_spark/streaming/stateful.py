@@ -113,10 +113,19 @@ def user_profile_batch(events: DataFrame) -> DataFrame:
     ewma_n = a*v_n + a(1-a)*v_{n-1} + ... + (1-a)^{n-1}*v_1,
     computed here with aggregate() over the time-ordered value list —
     same left-to-right recursion the stateful operator runs.
+
+    A profile aggregates a user's MEASURED events: rows lacking an
+    identity, a timestamp, or a value are excluded up front. Without
+    the guard a NULL value poisons the cents fold permanently but lets
+    the EWMA fold silently RESET (its acc-is-null seed branch
+    re-fires), and NULL timestamps sort differently across engines —
+    differential-fuzzer find; the oracle mirrors the predicate.
     """
-    prepared = events.select(
-        "user_id", "event_id", "value", epoch_us("ts").alias("us")
-    )
+    prepared = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select("user_id", "event_id", "value", epoch_us("ts").alias("us"))
     ordered = prepared.groupBy("user_id").agg(
         F.array_sort(
             F.collect_list(F.struct("us", "event_id", "value"))

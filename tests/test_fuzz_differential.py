@@ -46,7 +46,9 @@ from .conftest import SF_CORRECT
 from .test_parity import rows_to_multiset
 
 SALT = os.environ.get("SPARK_GRAFT_FUZZ_SALT", "r05")
-N_ENTRIES = 24
+# default 24 keeps one rotation inside CI time; SPARK_GRAFT_FUZZ_N=999
+# sweeps the whole candidate pool (~10 min) for a full audit
+N_ENTRIES = int(os.environ.get("SPARK_GRAFT_FUZZ_N", "24"))
 FUZZ_DIR = f"/tmp/spark_graft_fuzz_{SALT}"
 
 # first column of each table is its (semantically non-nullable) PK;
