@@ -100,6 +100,7 @@ def spread_for_compute(df: DataFrame, id_col: str) -> DataFrame:
 def exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
     max_shingle_freq: int | None = None,
+    assume_unique_docs: bool = False,
 ) -> DataFrame:
     """(id, shingle) pairs; optionally drop shingles hotter than
     ``max_shingle_freq`` docs (skew + noise control at scale).
@@ -111,14 +112,20 @@ def exploded_shingles(
     past 1.0 in the counting forms and the prefix lemma's row-count
     arithmetic under-covers the distinct positions, silently dropping
     true pairs (differential-fuzzer find). The oracles'
-    _SHINGLES_CTE mirrors the DISTINCT. One doc-grain exchange; the
-    per-row shingle list is already distinct, so gram-grain streams
-    stay single-shuffle.
+    _SHINGLES_CTE mirrors the DISTINCT. The per-row shingle list is
+    already distinct, so gram-grain streams stay single-shuffle.
+
+    ``assume_unique_docs=True`` elides the doc-grain distinct exchange
+    — at 100 TB that exchange is one extra full pass over the corpus,
+    pure waste when the input is already PK-validated upstream (the
+    silver-ingest path raises on duplicate keys, and any sane lakehouse
+    table enforces id uniqueness at ingest). Default is the safe grain.
     """
     df = spread_for_compute(df, id_col)
-    pairs = df.select(
-        F.col(id_col).alias("doc"), F.col(text_col).alias("_t")
-    ).distinct().select(
+    base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    if not assume_unique_docs:
+        base = base.distinct()
+    pairs = base.select(
         F.col("doc"), tokens(F.col("_t")).alias("_w")
     ).select(
         "doc", F.explode(shingles_from_tokens(F.col("_w"), n)).alias("shingle")
