@@ -147,20 +147,32 @@ def team_weaknesses_unpivoted(silver: dict[str, DataFrame]) -> DataFrame:
     joined = games.join(F.broadcast(teams), games.team_id == teams.id, "left")
     matched = teams["id"].isNotNull()
     cols = [col for _, col, _, _ in WEAKNESS_METRICS]
-    per_team = joined.groupBy(
-        season_norm("season").alias("season2"), "team_name"
-    ).agg(
+    # the decimal cast of each VARCHAR metric is PROJECTED once: this
+    # aggregate runs interpreted (no whole-stage codegen above the
+    # cached fixture, hence no subexpression elimination), so inlining
+    # the cast into all four aggregate families would parse each
+    # string 4x per row. count(_d_c) == count(c): a non-null string
+    # casts to a non-null decimal (ANSI raises on malformed input
+    # rather than producing NULL, identically to the oracle's CAST).
+    proj = joined.select(
+        season_norm("season").alias("season2"),
+        "team_name",
+        matched.alias("_m"),
+        *[F.col(c).cast("decimal(18,3)").alias(f"_d_{c}") for c in cols],
+    )
+    per_team = proj.groupBy("season2", "team_name").agg(
         F.count(F.lit(1)).alias("all_rows"),
-        F.sum(F.when(matched, 1).otherwise(0)).alias("m_rows"),
+        F.sum(F.when(F.col("_m"), 1).otherwise(0)).alias("m_rows"),
         *[
-            F.sum(F.when(matched, F.col(c)).cast("decimal(18,3)")).alias(
-                f"msum_{c}"
-            )
+            F.sum(F.when(F.col("_m"), F.col(f"_d_{c}"))).alias(f"msum_{c}")
             for c in cols
         ],
-        *[F.count(F.when(matched, F.col(c))).alias(f"mcnt_{c}") for c in cols],
-        *[F.sum(F.col(c).cast("decimal(18,3)")).alias(f"asum_{c}") for c in cols],
-        *[F.count(F.col(c)).alias(f"acnt_{c}") for c in cols],
+        *[
+            F.count(F.when(F.col("_m"), F.col(f"_d_{c}"))).alias(f"mcnt_{c}")
+            for c in cols
+        ],
+        *[F.sum(F.col(f"_d_{c}")).alias(f"asum_{c}") for c in cols],
+        *[F.count(F.col(f"_d_{c}")).alias(f"acnt_{c}") for c in cols],
     )
     sas = F.col("team_name") == "San Antonio Spurs"
     m_avg = {
