@@ -75,16 +75,17 @@ def bm25_topk(
     # sub-jitter rank gaps (differential-fuzzer find). dlen is an
     # integer, so the sum is exact and the single IEEE division is
     # bit-reproducible; the oracle mirrors SUM/COUNT.
-    # corpus stats over the DISTINCT (id, text) document set — a
-    # duplicated doc row must not weight avgdl or inflate n_docs
+    # corpus stats over the DISTINCT (id, dlen) set — a duplicated doc
+    # row must not weight avgdl or inflate n_docs, and deduping the
+    # narrow (id, length) pair instead of (id, text) keeps the full
+    # text out of the exchange (mirrors the oracle's
+    # SELECT DISTINCT doc, dlen)
     stats = docs.select(
-        F.col(id_col), F.col(text_col)
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("_dlen"),
     ).distinct().agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (
-            F.sum(F.size(F.split(F.col(text_col), " "))).cast("double")
-            / F.count(F.size(F.split(F.col(text_col), " ")))
-        ).alias("avgdl"),
+        (F.sum("_dlen").cast("double") / F.count("_dlen")).alias("avgdl"),
     )
 
     contrib = (
@@ -109,18 +110,20 @@ def bm25_topk(
             ).alias("s"),
         )
     )
-    # term-ORDERED fold, not F.sum: a float sum's addend order follows
-    # partition arrival, so two docs with the SAME contribution
-    # multiset (true score ties) can land an ulp apart in either
-    # direction and flip against the doc-id tiebreak non-reproducibly
-    # (differential-fuzzer find); the sorted fold makes the double
-    # deterministic and the oracle mirrors it with
-    # list(s ORDER BY term). Per-pair arrays are |query terms| long.
+    # fixed-point SUM, not a float F.sum: a float sum's addend order
+    # follows partition arrival, so two docs with near-identical
+    # contribution multisets can land an ulp apart in either direction
+    # and flip against the doc-id tiebreak non-reproducibly — between
+    # engines AND between runs (differential-fuzzer find). Quantizing
+    # each contribution to 45 fractional bits (the exact-cents idiom,
+    # headroom: |s| < 40 -> sums well inside int64) makes the sum an
+    # exact integer — order-free, MAP-COMBINABLE (a sorted-list fold
+    # measured 1.6x slower at 10x: whole lists shuffled), and
+    # bit-identical in the oracle. Ranking uses the integer directly;
+    # rank gaps below 2^-45 are genuine ties and break on doc id.
     scored = contrib.groupBy("query_id", "doc").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("term", "s"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["s"],
+        F.sum(
+            F.floor(F.col("s") * F.lit(float(1 << 45)) + 0.5).cast("long")
         ).alias("score")
     )
     win = Window.partitionBy("query_id").orderBy(

@@ -2156,12 +2156,12 @@ qt AS (SELECT DISTINCT doc_id AS query_id, t AS term
 dfreq AS (SELECT term, COUNT(DISTINCT doc) AS df FROM post
           WHERE term IN (SELECT term FROM qt) GROUP BY 1),
 scored AS (
-  -- term-ORDERED fold mirrors operators/search.py::bm25_topk's
-  -- deterministic summation (see its comment): a bare SUM's addend
-  -- order is unspecified, and true score ties flip by an ulp
+  -- 45-bit fixed-point integer SUM mirrors operators/search.py::
+  -- bm25_topk's deterministic summation (see its comment): a bare
+  -- float SUM's addend order is unspecified, and near-tie scores flip
+  -- by an ulp
   SELECT query_id, doc,
-    list_reduce(list_prepend(0.0, list(s ORDER BY term)),
-                (x, y) -> x + y) AS score
+    SUM(CAST(floor(s * 35184372088832.0 + 0.5) AS BIGINT)) AS score
   FROM (
     SELECT qt.query_id, post.doc, qt.term,
       ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))

@@ -39,12 +39,15 @@ from .catalog import TESTDATA_TABLES
 #: tables below this row count scan in negligible time; symlink them.
 MIN_REPACK_ROWS = 100_000
 
-#: events and documents must stay single files: the streaming readers
-#: narrow their directory listings with ``pathGlobFilter=events.parquet``
-#: / ``documents.parquet`` (streaming/events.py, streaming/
-#: dedup_stream.py), which a part-file directory's leaf names would
-#: never match — the stream would silently read ZERO files and report
-#: an empty near-instant result instead of failing (ADVICE r03).
+#: events and documents stay single files at BENCH scale — no longer a
+#: streaming-reader requirement (the readers are layout-aware since
+#: round 5 and stream part-file directories fine, which the 10x
+#: replicas use), but a LAYOUT-REALISM choice: these tables are a few
+#: MB at sf0.1, and a real ingest writes one ~maxPartitionBytes-sized
+#: file for that, not 32 shards — measured: the 32-way split bought
+#: the two heavy stream-stream joins ~1.4s each but taxed ~25
+#: sub-second events aggregates ~0.2s of pure task-scheduling overhead
+#: apiece (+7s suite wall).
 KEEP_SINGLE_FILE = frozenset({"events", "documents"})
 
 

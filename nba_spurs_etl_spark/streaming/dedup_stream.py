@@ -131,20 +131,24 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of <sf_dir>/documents.parquet (schema from a batch
     footer read — streams cannot infer).
 
-    The pathGlobFilter matches the FILE named documents.parquet only;
-    if ingest ever rewrites documents into a part-file directory the
-    stream would list zero files and silently emit nothing, so fail
-    loudly here instead (repack keeps documents in KEEP_SINGLE_FILE
-    for the same reason — ADVICE r03).
+    Layout-aware (round 5): a single FILE named documents.parquet
+    streams via a leaf pathGlobFilter on sf_dir (the pristine driver
+    layout), while a part-file DIRECTORY of the same name streams from
+    inside it — previously the glob silently matched zero part files,
+    so the directory case raised; now any ingest/OPTIMIZE layout works
+    and batch scans of replicas keep their parallel part files. A
+    missing path still fails loudly (FileNotFoundError from the
+    footer read).
     """
     path = os.path.join(sf_dir, "documents.parquet")
-    if not os.path.isfile(path):
-        raise FileNotFoundError(
-            f"read_documents_stream: {path} must be a single parquet "
-            "FILE (pathGlobFilter matches the leaf name; a part-file "
-            "directory would stream zero files)"
-        )
     schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        reader = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+        )
+        return reader.parquet(path)
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")

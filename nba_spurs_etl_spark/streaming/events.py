@@ -98,11 +98,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(sf_dir, "events.parquet")
         ).schema
     raw_schema = per_session[sf_dir]
-    raw = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(ev_path):
+        # part-file directory (repacked/replica layout, round 5):
+        # stream from inside it — the leaf glob on sf_dir would match
+        # zero part files and silently emit nothing
+        raw = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(ev_path)
+        )
+    else:
+        raw = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if raw_schema["ts"].dataType.simpleString() == "bigint":
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -81,23 +81,11 @@ def build(spark, dst: str, k: int) -> None:
         out = reps[0]
         for d in reps[1:]:
             out = out.unionByName(d)
-        if name in ("events", "documents"):
-            # the streaming readers narrow their listings with
-            # pathGlobFilter=<name>.parquet (see sources/repack.py
-            # KEEP_SINGLE_FILE) — these two must be single FILES, not
-            # part-file directories. Write one file with ~64 row
-            # groups so batch scans still split across cores.
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            pdf = out.toPandas()
-            tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-            pq.write_table(
-                tbl,
-                f"{dst}/{name}.parquet",
-                row_group_size=max(1, len(pdf) // 64),
-            )
-            return
+        # plain part-file directories everywhere (round 5): the
+        # streaming readers are layout-aware, and a single-file
+        # documents/events replica capped batch scans at
+        # size/maxPartitionBytes tasks — measured 3-6x wall on the
+        # text/dedup family at 10x
         out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
 
     rep("lineitem", {"l_orderkey": 10_000_000})
