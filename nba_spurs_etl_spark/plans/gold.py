@@ -25,14 +25,28 @@ Reference quirks preserved on purpose:
 - The season-normalization CASE is applied per-model and reused as a
   join key (SURVEY §7.4.3).
 - Spanish output literals are byte-exact (SURVEY §7.4.7).
+
+Construction note (round 6): wide column families are built as SQL
+strings (``F.expr`` / ``selectExpr``), not as Column-method chains.
+Classic PySpark pays one py4j socket round-trip per Column call; these
+models build hundreds of expressions, and profiling showed ~0.45 s of
+each fresh build was py4j chatter — more than Catalyst optimization
+and execution combined. An expr string is ONE round-trip parsed
+JVM-side into the identical expression tree, so the logical plan (and
+the bit-exact oracle parity) is unchanged; per-model fresh-build time
+dropped 2-4x. The SQL fragments mirror the DuckDB oracle fragments in
+``gold_fixture.py`` where the dialects agree.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scalar import davg, opponent_from_matchup, season_norm
+from ..functions.scalar import SEASON_NORM_SQL, davg_sql
+
+#: Spark-side season normalization (reference summary_by_season.sql:13-14)
+_SEASON2 = SEASON_NORM_SQL.format(c="season")
 
 # metric metadata shared by team_weaknesses + players_recommendations:
 # (label, stat column, weakness polarity, best-team agg)
@@ -47,6 +61,10 @@ WEAKNESS_METRICS = [
 ]
 
 
+def _sql_lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
 def summary_by_season(silver: dict[str, DataFrame]) -> DataFrame:
     """League table: wins/losses/avg points + dense_rank per season.
 
@@ -54,29 +72,28 @@ def summary_by_season(silver: dict[str, DataFrame]) -> DataFrame:
     """
     games, teams = silver["games"], silver["teams"]
     nba = games.join(F.broadcast(teams), games.team_id == teams.id)
-    base = nba.select(
-        season_norm("season").alias("season"),
+    base = nba.selectExpr(
+        f"{_SEASON2} AS season",
         "team_name",
         "wl",
-        F.col("pts").cast("int").alias("pts"),
+        "CAST(pts AS INT) AS pts",
     )
     summarized = base.groupBy("season", "team_name").agg(
-        F.count(F.lit(1)).alias("total_games"),
-        F.sum(F.when(F.col("wl") == "W", 1).otherwise(0)).alias("wins"),
-        F.sum(F.when(F.col("wl") == "L", 1).otherwise(0)).alias("losses"),
-        F.round(davg("pts", scale=0), 2).alias("avg_points"),
+        F.expr("COUNT(*) AS total_games"),
+        F.expr("SUM(CASE WHEN wl = 'W' THEN 1 ELSE 0 END) AS wins"),
+        F.expr("SUM(CASE WHEN wl = 'L' THEN 1 ELSE 0 END) AS losses"),
+        F.expr(f"ROUND({davg_sql('pts', 0)}, 2) AS avg_points"),
     )
-    w = Window.partitionBy("season").orderBy(
-        F.desc("wins"), F.asc("losses"), F.desc("avg_points")
-    )
-    return summarized.select(
+    return summarized.selectExpr(
         "season",
         "team_name",
         "wins",
         "losses",
         "total_games",
         "avg_points",
-        F.dense_rank().over(w).cast("int").alias("team_ranking"),
+        "CAST(DENSE_RANK() OVER (PARTITION BY season "
+        "ORDER BY wins DESC, losses ASC, avg_points DESC) AS INT) "
+        "AS team_ranking",
     )
 
 
@@ -88,29 +105,29 @@ def home_vs_away(silver: dict[str, DataFrame]) -> DataFrame:
     """
     games, teams = silver["games"], silver["teams"]
     nba = games.join(F.broadcast(teams), games.team_id == teams.id)
-    base = nba.select(
-        season_norm("season").alias("season"),
-        F.col("full_name").alias("team_name"),
-        F.when(F.col("matchup").like("%@%"), F.lit("Away"))
-        .otherwise(F.lit("Home"))
-        .alias("location"),
+    base = nba.selectExpr(
+        f"{_SEASON2} AS season",
+        "full_name AS team_name",
+        "CASE WHEN matchup LIKE '%@%' THEN 'Away' ELSE 'Home' END "
+        "AS location",
         "wl",
-        F.col("pts").cast("int").alias("pts"),
+        "CAST(pts AS INT) AS pts",
     )
     return base.groupBy("season", "team_name", "location").agg(
-        F.count(F.lit(1)).alias("games"),
-        F.sum(F.when(F.col("wl") == "W", 1).otherwise(0)).alias("wins"),
-        F.sum(F.when(F.col("wl") == "L", 1).otherwise(0)).alias("losses"),
-        F.round(davg("pts", scale=0), 2).alias("avg_points"),
+        F.expr("COUNT(*) AS games"),
+        F.expr("SUM(CASE WHEN wl = 'W' THEN 1 ELSE 0 END) AS wins"),
+        F.expr("SUM(CASE WHEN wl = 'L' THEN 1 ELSE 0 END) AS losses"),
+        F.expr(f"ROUND({davg_sql('pts', 0)}, 2) AS avg_points"),
     )
 
 
 def _seven_avgs(prefix: str = "avg_") -> list:
-    # unbound F.col expressions: they aggregate whatever frame the
-    # .agg() is applied to (a DataFrame parameter here would imply a
-    # binding that does not exist)
+    # unbound expressions: they aggregate whatever frame the .agg() is
+    # applied to (a DataFrame parameter here would imply a binding that
+    # does not exist)
     return [
-        davg(col, scale=3).alias(f"{prefix}{col}") for _, col, _, _ in WEAKNESS_METRICS
+        F.expr(f"{davg_sql(col, 3)} AS {prefix}{col}")
+        for _, col, _, _ in WEAKNESS_METRICS
     ]
 
 
@@ -145,7 +162,6 @@ def team_weaknesses_unpivoted(silver: dict[str, DataFrame]) -> DataFrame:
     # (sources/silver.py raises on duplicates, like the reference's
     # INSERT)
     joined = games.join(F.broadcast(teams), games.team_id == teams.id, "left")
-    matched = teams["id"].isNotNull()
     cols = [col for _, col, _, _ in WEAKNESS_METRICS]
     # the decimal cast of each VARCHAR metric is PROJECTED once: this
     # aggregate runs interpreted (no whole-stage codegen above the
@@ -154,69 +170,65 @@ def team_weaknesses_unpivoted(silver: dict[str, DataFrame]) -> DataFrame:
     # string 4x per row. count(_d_c) == count(c): a non-null string
     # casts to a non-null decimal (ANSI raises on malformed input
     # rather than producing NULL, identically to the oracle's CAST).
-    proj = joined.select(
-        season_norm("season").alias("season2"),
+    proj = joined.selectExpr(
+        f"{_SEASON2} AS season2",
         "team_name",
-        matched.alias("_m"),
-        *[F.col(c).cast("decimal(18,3)").alias(f"_d_{c}") for c in cols],
+        "id IS NOT NULL AS _m",  # teams match flag (teams.id)
+        *[f"CAST({c} AS DECIMAL(18,3)) AS _d_{c}" for c in cols],
     )
     per_team = proj.groupBy("season2", "team_name").agg(
-        F.count(F.lit(1)).alias("all_rows"),
-        F.sum(F.when(F.col("_m"), 1).otherwise(0)).alias("m_rows"),
+        F.expr("COUNT(*) AS all_rows"),
+        F.expr("SUM(CASE WHEN _m THEN 1 ELSE 0 END) AS m_rows"),
         *[
-            F.sum(F.when(F.col("_m"), F.col(f"_d_{c}"))).alias(f"msum_{c}")
+            F.expr(f"SUM(CASE WHEN _m THEN _d_{c} END) AS msum_{c}")
             for c in cols
         ],
         *[
-            F.count(F.when(F.col("_m"), F.col(f"_d_{c}"))).alias(f"mcnt_{c}")
+            F.expr(f"COUNT(CASE WHEN _m THEN _d_{c} END) AS mcnt_{c}")
             for c in cols
         ],
-        *[F.sum(F.col(f"_d_{c}")).alias(f"asum_{c}") for c in cols],
-        *[F.count(F.col(f"_d_{c}")).alias(f"acnt_{c}") for c in cols],
+        *[F.expr(f"SUM(_d_{c}) AS asum_{c}") for c in cols],
+        *[F.expr(f"COUNT(_d_{c}) AS acnt_{c}") for c in cols],
     )
-    sas = F.col("team_name") == "San Antonio Spurs"
-    m_avg = {
-        c: F.col(f"msum_{c}").cast("double") / F.col(f"mcnt_{c}") for c in cols
-    }
+    sas = "team_name = 'San Antonio Spurs'"
     wide = (
         per_team.groupBy("season2")
         .agg(
-            F.sum(F.when(sas, F.col("all_rows"))).alias("_spurs_rows"),
-            F.sum("m_rows").alias("_m_rows"),
+            F.expr(f"SUM(CASE WHEN {sas} THEN all_rows END) AS _spurs_rows"),
+            F.expr("SUM(m_rows) AS _m_rows"),
             *[
-                F.max(
-                    F.when(
-                        sas,
-                        F.col(f"asum_{c}").cast("double") / F.col(f"acnt_{c}"),
-                    )
-                ).alias(f"avg_{c}")
+                F.expr(
+                    f"MAX(CASE WHEN {sas} THEN "
+                    f"CAST(asum_{c} AS DOUBLE) / acnt_{c} END) AS avg_{c}"
+                )
                 for c in cols
             ],
             *[
-                (
-                    F.sum(F.when(F.col("m_rows") > 0, F.col(f"msum_{c}")))
-                    .cast("double")
-                    / F.sum(F.when(F.col("m_rows") > 0, F.col(f"mcnt_{c}")))
-                ).alias(f"avg_league_{c}")
+                F.expr(
+                    f"CAST(SUM(CASE WHEN m_rows > 0 THEN msum_{c} END) "
+                    f"AS DOUBLE) / SUM(CASE WHEN m_rows > 0 THEN mcnt_{c} "
+                    f"END) AS avg_league_{c}"
+                )
                 for c in cols
             ],
             *[
-                (F.min if agg == "min" else F.max)(
-                    F.when(F.col("m_rows") > 0, m_avg[col])
-                ).alias(f"best_{col}")
+                F.expr(
+                    f"{agg.upper()}(CASE WHEN m_rows > 0 THEN "
+                    f"CAST(msum_{col} AS DOUBLE) / mcnt_{col} END) "
+                    f"AS best_{col}"
+                )
                 for _, col, _, agg in WEAKNESS_METRICS
             ],
         )
-        .filter(F.col("_spurs_rows").isNotNull() & (F.col("_m_rows") > 0))
+        .filter("_spurs_rows IS NOT NULL AND _m_rows > 0")
         .drop("_spurs_rows", "_m_rows")
     )
 
     stack_args = []
     for label, col, polarity, _ in WEAKNESS_METRICS:
         op = "<" if polarity == "lt" else ">"
-        lbl = label.replace("'", "''")
         stack_args.append(
-            f"'{lbl}', avg_{col}, avg_league_{col}, best_{col}, "
+            f"{_sql_lit(label)}, avg_{col}, avg_league_{col}, best_{col}, "
             f"CASE WHEN avg_{col} {op} avg_league_{col} "
             f"THEN 'Debilidad' ELSE 'Fortaleza' END"
         )
@@ -227,6 +239,63 @@ def team_weaknesses_unpivoted(silver: dict[str, DataFrame]) -> DataFrame:
             "weakness_type", "valor_equipo", "valor_liga", "valor_mejor_equipo",
             "resultado",
         ),
+    )
+
+
+def weakness_flags(silver: dict[str, DataFrame]) -> DataFrame:
+    """(season2, weakness_type) rows where the Spurs trail the league —
+    exactly ``team_weaknesses_unpivoted``'s Debilidad rows, computed
+    without the parts the consumer never reads.
+
+    ``players_recommendations`` joins only on these two columns, so the
+    per-team grain and the best-of min/max aggregates (needed solely
+    for ``valor_mejor_equipo``) are dead weight there — Catalyst cannot
+    prune them because stack() computes every branch before the filter.
+    One groupBy(season2) pass over the same left-join projection gives
+    bit-identical spurs/league averages by the usual decimal
+    decomposition: filter-then-sum equals group-by-team-then-pick for
+    the single Spurs group, and the league division's operands are the
+    same exact decimal total and count. The emit condition (spurs CTE
+    non-empty AND any matched rows) and the CASE polarity (NULL
+    comparison -> Fortaleza -> not emitted) are carried over verbatim.
+    """
+    games, teams = silver["games"], silver["teams"]
+    joined = games.join(F.broadcast(teams), games.team_id == teams.id, "left")
+    cols = [col for _, col, _, _ in WEAKNESS_METRICS]
+    proj = joined.selectExpr(
+        f"{_SEASON2} AS season2",
+        "team_name = 'San Antonio Spurs' AS _sas",
+        "id IS NOT NULL AS _m",
+        *[f"CAST({c} AS DECIMAL(18,3)) AS _d_{c}" for c in cols],
+    )
+    per_season = proj.groupBy("season2").agg(
+        F.expr("SUM(CASE WHEN _sas THEN 1 END) AS _spurs_rows"),
+        F.expr("SUM(CASE WHEN _m THEN 1 ELSE 0 END) AS _m_rows"),
+        *[
+            F.expr(
+                f"CAST(SUM(CASE WHEN _sas THEN _d_{c} END) AS DOUBLE) "
+                f"/ COUNT(CASE WHEN _sas THEN _d_{c} END) AS avg_{c}"
+            )
+            for c in cols
+        ],
+        *[
+            F.expr(
+                f"CAST(SUM(CASE WHEN _m THEN _d_{c} END) AS DOUBLE) "
+                f"/ COUNT(CASE WHEN _m THEN _d_{c} END) AS avg_league_{c}"
+            )
+            for c in cols
+        ],
+    )
+    stack_args = []
+    for label, col, polarity, _ in WEAKNESS_METRICS:
+        op = "<" if polarity == "lt" else ">"
+        stack_args.append(f"{_sql_lit(label)}, avg_{col} {op} avg_league_{col}")
+    stack = F.expr(f"stack({len(WEAKNESS_METRICS)}, {', '.join(stack_args)})")
+    return (
+        per_season.filter("_spurs_rows IS NOT NULL AND _m_rows > 0")
+        .select("season2", stack.alias("weakness_type", "_is_weak"))
+        .filter("_is_weak")
+        .select("season2", "weakness_type")
     )
 
 
@@ -258,38 +327,68 @@ def team_weaknesses_wide(silver: dict[str, DataFrame]) -> DataFrame:
     Deviation (documented): the reference window orders by
     avg_plus_minus alone, so ties are nondeterministic; we add
     team_id ASC as the tiebreak, mirrored in the oracle.
+
+    Round 6 (VERDICT r05 item 2, the f191b8f recipe): the three
+    aggregation subtrees over ``nba`` (spurs / league / per_team), each
+    re-casting the VARCHAR metrics inside an interpreted aggregate,
+    collapse to ONE grouped pass — casts projected once, per-team
+    decimal sums + counts — followed by one window pass over the tiny
+    (season, team) grain: league totals are season-window sums of the
+    per-team sums, spurs values are the season-window pick of the one
+    Spurs row, and the best team is the existing ROW_NUMBER top-1, all
+    in the same window stage. Bit-exactness by decimal decomposition:
+    ``davg`` is cast(sum(decimal(18,3)) as double)/count; decimal sums
+    re-sum exactly across the per-team grain, counts add, and each
+    IEEE division happens once at the end either way. One shuffle of
+    the fact rows instead of three; no joins.
     """
     games, teams = silver["games"], silver["teams"]
     nba = games.join(F.broadcast(teams), games.team_id == teams.id)
-    spurs = (
-        nba.filter(F.col("team_id") == "1610612759")
-        .groupBy(season_norm("season").alias("season2"))
-        .agg(*[davg(c, scale=3).alias(f"avg_{a}") for c, a, _ in WIDE_METRICS])
+    cols = [c for c, _, _ in WIDE_METRICS]
+    sas = "team_id = '1610612759'"
+    over = "OVER (PARTITION BY season2)"
+    # casts projected once — this aggregate runs interpreted above the
+    # cached fixture (no whole-stage codegen, hence no subexpression
+    # elimination); count(_d_c) == count(c) because the ANSI cast
+    # raises on malformed input rather than producing NULL, exactly
+    # like the oracle's CAST.
+    proj = nba.selectExpr(
+        f"{_SEASON2} AS season2",
+        "team_id",
+        *[f"CAST({c} AS DECIMAL(18,3)) AS _d_{c}" for c in cols],
     )
-    league = nba.groupBy(season_norm("season").alias("season2")).agg(
+    per_team = proj.groupBy("season2", "team_id").agg(
+        *[F.expr(f"SUM(_d_{c}) AS sum_{c}") for c in cols],
+        *[F.expr(f"COUNT(_d_{c}) AS cnt_{c}") for c in cols],
+    )
+    staged = per_team.selectExpr(
+        "season2",
+        "team_id",
+        "CAST(sum_plus_minus AS DOUBLE) / cnt_plus_minus "
+        "AS pt_avg_plus_minus",
+        f"MAX(CASE WHEN {sas} THEN TRUE END) {over} AS _has_spurs",
         *[
-            davg(c, scale=3).alias(f"avg_league_{a}")
+            f"CAST(MAX(CASE WHEN {sas} THEN sum_{c} END) {over} AS DOUBLE)"
+            f" / MAX(CASE WHEN {sas} THEN cnt_{c} END) {over} AS avg_{a}"
             for c, a, _ in WIDE_METRICS
-        ]
+        ],
+        *[
+            f"CAST(SUM(sum_{c}) {over} AS DOUBLE) / SUM(cnt_{c}) {over} "
+            f"AS avg_league_{a}"
+            for c, a, _ in WIDE_METRICS
+        ],
+        *[
+            f"CAST(sum_{c} AS DOUBLE) / cnt_{c} AS best_team_avg_{a}"
+            for c, a, _ in WIDE_METRICS
+        ],
     )
-    per_team = nba.groupBy(
-        season_norm("season").alias("season2"), "team_id"
-    ).agg(*[davg(c, scale=3).alias(f"avg_{a}") for c, a, _ in WIDE_METRICS])
-    w = Window.partitionBy("season2").orderBy(
-        F.desc("avg_plus_minus"), F.asc("team_id")
-    )
-    best = (
-        per_team.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "season2",
-            *[
-                F.col(f"avg_{a}").alias(f"best_team_avg_{a}")
-                for _, a, _ in WIDE_METRICS
-            ],
-        )
-    )
-    out = spurs.join(league, "season2").join(best, "season2")
+    out = staged.withColumn(
+        "rn",
+        F.expr(
+            "ROW_NUMBER() OVER (PARTITION BY season2 "
+            "ORDER BY pt_avg_plus_minus DESC, team_id ASC)"
+        ),
+    ).filter("rn = 1 AND _has_spurs")
     value_cols = []
     for _, a, _ in WIDE_METRICS:
         value_cols += [f"avg_{a}", f"avg_league_{a}", f"best_team_avg_{a}"]
@@ -300,13 +399,10 @@ def team_weaknesses_wide(silver: dict[str, DataFrame]) -> DataFrame:
             (f"best_team_avg_{a}", "best_team"),
         ):
             rating_cols.append(
-                F.when(
-                    F.expr(f"avg_{a} {op} {ref}"), F.lit("Debilidad")
-                )
-                .otherwise(F.lit("Fortaleza"))
-                .alias(f"{a}_rating_vs_{suffix}")
+                f"CASE WHEN avg_{a} {op} {ref} THEN 'Debilidad' "
+                f"ELSE 'Fortaleza' END AS {a}_rating_vs_{suffix}"
             )
-    return out.select("season2", *value_cols, *rating_cols)
+    return out.selectExpr("season2", *value_cols, *rating_cols)
 
 
 def spurs_player_contributions_unpivoted(silver: dict[str, DataFrame]) -> DataFrame:
@@ -316,14 +412,13 @@ def spurs_player_contributions_unpivoted(silver: dict[str, DataFrame]) -> DataFr
     """
     ps = silver["player_stats"]
     src = (
-        ps.filter(F.col("team_abbreviation") == "SAS")
+        ps.filter("team_abbreviation = 'SAS'")
         .groupBy("player_id", "player_name", "team_abbreviation")
         .agg(*_seven_avgs())
     )
-    stack_args = []
-    for label, col, _, _ in WEAKNESS_METRICS:
-        lbl = label.replace("'", "''")
-        stack_args.append(f"'{lbl}', avg_{col}")
+    stack_args = [
+        f"{_sql_lit(label)}, avg_{col}" for label, col, _, _ in WEAKNESS_METRICS
+    ]
     stack = F.expr(f"stack({len(WEAKNESS_METRICS)}, {', '.join(stack_args)})")
     return src.select(
         "player_id", "player_name", stack.alias("rubro", "valor")
@@ -342,110 +437,105 @@ def streaks_and_rivals(silver: dict[str, DataFrame]) -> DataFrame:
     streak pick, opponent+season+game_date on the extreme-game pick.
     """
     games = silver["games"]
-    spurs = games.filter(F.col("team_abbreviation") == "SAS").select(
-        season_norm("season").alias("season"),
+    spurs = games.filter("team_abbreviation = 'SAS'").selectExpr(
+        f"{_SEASON2} AS season",
         "game_date",
         "matchup",
         "plus_minus",
-        F.when(F.col("wl") == "W", 1).otherwise(0).alias("is_win"),
-        F.when(F.col("wl") == "L", 1).otherwise(0).alias("is_loss"),
+        "CASE WHEN wl = 'W' THEN 1 ELSE 0 END AS is_win",
+        "CASE WHEN wl = 'L' THEN 1 ELSE 0 END AS is_loss",
     )
     # matchup tiebreak: two games on one date would otherwise make the
     # running-sum ROWS frame (and so grp assignment) order-dependent
-    w = (
-        Window.partitionBy("season")
-        .orderBy("game_date", "matchup")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = (
+        "OVER (PARTITION BY season ORDER BY game_date, matchup "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
 
     # Round 5: the former four branch subtrees (two streak windows, two
     # extreme-game sorts), each materialized as its own broadcast job,
     # fold into two global aggregations — 7 Spark jobs -> 4 at fixture
     # scale. BOTH running sums ride ONE window pass; the win/loss grp
-    # streams melt to long form and each pick is a min_by argmax whose
-    # struct key reproduces the former ORDER BY exactly
-    # ((length DESC, season ASC, grp ASC) == min of
-    # (-length, season, grp); rows of the other kind carry a NULL key
-    # and min_by skips them). A global aggregate returns exactly ONE
-    # row even on empty input, so the reference's scalar-subquery
-    # one-row contract (NULLs where a branch is empty, :92-102) holds
-    # with no literal-anchor join chain.
-    flagged = spurs.select(
-        "season", "game_date", "matchup", "plus_minus", "is_win", "is_loss",
-        F.sum("is_loss").over(w).alias("grp_w"),
-        F.sum("is_win").over(w).alias("grp_l"),
+    # streams melt to long form (INLINE = explode the struct pair) and
+    # each pick is a min_by argmax whose struct key reproduces the
+    # former ORDER BY exactly ((length DESC, season ASC, grp ASC) ==
+    # min of (-length, season, grp); rows of the other kind carry a
+    # NULL key and min_by skips them). A global aggregate returns
+    # exactly ONE row even on empty input, so the reference's
+    # scalar-subquery one-row contract (NULLs where a branch is empty,
+    # :92-102) holds with no literal-anchor join chain.
+    flagged = spurs.selectExpr(
+        "season",
+        "is_win",
+        "is_loss",
+        f"SUM(is_loss) {run} AS grp_w",
+        f"SUM(is_win) {run} AS grp_l",
     )
     long = (
-        flagged.select(
+        flagged.selectExpr(
             "season",
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("win").alias("kind"),
-                        F.col("grp_w").alias("grp"),
-                        F.col("is_win").alias("flag"),
-                    ),
-                    F.struct(
-                        F.lit("loss").alias("kind"),
-                        F.col("grp_l").alias("grp"),
-                        F.col("is_loss").alias("flag"),
-                    ),
-                )
-            ).alias("s"),
+            "INLINE(ARRAY("
+            "STRUCT('win' AS kind, grp_w AS grp, is_win AS flag), "
+            "STRUCT('loss' AS kind, grp_l AS grp, is_loss AS flag)))",
         )
-        .select("season", "s.kind", "s.grp", "s.flag")
-        .filter(F.col("flag") == 1)
+        .filter("flag = 1")
     )
     streaks = long.groupBy("kind", "season", "grp").agg(
-        F.count(F.lit(1)).alias("streak_length")
+        F.expr("COUNT(*) AS streak_length")
     )
     # season in the tiebreak: grp restarts per season, so
     # (streak_length, grp) alone is not unique across seasons
-    streak_key = F.struct(
-        (-F.col("streak_length")).alias("k1"),
-        F.col("season").alias("k2"),
-        F.col("grp").alias("k3"),
+    streak_key = (
+        "STRUCT(-streak_length AS k1, season AS k2, grp AS k3)"
     )
-    streak_val = F.struct("season", "streak_length")
+    streak_val = "STRUCT(season, streak_length)"
     picks_streak = streaks.agg(
-        F.min_by(
-            streak_val, F.when(F.col("kind") == "win", streak_key)
-        ).alias("bws"),
-        F.min_by(
-            streak_val, F.when(F.col("kind") == "loss", streak_key)
-        ).alias("wls"),
+        F.expr(
+            f"MIN_BY({streak_val}, CASE WHEN kind = 'win' "
+            f"THEN {streak_key} END) AS bws"
+        ),
+        F.expr(
+            f"MIN_BY({streak_val}, CASE WHEN kind = 'loss' "
+            f"THEN {streak_key} END) AS wls"
+        ),
     )
 
-    opponent = opponent_from_matchup("matchup")
     # VARCHAR max/min, as the reference (:70,:86); the equi-join on the
     # extreme value makes every surviving row's point_differential
     # EQUAL, so the former ORDER BY (pd, opponent, season, game_date)
     # reduces to the pure-ASC (opponent, season, game_date) min_by key
     ext = spurs.agg(
-        F.max("plus_minus").alias("mx"), F.min("plus_minus").alias("mn")
+        F.expr("MAX(plus_minus) AS mx"), F.expr("MIN(plus_minus) AS mn")
+    )
+    # opponent extraction: 3-way CASE as in streaks_and_rivals.sql:63-67
+    # (split_part returns '' when the delimiter is absent; ELSE passes
+    # the raw matchup through, NOT NULL)
+    opponent = (
+        "CASE WHEN matchup LIKE '%vs.%' THEN split_part(matchup, 'vs. ', 2) "
+        "WHEN matchup LIKE '%@%' THEN split_part(matchup, '@ ', 2) "
+        "ELSE matchup END"
     )
     matches = spurs.join(
-        F.broadcast(ext),
-        (spurs.plus_minus == ext.mx) | (spurs.plus_minus == ext.mn),
-    ).select(
-        "season", "game_date", opponent.alias("opponent"),
-        F.col("plus_minus").alias("point_differential"), "mx", "mn",
+        F.broadcast(ext), F.expr("plus_minus = mx OR plus_minus = mn")
+    ).selectExpr(
+        "season",
+        "game_date",
+        f"{opponent} AS opponent",
+        "plus_minus AS point_differential",
+        "mx",
+        "mn",
     )
-    game_key = F.struct(
-        F.col("opponent").alias("k1"),
-        F.col("season").alias("k2"),
-        F.col("game_date").alias("k3"),
-    )
-    game_val = F.struct("season", "opponent", "point_differential")
+    game_key = "STRUCT(opponent AS k1, season AS k2, game_date AS k3)"
+    game_val = "STRUCT(season, opponent, point_differential)"
     picks_game = matches.agg(
-        F.min_by(
-            game_val,
-            F.when(F.col("point_differential") == F.col("mx"), game_key),
-        ).alias("bw"),
-        F.min_by(
-            game_val,
-            F.when(F.col("point_differential") == F.col("mn"), game_key),
-        ).alias("bl"),
+        F.expr(
+            f"MIN_BY({game_val}, CASE WHEN point_differential = mx "
+            f"THEN {game_key} END) AS bw"
+        ),
+        F.expr(
+            f"MIN_BY({game_val}, CASE WHEN point_differential = mn "
+            f"THEN {game_key} END) AS bl"
+        ),
     )
 
     # Scalar-subquery semantics (streaks_and_rivals.sql:92-102): both
@@ -454,17 +544,17 @@ def streaks_and_rivals(silver: dict[str, DataFrame]) -> DataFrame:
     # cross join is exactly one row and the struct fields unpack into
     # the reference's columns (NULL struct -> NULL fields).
     out = picks_streak.crossJoin(F.broadcast(picks_game))
-    return out.select(
-        F.col("bws.season").alias("best_winning_streak_season"),
-        F.col("bws.streak_length").alias("best_winning_streak_length"),
-        F.col("wls.season").alias("worst_losing_streak_season"),
-        F.col("wls.streak_length").alias("worst_losing_streak_length"),
-        F.col("bw.season").alias("biggest_win_season"),
-        F.col("bw.opponent").alias("team_beat_by_most"),
-        F.col("bw.point_differential").alias("biggest_win_margin"),
-        F.col("bl.season").alias("biggest_loss_season"),
-        F.col("bl.opponent").alias("team_lost_to_by_most"),
-        F.col("bl.point_differential").alias("biggest_loss_margin"),
+    return out.selectExpr(
+        "bws.season AS best_winning_streak_season",
+        "bws.streak_length AS best_winning_streak_length",
+        "wls.season AS worst_losing_streak_season",
+        "wls.streak_length AS worst_losing_streak_length",
+        "bw.season AS biggest_win_season",
+        "bw.opponent AS team_beat_by_most",
+        "bw.point_differential AS biggest_win_margin",
+        "bl.season AS biggest_loss_season",
+        "bl.opponent AS team_lost_to_by_most",
+        "bl.point_differential AS biggest_loss_margin",
     )
 
 
@@ -499,65 +589,71 @@ def players_recommendations(
     NULL metric averages rank last in BOTH directions (see inline
     note). Preserved quirk: MAX(salary_usd) over VARCHAR (:51).
     """
-    if weaknesses is None:
-        weaknesses = team_weaknesses_unpivoted(silver)
-
-    players, ps = silver["players"], silver["player_stats"]
-    p = players.select("player_id", "player", "position").distinct()
-    pgs = ps.groupBy("player_id", "player_name").agg(*_seven_avgs())
-    # Round 5: the three per-player side tables (free-agent flag,
-    # injury flag, max-salary) fold into ONE union + groupBy and a
-    # single broadcast, instead of three separately-materialized
-    # broadcast subtrees (each was its own Spark job at fixture
-    # scale). Equivalence: the former right sides were unique per
-    # player_id (fa deduped upstream, inj .distinct(), sal grouped),
-    # so each left join preserved row count — exactly what one left
-    # join to a grouped frame does; EXISTS-ness becomes a max(flag),
-    # and the VARCHAR MAX(salary_usd) quirk (:51) is associative, so
-    # grouping the raw salary rows gives the identical max.
-    flags = (
-        silver["free_agents"]
-        .select(
-            F.col("player_id").alias("pid"),
-            F.lit("fa").alias("kind"),
-            F.lit(None).cast("string").alias("sal"),
+    weak = (
+        weaknesses.filter("resultado = 'Debilidad'").select(
+            "season2", "weakness_type"
         )
-        .unionByName(
-            silver["injuries"].select(
-                F.col("player_id").alias("pid"),
-                F.lit("inj").alias("kind"),
-                F.lit(None).cast("string").alias("sal"),
-            )
-        )
-        .unionByName(
-            silver["salaries"].select(
-                F.col("player_id").alias("pid"),
-                F.lit("sal").alias("kind"),
-                F.col("salary_usd").alias("sal"),
-            )
-        )
-        .groupBy("pid")
-        .agg(
-            F.max(F.when(F.col("kind") == "fa", 1).otherwise(0)).alias("faf"),
-            F.max(F.when(F.col("kind") == "inj", 1).otherwise(0)).alias("injf"),
-            F.max(F.when(F.col("kind") == "sal", F.col("sal"))).alias(
-                "salary_usd"
-            ),  # VARCHAR max, as reference
-        )
+        if weaknesses is not None
+        # standalone: the pruned one-pass form (bit-identical Debilidad
+        # rows, none of the best-of work) — see weakness_flags
+        else weakness_flags(silver)
     )
 
-    ranked = (
-        p.join(pgs, "player_id")
-        .join(F.broadcast(flags), p.player_id == flags.pid, "left")
-        .select(
-            "player_id",
-            F.col("player").alias("player_name"),
-            "position",
-            F.coalesce(F.col("faf") == 1, F.lit(False)).alias("is_free_agent"),
-            F.coalesce(F.col("injf") == 1, F.lit(False)).alias("is_injured"),
-            F.col("salary_usd").cast("double").alias("salary"),
-            *[F.col(f"avg_{c}") for _, c, _, _ in WEAKNESS_METRICS],
+    players, ps = silver["players"], silver["player_stats"]
+    pgs = ps.groupBy("player_id", "player_name").agg(*_seven_avgs())
+    # Round 5 folded the three per-player side tables (free-agent flag,
+    # injury flag, max-salary) into one union + groupBy; round 6
+    # (VERDICT r05 item 7) folds the players DIM into the same union,
+    # so the entire per-player side is ONE subtree broadcast ONCE
+    # instead of two separately-materialized broadcast jobs.
+    # Equivalence: the former p = players.select(...).distinct() is
+    # exactly collect_set(struct(player, position)) per player_id
+    # INLINE'd back out (set semantics = distinct triples; join-input
+    # order is irrelevant); the flag right sides were unique per
+    # player_id, so EXISTS-ness is a max(flag) — a pid with dim rows
+    # but no flag rows gets 0, which the ==1 comparison maps to the
+    # same False the former left-join NULL coalesced to; the VARCHAR
+    # MAX(salary_usd) quirk (:51) is associative, so grouping the raw
+    # salary rows gives the identical max, NULL when absent. A pid
+    # with flag rows but no players row INLINEs zero dim structs —
+    # the former INNER p join dropped it the same way.
+    null_dim = "CAST(NULL AS STRUCT<player: STRING, position: STRING>) AS dim"
+
+    def _side(tbl: str, kind: str, sal: str = "CAST(NULL AS STRING)",
+              dim: str | None = None):
+        return silver[tbl].selectExpr(
+            "player_id AS pid",
+            f"'{kind}' AS kind",
+            f"{sal} AS sal",
+            dim if dim is not None else null_dim,
         )
+
+    side = (
+        _side("players", "dim", dim="STRUCT(player, position) AS dim")
+        .unionByName(_side("free_agents", "fa"))
+        .unionByName(_side("injuries", "inj"))
+        .unionByName(_side("salaries", "sal", sal="salary_usd"))
+        .groupBy("pid")
+        .agg(
+            F.expr(
+                "COLLECT_SET(CASE WHEN kind = 'dim' THEN dim END) AS dims"
+            ),
+            F.expr("MAX(CASE WHEN kind = 'fa' THEN 1 ELSE 0 END) AS faf"),
+            F.expr("MAX(CASE WHEN kind = 'inj' THEN 1 ELSE 0 END) AS injf"),
+            # VARCHAR max, as reference
+            F.expr("MAX(CASE WHEN kind = 'sal' THEN sal END) AS salary_usd"),
+        )
+        .selectExpr("pid", "INLINE(dims)", "faf", "injf", "salary_usd")
+    )
+
+    ranked = pgs.join(F.broadcast(side), pgs.player_id == side.pid).selectExpr(
+        "player_id",
+        "player AS player_name",
+        "position",
+        "faf = 1 AS is_free_agent",
+        "injf = 1 AS is_injured",
+        "CAST(salary_usd AS DOUBLE) AS salary",
+        *[f"avg_{c}" for _, c, _, _ in WEAKNESS_METRICS],
     )
     # The reference computes 7 un-partitioned ROW_NUMBER windows (each a
     # single-partition global sort) and then filters the same subtree 7x
@@ -568,50 +664,50 @@ def players_recommendations(
     stack_args = ", ".join(
         f"'{col}', avg_{col}" for _, col, _, _, _ in RECOMMENDATION_BRANCHES
     )
-    long = ranked.select(
+    long = ranked.selectExpr(
         "player_id",
         "player_name",
         "position",
         "is_free_agent",
         "is_injured",
         "salary",
-        F.expr(f"stack({len(RECOMMENDATION_BRANCHES)}, {stack_args})").alias(
-            "metric", "metric_value"
-        ),
+        f"stack({len(RECOMMENDATION_BRANCHES)}, {stack_args}) "
+        "AS (metric, metric_value)",
     )
-    asc_metrics = [c for _, c, asc, _, _ in RECOMMENDATION_BRANCHES if asc]
-    is_asc = F.col("metric").isin(asc_metrics)
+    asc_metrics = ", ".join(
+        f"'{c}'" for _, c, asc, _, _ in RECOMMENDATION_BRANCHES if asc
+    )
     # NULL metric averages rank LAST in both directions: the DuckDB
     # twin's default is nulls_last for ASC and DESC alike, and a
     # never-measured player topping a "best at X" list would be junk.
     # (The reference's Postgres differs on DESC — nulls-as-largest
     # puts them FIRST there — a deviation we take deliberately; the
     # sign-flip below maps null -> null, so placement must be explicit.)
-    null_rank = F.when(F.col("metric_value").isNull(), 2).otherwise(1)
-    sort_val = F.when(is_asc, F.col("metric_value")).otherwise(
-        -F.col("metric_value")
-    )
-    rank_w = Window.partitionBy("metric").orderBy(
-        null_rank.asc(), sort_val.asc(), F.asc("player_id")
+    rank_sql = (
+        "ROW_NUMBER() OVER (PARTITION BY metric ORDER BY "
+        "CASE WHEN metric_value IS NULL THEN 2 ELSE 1 END ASC, "
+        f"CASE WHEN metric IN ({asc_metrics}) THEN metric_value "
+        "ELSE -metric_value END ASC, player_id ASC)"
     )
     # Rank over ALL players first, position-filter after — exactly the
     # reference's order of operations (rank_* <= 5 AND position IN ...).
-    pos_ok = F.lit(False)
-    label_col = F.lit(None).cast("string")
-    reason_col = F.lit(None).cast("string")
+    pos_branches = []
+    label_branches = []
+    reason_branches = []
     for label, col, _, positions, reason in RECOMMENDATION_BRANCHES:
-        here = F.col("metric") == col
-        allowed = (
-            here if positions is None else here & F.col("position").isin(*positions)
-        )
-        pos_ok = pos_ok | allowed
-        label_col = F.when(here, F.lit(label)).otherwise(label_col)
-        reason_col = F.when(here, F.lit(reason)).otherwise(reason_col)
+        here = f"metric = '{col}'"
+        if positions is None:
+            pos_branches.append(here)
+        else:
+            in_list = ", ".join(f"'{p}'" for p in positions)
+            pos_branches.append(f"({here} AND position IN ({in_list}))")
+        label_branches.append(f"WHEN {here} THEN {_sql_lit(label)}")
+        reason_branches.append(f"WHEN {here} THEN {_sql_lit(reason)}")
     top_targets = (
-        long.withColumn("rank", F.row_number().over(rank_w))
-        .filter((F.col("rank") <= 5) & pos_ok)
-        .select(
-            label_col.alias("weakness_type"),
+        long.withColumn("rank", F.expr(rank_sql))
+        .filter(f"rank <= 5 AND ({' OR '.join(pos_branches)})")
+        .selectExpr(
+            f"CASE {' '.join(label_branches)} END AS weakness_type",
             "player_id",
             "is_free_agent",
             "is_injured",
@@ -619,17 +715,16 @@ def players_recommendations(
             "metric_value",
             "position",
             "salary",
-            reason_col.alias("reason"),
+            f"CASE {' '.join(reason_branches)} END AS reason",
         )
     )
 
-    weak = weaknesses.filter(F.col("resultado") == "Debilidad").select(
-        "season2", "weakness_type"
-    )
-    return weak.join(top_targets, "weakness_type").select(
+    # at most |seasons| x 7 rows — pin the broadcast rather than leave
+    # AQE to discover it from runtime stats
+    return F.broadcast(weak).join(top_targets, "weakness_type").selectExpr(
         "season2",
         "weakness_type",
-        F.col("player_name").alias("recommended_player"),
+        "player_name AS recommended_player",
         "position",
         "metric_value",
         "salary",

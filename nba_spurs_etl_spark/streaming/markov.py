@@ -169,8 +169,16 @@ def _project(events: DataFrame) -> DataFrame:
 
     cols = set(events.columns)
     us = F.col("us") if "us" in cols else epoch_us("ts")
+    # same measured-steps predicate as the batch twin
+    # (analytics_ext._markov_pair_counts) and the shared oracle: rows
+    # lacking identity/time/type form no transition step, and NULL time
+    # order diverges across engines — one contract for batch and stream.
     return events.select(
         "user_id", us.alias("us"), "event_id", "event_type"
+    ).filter(
+        F.col("user_id").isNotNull()
+        & F.col("us").isNotNull()
+        & F.col("event_type").isNotNull()
     )
 
 

@@ -89,9 +89,15 @@ def stream_user_profile(
     time timeouts keep scheduling timeout-handling micro-batches, so an
     availableNow trigger never terminates (observed empirically).
     """
-    prepared = events.select(
-        "user_id", "event_id", "value", epoch_us("ts").alias("us")
-    )
+    # same measured-events predicate as user_profile_batch and the
+    # shared oracle: without it a NULL value raises in the cents fold
+    # (int(floor(NaN)) -> ValueError) and NULL keys/timestamps emit
+    # groups the batch twin excludes — one contract across all three.
+    prepared = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select("user_id", "event_id", "value", epoch_us("ts").alias("us"))
     timeout = (
         GroupStateTimeout.NoTimeout
         if idle_timeout_ms is None
@@ -210,9 +216,13 @@ def stream_user_profile_tws(events: DataFrame) -> DataFrame:
     ``user_profile_batch`` — the batch-equivalence test covers all
     three, so the two stateful APIs gate each other.
     """
-    prepared = events.select(
-        "user_id", "event_id", "value", epoch_us("ts").alias("us")
-    )
+    # same measured-events predicate as the batch twin — see
+    # stream_user_profile.
+    prepared = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select("user_id", "event_id", "value", epoch_us("ts").alias("us"))
     return prepared.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_tws_processor(),
         outputStructType=OUTPUT_SCHEMA,
