@@ -38,6 +38,36 @@ import time
 
 MAX_LINE = 1750  # stay comfortably under the driver's stdout tail buffer
 
+# Plan fingerprints pin each entry's timing history to the plan it
+# measured: a committed median must never gate (or be reported for) an
+# implementation that changed since it was recorded. The fingerprint is
+# the optimized logical plan string with per-session volatile tokens
+# normalized out — expression IDs (#123), HOF lambda-variable counters,
+# plan ids, object addresses, and file paths (stream entries drain
+# through per-run scratch dirs; the data dir itself is keyed by sf
+# already). A mismatch only ever costs a conservative full warm re-run,
+# so normalization misses are safe; stability across sessions is pinned
+# by tests/test_bench_fingerprint.py.
+_FP_VOLATILE = [
+    (re.compile(r"#\d+"), "#"),
+    # higher-order-function lambda vars carry a session counter in the
+    # NAME (lambda x_9# vs x_21#), not just the expr id
+    (re.compile(r"\b(lambda\s+\w+?)_\d+#"), r"\1_#"),
+    (re.compile(r"plan_id=\d+"), "plan_id="),
+    (re.compile(r"@[0-9a-fA-F]{6,}"), "@"),
+    (re.compile(r"(file|viewfs|s3a?|hdfs):/[^\s,\)\]]*"), "path:/X"),
+    (re.compile(r"/[-\w./]*(tmp|testdata|scratch)[-\w./]*"), "/X"),
+]
+
+
+def plan_fingerprint(df) -> str:
+    import hashlib
+
+    s = df._jdf.queryExecution().optimizedPlan().toString()
+    for pat, repl in _FP_VOLATILE:
+        s = pat.sub(repl, s)
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
+
 # Queries whose timings go on the stdout line first (BASELINE.md's gold
 # models, the TPC-H suite, then flagship data-prep/stream operators).
 PRIORITY_PREFIXES = [
@@ -167,6 +197,11 @@ def main() -> int:
     # was outgrowing the driver margin at 2 runs/query): a committed
     # per-entry trailing-median table (bench_history.json, last 5 TRUE
     # warm timings per entry per sf) decides noise vs drift by data.
+    # Every entry's history is pinned to a fingerprint of its optimized
+    # logical plan (normalized of per-session ids/paths): the moment an
+    # implementation changes its plan, the old history is evicted and
+    # the entry escalates to the full warm protocol — a changed query
+    # can never report a median measured for code that no longer exists.
     #   - Entries with NO history (new this round) and the headline
     #     comparison set (gold models + flagship — everything
     #     BASELINE.md is compared against) run the full warm protocol.
@@ -207,13 +242,29 @@ def main() -> int:
                 }
         except (OSError, ValueError):
             pass
-    sf_hist: dict[str, list] = history.setdefault("warm", {}).setdefault(
-        str(sf), {}
-    )
+    # an unparseable data dir (sf None) would bucket all such runs under
+    # the history key 'None' — medians from a DIFFERENT dataset could
+    # then gate single-run reporting. Mirror the seed-path guard: skip
+    # tiering entirely (every entry runs the full warm protocol) and
+    # neither read nor persist history for the run.
+    tiering_enabled = sf is not None
+    if tiering_enabled:
+        sf_hist: dict[str, list] = history.setdefault("warm", {}).setdefault(
+            str(sf), {}
+        )
+    else:
+        sf_hist = {}  # detached scratch: never persisted
     run_counter = int(history.get("run_counter", 0))
 
     import statistics
     import zlib
+
+    if tiering_enabled:
+        fp_table: dict[str, str] = history.setdefault(
+            "plan_fp", {}
+        ).setdefault(str(sf), {})
+    else:
+        fp_table = {}
 
     def _always_double(name: str) -> bool:
         return name.startswith(("gold_", "summary_rank", "pricing_summary"))
@@ -221,10 +272,11 @@ def main() -> int:
     def _in_refresh_slice(name: str) -> bool:
         return (zlib.crc32(name.encode()) + run_counter) % 5 == 0
 
-    def _run(fn) -> float:
+    def _run(fn):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 4)
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 4), df
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -232,11 +284,26 @@ def main() -> int:
     single_run: list[str] = []
     escalated: list[str] = []
     refreshed: list[str] = []
+    invalidated: list[str] = []
     for name, fn in queries().items():
         try:
+            cold[name] = first = (res := _run(fn))[0]
+            # fingerprint check (untimed, after the cold run): history
+            # recorded for a DIFFERENT plan must not gate this entry —
+            # a changed implementation always escalates to the full
+            # warm protocol, and its fresh warm run reseeds history.
+            try:
+                fp = plan_fingerprint(res[1])
+            except Exception:
+                fp = None
+            if fp is None or fp_table.get(name) != fp:
+                if name in sf_hist:
+                    invalidated.append(name)
+                    del sf_hist[name]
+            if fp is not None:
+                fp_table[name] = fp
             hist = sf_hist.get(name, [])
             med = statistics.median(hist) if hist else None
-            cold[name] = first = _run(fn)
             full = _always_double(name) or med is None
             if not full and _in_refresh_slice(name):
                 full = True
@@ -247,6 +314,14 @@ def main() -> int:
                     or abs(first - med) <= 0.3
                 )
                 if in_band:
+                    # both operands are measurements of THIS plan (the
+                    # fingerprint gate above evicts history the moment
+                    # an implementation changes): med is the committed
+                    # trailing-median of true warm runs, first is this
+                    # session's cold run (>= this session's warm), so
+                    # min(first, med) is an upper bound on some
+                    # session's true warm timing of the current code —
+                    # never a number the current plan hasn't earned.
                     timings[name] = round(min(first, med), 4)
                     warm_basis[name] = med
                     single_run.append(name)
@@ -258,7 +333,7 @@ def main() -> int:
                         sf_hist[name] = (hist + [first])[-5:]
                     continue
                 escalated.append(name)
-            warm = _run(fn)
+            warm = _run(fn)[0]
             timings[name] = warm
             warm_basis[name] = warm
             sf_hist[name] = (sf_hist.get(name, []) + [warm])[-5:]
@@ -288,6 +363,7 @@ def main() -> int:
                 "single_run": sorted(single_run),
                 "escalated": sorted(escalated),
                 "refreshed": sorted(refreshed),
+                "plan_invalidated": sorted(invalidated),
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_failed": n_failed,

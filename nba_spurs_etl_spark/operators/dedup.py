@@ -357,6 +357,26 @@ def jaccard_prefix_candidates(
 
     The epsilon inside ceil() guards float round-up: a longer prefix is
     always safe (superset), a shorter one breaks exactness.
+
+    PPJoin positional + length pruning (round 6): candidates keep the
+    PREFIX POSITIONS they were generated from, and two lossless
+    integer filters run before any full token array is shuffled:
+
+    - *positional upper bound*: let t* be the smallest shared prefix
+      token of (a, b), at positions (ra, rb). No common token can sort
+      below t* — a common token u < t* would sit inside BOTH prefixes
+      (the prefix is the lowest-ranked slice of the same global
+      order), making it a shared prefix token smaller than t*. Common
+      tokens form an increasing matching in both sorted lists, so
+      |a ∩ b| <= 1 + min(sa - ra, sb - rb). Pairs whose bound cannot
+      reach the Jaccard overlap requirement alpha = t(sa+sb)/(1+t)
+      are dropped exactly.
+    - *length filter*: |a ∩ b| <= min(sa, sb), so min(sa, sb) >= alpha
+      or the pair is impossible.
+
+    Both mins aggregate at the same token (positions increase with the
+    global token order on both sides), so groupBy-min is the per-pair
+    first co-occurrence — the same state a scanning PPJoin keeps.
     """
     from pyspark.sql import Window
 
@@ -373,14 +393,46 @@ def jaccard_prefix_candidates(
     prefix_len = (
         F.col("s") - F.ceil(F.lit(threshold) * F.col("s") - F.lit(1e-9)) + 1
     )
+    prefix = ranked.filter(F.col("rk") <= prefix_len)
+    pa = prefix.select(
+        F.col("doc").alias("doc_a"),
+        "h",
+        F.col("rk").alias("rka"),
+        F.col("s").alias("sa"),
+    )
+    pb = prefix.select(
+        F.col("doc").alias("doc_b"),
+        "h",
+        F.col("rk").alias("rkb"),
+        F.col("s").alias("sb"),
+    )
+    alpha = (
+        F.lit(threshold)
+        * (F.col("sa") + F.col("sb"))
+        / F.lit(1.0 + threshold)
+        - F.lit(1e-9)
+    )
     return (
-        ranked.filter(F.col("rk") <= prefix_len)
-        .groupBy("h")
-        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
-        .filter(F.size("docs") >= 2)
-        .select(F.explode(pair_combos(F.col("docs"))).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
+        pa.join(pb, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("rka").alias("ra"),
+            F.min("rkb").alias("rb"),
+            F.min("sa").alias("sa"),
+            F.min("sb").alias("sb"),
+        )
+        .filter(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("sa") - F.col("ra"), F.col("sb") - F.col("rb")
+                )
+                >= alpha
+            )
+            & (F.least("sa", "sb") >= alpha)
+        )
+        .select("doc_a", "doc_b")
     )
 
 

@@ -39,96 +39,76 @@ ENTRY_QUERY = "summary_rank"
 # oracles, so they accumulate driver-green evidence too; also adds the
 # new dedup_simhash_banded. Everything rotated out keeps its full
 # DuckDB-oracle parity test in tests/test_parity.py.
+# ROTATED round 6 (VERDICT r05 item 1): cumulative driver-green was
+# 133/210 oracled entries after r05; this rotation replaces the ENTIRE
+# 50-entry prefix with entries that have NEVER been driver-checked
+# (100% fresh — target was >=80%), lifting the reachable union to
+# 183/210. Breadth held: streaming full-oracle twins, the curation
+# tail, events analytics, text/similarity/graph/multimodal, dedup
+# cluster ops, six TPC-H classics, and the reference gold/silver
+# fixture shapes. All 50 re-verified side-by-side MATCH vs DuckDB at
+# sf0.01 before this rotation; everything rotated out (including the
+# r05 prefix and ENTRY_QUERY summary_rank, which the driver smoke
+# check still runs via entry()) keeps its full DuckDB-oracle parity
+# test in tests/test_parity.py.
 set_priority([
-    ENTRY_QUERY,
-    "pricing_summary",
-    # ROTATED late round 4: the six gold models (driver-green r01+r02+
-    # r03) and rollup_orders / events_funnel (driver-green r02+r03)
-    # rotated out for the eight operators built after the mid-r4
-    # rotation, which have only pytest-oracle evidence so far — all
-    # eight re-verified side-by-side MATCH vs DuckDB at sf0.01 before
-    # this rotation. Everything rotated out keeps its full DuckDB-
-    # oracle parity test in tests/test_parity.py.
-    "dedup_substring_spans",
-    "text_winnow_fingerprints",
-    "corpus_dsir_topk",
-    "corpus_decontaminate_neardup",
-    "text_bpe_merges",
-    "orders_bootstrap_ci_by_priority",
-    "events_bigram_lift",
-    # ROTATED round 5 (VERDICT r04 item 2): the thirteen twice-driver-
-    # green entries (orders_running_revenue, events_concurrency_hourly,
-    # dedup_incremental_batch, dedup_simhash_banded,
-    # stream_dedup_lsh_index, quality_assertions, top1_per_group,
-    # global_rank_topk, streaks_gaps_islands, union_topk_branches,
-    # split_part_extract, stream_session_agg, stream_cdc_apply) plus
-    # five once-green entries whose operator-family sibling stays in
-    # the prefix (dedup_substring_spans_winnowed,
-    # orders_sample_aes_per_priority, fuzzy_match_customers_d2,
-    # similarity_topk_pq, events_path_trigrams) rotated out for the
-    # eighteen operators the r04 verdict named — entries whose only
-    # evidence so far is pytest oracles. All eighteen re-verified
-    # side-by-side MATCH vs DuckDB at sf0.01 before this rotation;
-    # everything rotated out keeps its full DuckDB-oracle parity test
-    # in tests/test_parity.py.
-    "lineitem_median_twophase",
-    "orders_salted_skew_join",
-    "events_wow_change",
-    "fd_violation_audit",
-    "orders_abc_classification",
-    "events_cumulative_users",
-    "customer_entity_resolution",
-    "part_copurchase_lift",
-    "part_copurchase_kcore",
-    "events_last_touch_attribution",
-    "join_skew_planner",
-    "events_sliding_distinct_users",
-    "events_gap_log2_histogram",
-    "orders_ks_statistic",
-    "orders_bootstrap_ci",
-    "text_feature_hashing",
-    "events_countmin_estimate",
-    "stream_markov_transitions",
-    # ROTATED again mid round 4: sixteen twice-or-thrice-driver-green
-    # entries (q3/q6/q18/q9/q21, asof_purchase_click, merge_cdc_orders,
-    # corpus_pipeline, dedup_embedding_cosine, dedup_minhash_components,
-    # dedup_minhash_lsh, embedding_kmeans_lloyd,
-    # similarity_topk_bruteforce, similarity_topk_ivf, text_c4_filters,
-    # text_profile) rotated out for the sixteen operators built THIS
-    # round, which have only pytest-oracle evidence so far. Everything
-    # rotated out keeps its full DuckDB-oracle parity test in
-    # tests/test_parity.py.
-    "search_bm25_topk",
-    "dedup_containment",
-    "corpus_ngram_novelty",
-    "orders_sample_aes_topk",
-    "events_cusum_changepoint",
-    "orders_winsorized_stats",
-    "similarity_topk_ivf_pq",
-    "stream_novelty_index",
-    "events_seasonal_anomaly",
-    "graph_label_propagation",
-    "events_markov_transitions",
-    "orders_hhi_concentration",
-    "orders_skyline_pareto",
-    # ROTATED round 4 (VERDICT r03 item 2): eleven twice-driver-green
-    # entries (corpus_decontaminate, semantic_dedup_corpus,
-    # join_semi_anti, range_join_user_windows, hypertable_rollup_1h,
-    # salted_two_phase_agg, table_profile_orders, stats_linear_fit,
-    # outlier_orders_zscore, dedup_simhash, events_props_json) rotated
-    # out for eleven operators that have only ever had pytest-oracle
-    # evidence. Everything rotated out keeps its full DuckDB-oracle
-    # parity test in tests/test_parity.py.
-    "dedup_components_star",
-    "fuzzy_match_customers",
-    "orders_equidepth_price_histogram",
-    "scd2_asof_enrich",
-    "stream_scd2_apply",
-    "stream_incremental_agg",
-    "dedup_jaccard_prefix_filtered",
-    "corpus_decontaminate_bloom",
-    "gold_team_weaknesses_wide",
-    "top1_per_group_maxby",
+    # streaming full-oracle twins (batch-equivalence contract)
+    "stream_sliding_agg",
+    "stream_dedup",
+    "stream_user_profile",
+    "stream_dedup_within_watermark",
+    "stream_stream_left_join",
+    "stream_static_enrich",
+    "stream_stream_join",
+    # events analytics tail
+    "events_tumbling_agg",
+    "events_sessionize",
+    "events_sliding_agg",
+    "events_user_profile_batch",
+    "events_value_mad",
+    "events_rfm_segments",
+    "events_twap",
+    "events_ohlc_hourly",
+    "events_scd2_intervals",
+    "events_drift_chi2",
+    # curation tail (training-data pipeline ops)
+    "corpus_pack_bins",
+    "corpus_source_quota",
+    "corpus_quality_floor",
+    "corpus_mixture_sample",
+    "corpus_shard_plan",
+    "vocab_encode_docs",
+    "balanced_class_sample",
+    "contrastive_negatives",
+    "split_assign",
+    "stratified_sample",
+    # text / similarity / graph / multimodal
+    "text_pii_redact",
+    "doc_chunks",
+    "text_chargram_dist",
+    "text_top_terms",
+    "similarity_topk_lsh_multi",
+    "embedding_label_centroids",
+    "graph_pagerank_dups",
+    "graph_triangles_dups",
+    "multimodal_resize_plan",
+    # dedup cluster resolution
+    "dedup_keep_best_per_cluster",
+    "dedup_filtered_corpus",
+    # TPC-H classics never yet in a driver prefix
+    "q2_min_price_supplier",
+    "q4_late_shipments",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q16_supplier_breadth",
+    # reference gold/silver fixture shapes (SURVEY §2 P/J/U rows)
+    "priority_class_split",
+    "filter_in_like",
+    "join_dim_broadcast",
+    "join_three_way_geo",
+    "scalar_snapshot",
+    "key_skew_profile",
 ])
 
 

@@ -25,12 +25,12 @@ def _ep(c: str = "l_extendedprice") -> F.Column:
 
 
 def _disc() -> F.Column:
-    return F.col("l_discount").cast("decimal(4,2)")
+    return F.col("l_discount").cast("decimal(12,2)")
 
 
 _REV_SQL = (
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
-    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)"
 )
 
 
@@ -39,7 +39,7 @@ _REV_SQL = (
     group="bench 2.2-P10",
     oracle="""
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-           * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
   CAST(COUNT(*) AS BIGINT) AS line_cnt
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -330,7 +330,7 @@ def q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH rev AS (
   SELECT p.p_type,
     CAST(l.l_extendedprice AS DECIMAL(12,2))
-      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS r
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(12,2))) AS r
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
   WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
     AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'

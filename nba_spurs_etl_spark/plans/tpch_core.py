@@ -38,10 +38,10 @@ SELECT
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)                       AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)                  AS sum_base_price,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)      AS sum_charge,
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))
+           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)      AS sum_charge,
   {avg_qty}   AS avg_qty,
   {avg_price} AS avg_price,
   {avg_disc}  AS avg_disc,
@@ -68,8 +68,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(3,2)")
     qty = F.col("l_quantity").cast("decimal(12,2)")
     ep = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
-    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    tax = F.col("l_tax").cast("decimal(12,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -234,7 +234,7 @@ _PROMO_REVENUE_SQL = """
 SELECT
   p.p_brand,
   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-           * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS promo_revenue,
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS promo_revenue,
   CAST(COUNT(*) AS BIGINT) AS line_cnt
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
@@ -261,7 +261,7 @@ def join_dim_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     one = F.lit(1).cast("decimal(3,2)")
     ep = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")

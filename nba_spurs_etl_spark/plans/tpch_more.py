@@ -47,21 +47,21 @@ from .registry import register
 # exact-revenue building blocks (shared shape with tpch_classic)
 _REV_SQL = (
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
-    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)"
 )
 
 
 def _rev() -> F.Column:
     return F.sum(
         F.col("l_extendedprice").cast("decimal(12,2)")
-        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(12,2)"))
     ).cast("double")
 
 
 def _rev_dec() -> F.Column:
     return F.sum(
         F.col("l_extendedprice").cast("decimal(12,2)")
-        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(12,2)"))
     )
 
 
@@ -142,7 +142,7 @@ SELECT o_year,
 FROM (
   SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
     CAST(l.l_extendedprice AS DECIMAL(12,2))
-      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS vol,
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(12,2))) AS vol,
     n2.n_name AS supp_nation
   FROM part p
   JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -175,7 +175,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
     vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(12,2)")
     )
     dec0 = F.lit(0).cast("decimal(17,4)")
     base = (
@@ -217,7 +217,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
   CAST(SUM(
     CAST(l.l_extendedprice AS DECIMAL(12,2))
-      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(12,2)))
     - CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(l.l_quantity AS DECIMAL(12,2))
   ) AS DOUBLE) AS sum_profit
 FROM part p
@@ -241,7 +241,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     p = load_table(spark, sf_dir, "part")
     profit = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(12,2)")
     ) - F.col("p_retailprice").cast("decimal(12,2)") * F.col("l_quantity").cast(
         "decimal(12,2)"
     )
@@ -272,7 +272,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH per_part AS (
   SELECT l.l_partkey,
     SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS v
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS v
   FROM lineitem l
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -362,7 +362,7 @@ def q13_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH rev AS (
   SELECT l_suppkey,
     SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS r
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS r
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'

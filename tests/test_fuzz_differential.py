@@ -20,6 +20,18 @@ key — no RNG state, same parquet bytes for both engines every run):
   customers/suppliers through every join), and one event_type deleted
   wholesale (empty-group behavior for funnels/sessionizers).
 
+Round-6 adds a second fuzzed copy (``test_fuzz_edge``) for the two
+classes the r05 campaign left untested:
+
+- **Empty table**: one salt-rotated table is truncated ENTIRELY —
+  empty scans, empty joins sides, empty aggregation inputs, and any
+  driver-side ``collect()[0]`` on a vanished input.
+- **Extreme values**: ~1/53 of rows get type-keyed edge values in
+  non-PK columns — 0 / -1 / ±10^15 for numerics (float-precision
+  edges, sign flips inside SUM/AVG/stddev), '' / quote+unicode /
+  4 KB strings for VARCHAR (tokenizer, LIKE, split paths), epoch and
+  far-future-but-ns-safe dates/timestamps (window/sessionize bounds).
+
 The entry subset rotates with ``SPARK_GRAFT_FUZZ_SALT`` (default
 changes per round in this file) so successive rounds sweep different
 catalog regions; any entry that diverges gets pinned by a regular
@@ -45,11 +57,12 @@ from nba_spurs_etl_spark.sources.catalog import TESTDATA_TABLES
 from .conftest import SF_CORRECT
 from .test_parity import rows_to_multiset
 
-SALT = os.environ.get("SPARK_GRAFT_FUZZ_SALT", "r05")
+SALT = os.environ.get("SPARK_GRAFT_FUZZ_SALT", "r06")
 # default 24 keeps one rotation inside CI time; SPARK_GRAFT_FUZZ_N=999
 # sweeps the whole candidate pool (~10 min) for a full audit
 N_ENTRIES = int(os.environ.get("SPARK_GRAFT_FUZZ_N", "24"))
 FUZZ_DIR = f"/tmp/spark_graft_fuzz_{SALT}"
+EDGE_DIR = f"/tmp/spark_graft_fuzz_edge_{SALT}"
 
 # first column of each table is its (semantically non-nullable) PK;
 # l_linenumber completes lineitem's composite PK
@@ -73,66 +86,146 @@ def _pk_expr(table: str) -> str:
     return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in _PK[table])
 
 
-def _build_fuzz_tables(dst: str) -> None:
-    os.makedirs(dst, exist_ok=True)
+def _build_fuzz_tables(con) -> None:
+    for t in TESTDATA_TABLES:
+        cols = [r[0] for r in con.sql(f"DESCRIBE {t}").fetchall()]
+        key = _pk_expr(t)
+        for c in cols:
+            if c in _PK[t]:
+                continue
+            con.sql(
+                f"UPDATE {t} SET {c} = NULL "
+                f"WHERE hash({key} || ':{c}:{SALT}') % 37 = 0"
+            )
+        con.sql(
+            f"INSERT INTO {t} SELECT * FROM {t} "
+            f"WHERE hash({key} || ':dup:{SALT}') % 41 = 0"
+        )
+    # orphan slice: one nation vanishes; its customers/suppliers
+    # dangle through every downstream join
+    con.sql("DELETE FROM nation WHERE n_nationkey = 7")
+    # empty-group slice: one event_type vanishes wholesale
+    et = con.sql(
+        "SELECT event_type FROM events WHERE event_type IS NOT NULL "
+        f"ORDER BY hash(event_type || ':{SALT}'), event_type LIMIT 1"
+    ).fetchone()[0]
+    # bound parameter: a sampled value containing a quote must not be
+    # able to break (or rewrite) the statement
+    con.execute("DELETE FROM events WHERE event_type = ?", [et])
+
+
+# type-keyed extreme values: edges of each type's plausible domain, NOT
+# engine-limit values — BIGINT-overflowing magnitudes or NaN/inf would
+# diverge on documented engine-contract grounds (ANSI overflow vs
+# HUGEINT), drowning real finds in contract noise. The DOUBLE extreme
+# is a dyadic rational (exact in binary AND in decimal(·,2)) sized so
+# even TRIPLE products of extremes (q1's price*(1-disc)*(1+tax))
+# summed over the table stay below both DuckDB's decimal-mul width cap
+# and the 2^53-unscaled decimal->double exactness envelope documented
+# at functions/scalar.dbig — above either, the engines legitimately
+# error/1-ulp-diverge on documented contract grounds, not bugs
+# (measured: 12345678.25 overflowed DuckDB's DECIMAL(18) mul on q3).
+# First find of this campaign: 1024.5 overflows the TPC-H-mirroring
+# DECIMAL(4,2) discount casts (ANSI error on both engines) — widened
+# to DECIMAL(12,2) repo-wide.
+_EXTREMES: dict[str, list] = {
+    "INTEGER": [0, -1, 2147483647],
+    "BIGINT": [0, -1, 2147483647],
+    "DOUBLE": [0.0, -1.0, 1024.5],
+    "VARCHAR": ["", "O'Brien \"Q\" é", "x" * 4096],
+    "TIMESTAMP": ["1970-01-01 00:00:00", "2199-12-31 23:59:59"],
+}
+
+
+def _build_edge_tables(con) -> None:
+    # one salt-rotated table truncated ENTIRELY (empty-input class)
+    empty_t = min(
+        sorted(TESTDATA_TABLES),
+        key=lambda t: (zlib.crc32(f"{SALT}:empty:{t}".encode()), t),
+    )
+    for t in TESTDATA_TABLES:
+        if t == empty_t:
+            con.sql(f"DELETE FROM {t}")
+            continue
+        key = _pk_expr(t)
+        for name, typ in [
+            (r[0], r[1]) for r in con.sql(f"DESCRIBE {t}").fetchall()
+        ]:
+            if name in _PK[t]:
+                continue
+            if typ == "FLOAT[]":
+                # zero vector, dimensions preserved: zero-norm edges in
+                # every cosine/normalization path without breaking the
+                # fixed-dim contract LSH/IVF legitimately enforce
+                con.sql(
+                    f"UPDATE {t} SET {name} = list_transform({name}, "
+                    f"x -> CAST(0.0 AS FLOAT)) "
+                    f"WHERE hash({key} || ':zv:{SALT}') % 53 = 1"
+                )
+                continue
+            for i, v in enumerate(_EXTREMES.get(typ, [])):
+                con.execute(
+                    f"UPDATE {t} SET {name} = ? "
+                    f"WHERE hash({key} || ':x{i}:{name}:{SALT}') % 53 = 1",
+                    [v],
+                )
+
+
+def _materialize(dst: str, builder) -> None:
+    """Build fuzzed parquet copies atomically: write into a temp dir,
+    then rename into place so concurrent pytest workers can never see
+    (or double-build into) a half-written directory."""
+    tmp = f"{dst}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
     con = duckdb.connect()
     try:
         for t in TESTDATA_TABLES:
             src = f"{SF_CORRECT}/{t}.parquet"
-            con.sql(f"CREATE TABLE {t} AS SELECT * FROM read_parquet('{src}')")
-            cols = [r[0] for r in con.sql(f"DESCRIBE {t}").fetchall()]
-            key = _pk_expr(t)
-            for c in cols:
-                if c in _PK[t]:
-                    continue
-                con.sql(
-                    f"UPDATE {t} SET {c} = NULL "
-                    f"WHERE hash({key} || ':{c}:{SALT}') % 37 = 0"
-                )
             con.sql(
-                f"INSERT INTO {t} SELECT * FROM {t} "
-                f"WHERE hash({key} || ':dup:{SALT}') % 41 = 0"
+                f"CREATE TABLE {t} AS SELECT * FROM read_parquet('{src}')"
             )
-        # orphan slice: one nation vanishes; its customers/suppliers
-        # dangle through every downstream join
-        con.sql("DELETE FROM nation WHERE n_nationkey = 7")
-        # empty-group slice: one event_type vanishes wholesale
-        et = con.sql(
-            "SELECT event_type FROM events WHERE event_type IS NOT NULL "
-            f"ORDER BY hash(event_type || ':{SALT}'), event_type LIMIT 1"
-        ).fetchone()[0]
-        con.sql(f"DELETE FROM events WHERE event_type = '{et}'")
+        builder(con)
         for t in TESTDATA_TABLES:
-            con.sql(
-                f"COPY {t} TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
-            )
+            con.sql(f"COPY {t} TO '{tmp}/{t}.parquet' (FORMAT PARQUET)")
     finally:
         con.close()
+    try:
+        os.rename(tmp, dst)
+    except OSError:
+        # another worker won the race; its directory is complete
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @pytest.fixture(scope="session")
 def fuzz_dir() -> str:
-    marker = os.path.join(FUZZ_DIR, "_built")
-    if not os.path.exists(marker):
-        _build_fuzz_tables(FUZZ_DIR)
-        with open(marker, "w") as f:
-            f.write("ok")
+    if not os.path.isdir(FUZZ_DIR):
+        _materialize(FUZZ_DIR, _build_fuzz_tables)
     return FUZZ_DIR
 
 
-def _subset():
+@pytest.fixture(scope="session")
+def fuzz_edge_dir() -> str:
+    if not os.path.isdir(EDGE_DIR):
+        _materialize(EDGE_DIR, _build_edge_tables)
+    return EDGE_DIR
+
+
+def _subset(mode: str = ""):
     cands = [
         q
         for q in registry().values()
         if q.oracle is not None and not q.name.startswith(_EXCLUDE_PREFIXES)
     ]
-    cands.sort(key=lambda q: (zlib.crc32(f"{SALT}:{q.name}".encode()), q.name))
+    cands.sort(
+        key=lambda q: (zlib.crc32(f"{SALT}:{mode}:{q.name}".encode()), q.name)
+    )
     return cands[:N_ENTRIES]
 
 
-@pytest.mark.parametrize("q", _subset(), ids=lambda q: q.name)
-def test_fuzz_differential(spark, fuzz_dir, q):
-    sdf = q.builder(spark, fuzz_dir)
+def _diff_one(spark, data_dir, q, what: str) -> None:
+    sdf = q.builder(spark, data_dir)
     spark_names = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
@@ -141,7 +234,7 @@ def test_fuzz_differential(spark, fuzz_dir, q):
         for t in TESTDATA_TABLES:
             con.sql(
                 f"CREATE VIEW {t} AS "
-                f"SELECT * FROM read_parquet('{fuzz_dir}/{t}.parquet')"
+                f"SELECT * FROM read_parquet('{data_dir}/{t}.parquet')"
             )
         rel = con.sql(q.oracle)
         duck_names = list(rel.columns)
@@ -161,6 +254,16 @@ def test_fuzz_differential(spark, fuzz_dir, q):
         only_s = list((s_ms - d_ms).items())[:5]
         only_d = list((d_ms - s_ms).items())[:5]
         pytest.fail(
-            f"{q.name}: value mismatch on fuzzed data\n"
+            f"{q.name}: value mismatch on {what} data\n"
             f"  spark-only: {only_s}\n  duck-only: {only_d}"
         )
+
+
+@pytest.mark.parametrize("q", _subset(), ids=lambda q: q.name)
+def test_fuzz_differential(spark, fuzz_dir, q):
+    _diff_one(spark, fuzz_dir, q, "fuzzed")
+
+
+@pytest.mark.parametrize("q", _subset("edge"), ids=lambda q: q.name)
+def test_fuzz_edge(spark, fuzz_edge_dir, q):
+    _diff_one(spark, fuzz_edge_dir, q, "edge-fuzzed")

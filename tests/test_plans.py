@@ -640,3 +640,30 @@ def test_dsir_single_corpus_tokenization_pass(spark, catalog):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "ReusedExchange" in plan, plan
+
+
+def test_unpartitioned_topk_never_sorts_full_data(spark, catalog):
+    """vocab_encode_docs (k=256 vocab ranking) and dsir_topk (k=100)
+    rank with an UNPARTITIONED row_number then filter rank<=k. That
+    shape is only scale-safe because Catalyst rewrites it — here
+    LimitPushDownThroughWindow turns the rank filter into a
+    TakeOrderedAndProject(limit=k) BELOW the window (each map task
+    keeps a k-row heap; the window then runs over k rows total), with
+    InferWindowGroupLimit's WindowGroupLimit as the equivalent form
+    for partitioned specs. The rewrite is an optimizer behavior
+    nobody else pins, so pin it here: if a conf or Spark upgrade ever
+    drops it, the full corpus (vocab) / raw pool (dsir) would
+    serialize through one sort task, and the entries must move to the
+    explicit limit-then-rank two-phase form global_rank_topk uses
+    (plans/tpch_core.py)."""
+    for name, k in (("vocab_encode_docs", 256), ("corpus_dsir_topk", 100)):
+        df = catalog[name](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        safe = (
+            f"TakeOrderedAndProject(limit={k}" in plan
+            or "WindowGroupLimit" in plan
+        )
+        assert safe, f"{name} lost the top-k pushdown rewrite:\n{plan}"
+        # and nothing may global-sort the full data below the window:
+        # `Sort [...], true, 0` is a global sort in toString form
+        assert not re.search(r"\bSort \[[^\]]*\], true,", plan), plan
