@@ -299,14 +299,16 @@ norms AS (
   FROM dv
 )
 SELECT vec_id, label, sqrt(full_sq) AS l2_full, sqrt(head_sq) AS l2_head16,
-  head_sq / full_sq AS energy_ratio
+  CASE WHEN full_sq <> 0 THEN head_sq / full_sq END AS energy_ratio
 FROM norms
 """,
     doc="Matryoshka-style truncation diagnostics: L2 of the full "
     "64-dim vector vs its 16-dim head, and the retained-energy ratio "
     "that decides whether a truncated index is safe. In-order "
     "sequential folds over the array -> identical doubles on both "
-    "engines; narrow map, no shuffle.",
+    "engines; narrow map, no shuffle. Zero vectors surface a NULL "
+    "energy ratio on BOTH sides (edge-fuzz find, r06: Spark ANSI "
+    "raised DIVIDE_BY_ZERO where DuckDB's double 0/0 is NULL).",
 )
 def embedding_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -325,7 +327,11 @@ def embedding_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.sqrt(full_sq).alias("l2_full"),
         F.sqrt(head_sq).alias("l2_head16"),
-        (head_sq / full_sq).alias("energy_ratio"),
+        # zero-norm guard (NULL, like the oracle's double 0/0):
+        # ANSI division would raise on an all-zero vector
+        F.when(full_sq != F.lit(0.0), head_sq / full_sq).alias(
+            "energy_ratio"
+        ),
     )
 
 

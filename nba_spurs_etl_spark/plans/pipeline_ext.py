@@ -1515,6 +1515,17 @@ def orders_month_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orders_month_spine_recursive: orders table is empty — "
             "no o_orderdate bounds to build the month spine from"
         )
+    # Recursion-depth headroom (edge-fuzz find, r06): Spark caps linear
+    # recursion at spark.sql.cteRecursionLevelLimit (default 100) —
+    # a 1970..2199 orderdate outlier needs a ~2760-month spine, which
+    # DuckDB builds and Spark aborted. The limit is enforced at
+    # EXECUTION, after this builder returned its lazy DataFrame, so it
+    # must be raised session-stickily (monotone max — never lowered, so
+    # concurrent builders can't fight) rather than set/restored here.
+    months = (hi.year - lo.year) * 12 + (hi.month - lo.month) + 1
+    cur = int(spark.conf.get("spark.sql.cteRecursionLevelLimit"))
+    if months + 10 > cur:
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", months + 10)
     out = spark.sql(f"""
 WITH RECURSIVE spine(m) AS (
   SELECT DATE '{lo}'

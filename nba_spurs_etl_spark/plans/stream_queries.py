@@ -385,7 +385,10 @@ def stream_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bid-partitioned sinks survive foreachBatch retries. Drained over "
     "the whole corpus it equals batch minhash_lsh_pairs (same oracle); "
     "multi-batch equality + retry idempotency pinned by "
-    "tests/test_streaming.py.",
+    "tests/test_streaming.py. Drains at the production trigger setting "
+    "(4 files/micro-batch — the pair set is batch-granularity-"
+    "invariant); the 1-file adversarial arrival mode stays pinned in "
+    "the streaming tests.",
 )
 def stream_dedup_lsh_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -398,7 +401,8 @@ def stream_dedup_lsh_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _work_dir("lsh", sf_dir)
     dd = StreamingLshDedup(spark, work)
     q = dd.attach(
-        read_documents_stream(spark, sf_dir), os.path.join(work, "ckpt")
+        read_documents_stream(spark, sf_dir, files_per_trigger=4),
+        os.path.join(work, "ckpt"),
     )
     q.awaitTermination()
     return dd.pairs().select("doc_a", "doc_b")
