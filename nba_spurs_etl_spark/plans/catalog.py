@@ -51,6 +51,22 @@ ENTRY_QUERY = "summary_rank"
 # r05 prefix and ENTRY_QUERY summary_rank, which the driver smoke
 # check still runs via entry()) keeps its full DuckDB-oracle parity
 # test in tests/test_parity.py.
+#
+# Round-7 rotation queue (the 28 oracled entries still never driver-
+# checked after this prefix runs — swap them in next round to close
+# the union at 210/210 with headroom for 22 twice-green re-checks):
+# events_props_variant, events_value_histogram,
+# sql_lateral_top_customers, cdc_snapshot_diff, schema_evolution_read,
+# incremental_agg_orders, zorder_orders_buckets,
+# table_checksum_buckets, window_dist_functions,
+# sql_udf_scalar_functions, multimodal_features,
+# multimodal_frame_sample, events_sessionize_capped,
+# orders_month_spine_recursive, events_weighted_sample,
+# left_join_flags, unpivot_nation_metrics, derived_key_join,
+# q7_nation_trade, q8_market_share, q11_value_concentration,
+# q13_order_count_histogram, q15_top_supplier,
+# q17_small_quantity_revenue, q19_disjunctive_predicates,
+# q22_dormant_customers, q12_shipmode_priority, q20_excess_suppliers.
 set_priority([
     # streaming full-oracle twins (batch-equivalence contract)
     "stream_sliding_agg",
