@@ -742,3 +742,65 @@ def decontaminate_neardup(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def linear_quality_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_slots: int = 256,
+    scale: int = 1000,
+) -> DataFrame:
+    """Model-based quality scoring: a linear text classifier over
+    hashed bag-of-words features — the fastText-style quality filter
+    (e.g. CCNet / GPT-3's "similarity to WebText" LR) every large
+    training-data pipeline runs between heuristics and dedup.
+
+    Spark-first shape: tokens hash straight to ``md5 % n_slots``
+    feature slots (the hashing trick — no vocabulary state), each
+    slot's weight derives from md5 too (an integer in
+    ``[-scale, scale]`` — the deterministic stand-in for trained
+    weights; a real deployment broadcasts its fitted weight table and
+    the plan is identical), and the per-doc score is ONE map-combined
+    integer SUM — no join, no vocabulary broadcast, no Python.
+
+    Integer weights are the determinism contract: ``k/1000`` is not
+    exact in binary, so summing double weights would make the score
+    depend on partition order. Summing BIGINT weight units is exact
+    and associative; the ONE division at the surface (mean weight per
+    token) is a single correctly-rounded IEEE op on both engines.
+
+    Returns (doc, n_tokens, score_units, score, kept): ``score`` is
+    the mean per-token weight in [-1, 1], ``kept`` the binary
+    classifier decision (score_units > 0).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    slot = md5_long(F.col("term")) % F.lit(n_slots)
+    # weight units in [-scale, scale], keyed by slot only — stable
+    # under any tokenization order and inlineable by the SQL oracle
+    w = (
+        md5_long(F.concat(F.lit("qw_"), slot.cast("string")))
+        % F.lit(2 * scale + 1)
+        - F.lit(scale)
+    )
+    return (
+        tok.select("doc", w.alias("w"))
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").alias("score_units"),
+        )
+        .select(
+            "doc",
+            "n_tokens",
+            "score_units",
+            (
+                F.col("score_units").cast("double")
+                / (F.lit(float(scale)) * F.col("n_tokens"))
+            ).alias("score"),
+            (F.col("score_units") > 0).alias("kept"),
+        )
+    )

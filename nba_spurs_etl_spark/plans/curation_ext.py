@@ -794,3 +794,43 @@ def corpus_decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         threshold=0.5,
     )
+
+
+@register(
+    "corpus_quality_model_filter",
+    group="ext-curation model-filter",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+wtok AS (
+  SELECT doc,
+    {md5_long_sql("'qw_' || CAST(" + md5_long_sql("term") + " % 256 AS VARCHAR)")}
+      % 2001 - 1000 AS w
+  FROM tok
+)
+SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(w) AS BIGINT) AS score_units,
+  CAST(SUM(w) AS DOUBLE) / (1000.0 * COUNT(*)) AS score,
+  SUM(w) > 0 AS kept
+FROM wtok GROUP BY doc
+""",
+    doc="Model-based quality filtering (the fastText/LR quality "
+    "classifier step between heuristic filters and dedup — CCNet, "
+    "GPT-3's WebText-similarity LR): hashed bag-of-words features "
+    "(md5 mod 256 slots, no vocabulary state) scored by a linear "
+    "model whose weights are md5-derived integer units — the "
+    "deterministic stand-in for trained weights; a fitted weight "
+    "table broadcasts into the identical plan. ONE map-combined "
+    "BIGINT sum per doc — no join, no Python, and integer weight "
+    "units keep the score exact under any partition order (a double "
+    "weight sum would be order-dependent); the single surface "
+    "division is correctly rounded on both engines "
+    "(operators/curation.py::linear_quality_scores).",
+)
+def corpus_quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.linear_quality_scores(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        n_slots=256, scale=1000,
+    )

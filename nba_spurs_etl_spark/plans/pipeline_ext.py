@@ -2697,3 +2697,38 @@ def dedup_substring_spans_winnowed(spark: SparkSession, sf_dir: str) -> DataFram
         w=_WINNOW_W,
         min_docs=2,
     )
+
+
+@register(
+    "text_langid_confusion",
+    group="ext-text lang-eval",
+    oracle=f"""
+WITH hits AS (
+  SELECT lang AS lang_label,
+    {", ".join(f"{_lang_hits_sql(lang)} AS hits_{lang}" for lang in textops.LANG_STOPWORDS)}
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT lang_label, {_lang_case_sql()} AS lang_guess,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM hits GROUP BY 1, 2
+""",
+    doc="Language-ID evaluation: the stopword-vote guesser "
+    "(functions in operators/textops.py, same votes text_profile "
+    "surfaces) cross-tabulated against the corpus's labeled lang "
+    "column — the confusion matrix a pipeline inspects before "
+    "trusting heuristic LID for routing/filtering. Pure per-row "
+    "expressions into one map-combined (label, guess) count; NULL "
+    "labels group as their own row on both engines.",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return (
+        docs.select(
+            F.col("lang").alias("lang_label"),
+            textops.lang_id("text").alias("lang_guess"),
+        )
+        .groupBy("lang_label", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
