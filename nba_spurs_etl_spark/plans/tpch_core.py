@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalar import davg, davg_sql, dsum, dsum_sql
+from ..functions.scalar import davg, davg_sql, dbig, dbig_sql, dsum, dsum_sql
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -37,11 +37,8 @@ SELECT
   l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)                       AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)                  AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))
-           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)      AS sum_charge,
+  {disc_price} AS sum_disc_price,
+  {charge} AS sum_charge,
   {avg_qty}   AS avg_qty,
   {avg_price} AS avg_price,
   {avg_disc}  AS avg_disc,
@@ -53,6 +50,21 @@ GROUP BY l_returnflag, l_linestatus
     avg_qty=davg_sql("l_quantity"),
     avg_price=davg_sql("l_extendedprice"),
     avg_disc=davg_sql("l_discount", scale=2),
+    # dbig (hi/lo split): the scale-4/scale-6 product sums can exceed
+    # 2^53 unscaled on edge-fuzzed groups (measured: a charge sum of
+    # -9.66e9 at scale 6 = 9.7e15 unscaled, just past 2^53), where
+    # DuckDB's int128->double conversion double-rounds 1 ulp off
+    # Spark's correctly-rounded cast; splitting into integer +
+    # fraction makes each conversion exact on both engines.
+    disc_price=dbig_sql(
+        "SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2))))"
+    ),
+    charge=dbig_sql(
+        "SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+        " * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(12,2))))"
+    ),
 )
 
 
@@ -76,8 +88,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(qty).cast("double").alias("sum_qty"),
             F.sum(ep).cast("double").alias("sum_base_price"),
-            F.sum(ep * (one - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(ep * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            # dbig: see the oracle-side comment — these product sums
+            # breach the 2^53-unscaled direct-cast envelope on edge
+            # groups; hi/lo split keeps both engines exactly equal
+            dbig(F.sum(ep * (one - disc))).alias("sum_disc_price"),
+            dbig(F.sum(ep * (one - disc) * (one + tax))).alias(
+                "sum_charge"
+            ),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount").alias("avg_disc"),

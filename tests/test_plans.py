@@ -667,3 +667,15 @@ def test_unpartitioned_topk_never_sorts_full_data(spark, catalog):
         # and nothing may global-sort the full data below the window:
         # `Sort [...], true, 0` is a global sort in toString form
         assert not re.search(r"\bSort \[[^\]]*\], true,", plan), plan
+
+
+def test_quality_model_filter_is_one_pass(spark, catalog):
+    """The model-based quality filter must stay a single map-combined
+    aggregation: one Exchange (the doc-keyed agg), partial aggregation
+    before it, and NO join/broadcast anywhere — the md5-derived weight
+    is a per-row expression, so any join in this plan means someone
+    reintroduced a weight-table lookup the operator exists to avoid."""
+    plan = fmt_plan(catalog["corpus_quality_model_filter"](spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    assert "Join" not in plan and "Broadcast" not in plan, plan
