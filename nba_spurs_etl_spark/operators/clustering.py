@@ -131,6 +131,18 @@ def kmeans_lloyd(
         .limit(k)
         .collect()
     ]
+    if not cents:
+        # empty (or all-NULL-vector) corpus: no centroids can seed, and
+        # the assignment relation is empty — return it with the
+        # contract schema instead of building an array<void> literal
+        # the lambda scorer cannot type (edge-fuzz find, r06). base is
+        # empty exactly when cents is (limit(k>=1) of a non-empty base
+        # yields >=1 seed), so this select IS the empty result.
+        return base.select(
+            F.col("vid").alias(id_col),
+            F.col("vid").cast(cid_type).alias("cell"),
+            F.lit(None).cast("double").alias("d2"),
+        )
     for it in range(iters):
         assigned = _assign(base, cents, cid_type)
         if it == iters - 1:

@@ -101,6 +101,24 @@ def _sides(
     )
 
 
+def _empty_topk(corpus: DataFrame, score_col: str = "cos_sim") -> DataFrame:
+    """The empty top-k relation in the family's contract schema.
+
+    Used when the codebook/centroid sample collects ZERO rows (empty
+    or all-NULL/zero-norm corpus — edge-fuzz find, r06): building the
+    centroid literal from an empty list types as array<void>, which
+    the lambda scorers cannot field-extract. The sample is empty
+    exactly when the prepared corpus is, so deriving the frame from
+    ``corpus`` keeps the id column's NATIVE type.
+    """
+    return corpus.select(
+        F.col("cand_id").alias("query_id"),
+        "cand_id",
+        F.lit(0.0).alias(score_col),
+        F.lit(0).cast("int").alias("rnk"),
+    )
+
+
 def _rank_topk(scored: DataFrame, k: int, score_col: str = "cos_sim") -> DataFrame:
     """Per-query top-k window shared by every scorer (cosine and ADC):
     one tie-break rule ((score DESC, cand_id ASC)) in one place."""
@@ -325,6 +343,8 @@ def ivf_topk(
         F.sqrt(_dot(v, v)).alias("candn"),
     )
     cent_rows = _pq_sample_rows(candidates, id_col, vec_col, n_cells, with_norm=True)
+    if not cent_rows:
+        return _empty_topk(corpus)
     cents = _centroid_literal(cent_rows)
     assigned = corpus.withColumn("cell", _best_cell(cents, "candv", "candn"))
 
@@ -774,6 +794,11 @@ def pq_topk(
         _pq_sample_rows(candidates, id_col, vec_col, n_codes),
         key=lambda r: r["cid"],
     )
+    if not code_rows:
+        return _empty_topk(
+            candidates.select(F.col(id_col).alias("cand_id")),
+            score_col="adc_score",
+        )
     d = len(code_rows[0]["cv"])
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
@@ -855,6 +880,11 @@ def ivf_pq_topk(
     sample_rows = _pq_sample_rows(
         candidates, id_col, vec_col, max(n_cells, n_codes), with_norm=True
     )
+    if not sample_rows:
+        return _empty_topk(
+            candidates.select(F.col(id_col).alias("cand_id")),
+            score_col="adc_score",
+        )
     # ---- IVF coarse quantizer (cosine argmax, ivf_topk convention)
     cents = _centroid_literal(sample_rows[:n_cells])
     best_cell = _best_cell(cents, "v", "nrm")

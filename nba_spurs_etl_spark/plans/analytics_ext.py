@@ -144,16 +144,24 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS h,
     SUM(CAST(value AS DECIMAL(18,2))) AS v
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
-spans AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1),
-grid AS (
-  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
-  FROM spans
+nb AS (
+  SELECT user_id, h, v,
+    lag(h) OVER (PARTITION BY user_id ORDER BY h) AS ph
+  FROM hourly
+),
+fills AS (
+  SELECT user_id,
+    unnest(generate_series(ph + INTERVAL 1 HOUR, h - INTERVAL 1 HOUR,
+                           INTERVAL 1 HOUR)) AS h,
+    CAST(NULL AS DECIMAL(18,2)) AS v
+  FROM nb
+  WHERE ph IS NOT NULL AND date_diff('hour', ph, h) BETWEEN 2 AND 2160
 ),
 joined AS (
-  SELECT g.user_id, g.h, hr.v
-  FROM grid g LEFT JOIN hourly hr ON hr.user_id = g.user_id AND hr.h = g.h
+  SELECT user_id, h, v FROM hourly
+  UNION ALL SELECT user_id, h, v FROM fills
 )
 SELECT user_id, CAST(h AS VARCHAR) AS hour,
   CAST(last_value(v IGNORE NULLS) OVER (
@@ -164,29 +172,52 @@ SELECT user_id, CAST(h AS VARCHAR) AS hour,
 FROM joined
 """,
     doc="Hourly gap-fill + LOCF (the timescale-style resample): per "
-    "user, densify to every hour between first and last activity via "
-    "sequence()/explode, then carry the last observed hourly sum "
-    "forward with last(ignorenulls) over an ordered window. Grid "
+    "user, densify every INTERNAL gap up to 90 days (2160 hours) via "
+    "lag + sequence()/explode, then carry the last observed hourly "
+    "sum forward with last(ignorenulls) over an ordered window. "
+    "Bounded-gap fill is the production contract (edge-fuzz find, "
+    "r06: a single 1970 timestamp outlier made the former global "
+    "min..max grid emit ~2e6 rows per affected user — at 100 TB one "
+    "bad row must cost O(cap), not O(span)); every observed hour "
+    "always surfaces, and gaps beyond the cap are left unfilled "
+    "rather than interpolated across months of silence. Grid "
     "generation is per-user-local (no cross-user shuffle beyond the "
-    "hourly agg); hour sums stay exact decimal until the surface.",
+    "hourly agg); hour sums stay exact decimal until the surface. "
+    "Pristine-data output is identical to the unbounded form (max "
+    "observed gap 141 h << cap).",
 )
 def events_hour_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # NULL-ts rows never enter the grid (the former min/max grid form
+    # ignored them implicitly; the lag/LOCF windows below would order
+    # a NULL hour NULLS-FIRST in Spark vs NULLS-LAST in DuckDB)
     hourly = (
-        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
         .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
     )
-    grid = (
-        hourly.groupBy("user_id")
-        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    wlag = Window.partitionBy("user_id").orderBy("h")
+    nb = hourly.select(
+        "user_id", "h", "v", F.lag("h").over(wlag).alias("ph")
+    )
+    fills = (
+        nb.filter(
+            F.col("ph").isNotNull()
+            & F.expr("timestampdiff(HOUR, ph, h) BETWEEN 2 AND 2160")
+        )
         .select(
             "user_id",
             F.explode(
-                F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
+                F.sequence(
+                    F.expr("ph + INTERVAL 1 HOUR"),
+                    F.expr("h - INTERVAL 1 HOUR"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
             ).alias("h"),
+            F.lit(None).cast("decimal(18,2)").alias("v"),
         )
     )
-    joined = grid.join(hourly, ["user_id", "h"], "left")
+    joined = hourly.select("user_id", "h", "v").unionByName(fills)
     w = (
         Window.partitionBy("user_id")
         .orderBy("h")
@@ -469,13 +500,13 @@ def events_segment_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
   CAST(COUNT(*) AS BIGINT) AS events,
-  CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+  CAST(COUNT(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS INT)) AS BIGINT)
     AS k_present,
-  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+  CAST(SUM(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS INT)) AS BIGINT)
     AS k_sum,
-  MIN(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
-  MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
-  CAST(COUNT(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS INT))
+  MIN(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS INT)) AS k_min,
+  MAX(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS INT)) AS k_max,
+  CAST(COUNT(DISTINCT TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS INT))
     AS BIGINT) AS k_distinct
 FROM events
 GROUP BY event_type
@@ -587,10 +618,10 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
   CAST(COUNT(*) AS BIGINT) AS events,
-  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+  CAST(SUM(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS INT)) AS BIGINT)
     AS k_sum,
-  MIN(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
-  MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+  MIN(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS INT)) AS k_min,
+  MAX(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS INT)) AS k_max
 FROM events
 GROUP BY event_type
 """,
@@ -600,13 +631,15 @@ GROUP BY event_type
     "Variant needs no up-front schema — fields not touched are never "
     "decoded, which at 100 TB means a pipeline can land raw "
     "heterogeneous JSON once and every consumer pays only for the "
-    "paths it reads. try_variant_get yields NULL on type mismatch "
-    "(PERMISSIVE twin).",
+    "paths it reads. try_parse_json + try_variant_get yield NULL on "
+    "malformed input / type mismatch (PERMISSIVE twin — edge-fuzz "
+    "find r06: parse_json FAILFASTs on a non-JSON props string where "
+    "the oracle's TRY_CAST is NULL).",
 )
 def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "props")
     parsed = ev.withColumn(
-        "k", F.try_variant_get(F.parse_json("props"), "$.k", "int")
+        "k", F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
     )
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("events"),

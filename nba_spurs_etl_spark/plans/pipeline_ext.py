@@ -2568,10 +2568,16 @@ s{r} AS (
                                   {sep} || {sep}) || {sep},
                  {sep} || replace((SELECT pr FROM w{r}), {sep}, '') || {sep})
          AS st FROM s{p})""")
+    # a round with NO pairs left (empty corpus, or every doc merged to
+    # one token) contributes NO merge row — the scalar subqueries are
+    # NULL then, and the Spark trainer stops emitting (edge-fuzz find,
+    # r06: an emptied documents table made the oracle emit
+    # (round, NULL, NULL) rows the trainer rightly never produced)
     selects = "\nUNION ALL\n".join(
         f"SELECT {r} AS round,"
         f" replace((SELECT pr FROM w{r}), {sep}, '') AS merged,"
         f" (SELECT cnt FROM w{r}) AS cnt"
+        f" WHERE (SELECT pr FROM w{r}) IS NOT NULL"
         for r in range(1, rounds + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + selects

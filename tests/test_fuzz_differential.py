@@ -129,20 +129,27 @@ def _build_fuzz_tables(con) -> None:
 # DECIMAL(4,2) discount casts (ANSI error on both engines) — widened
 # to DECIMAL(12,2) repo-wide.
 _EXTREMES: dict[str, list] = {
-    "INTEGER": [0, -1, 2147483647],
-    "BIGINT": [0, -1, 2147483647],
+    # INT32 min probes ANSI negation/abs edges; max probes widening
+    "INTEGER": [0, -1, 2147483647, -2147483648],
+    "BIGINT": [0, -1, 2147483647, -2147483648],
     "DOUBLE": [0.0, -1.0, 1024.5],
     "VARCHAR": ["", "O'Brien \"Q\" é", "x" * 4096],
-    "TIMESTAMP": ["1970-01-01 00:00:00", "2199-12-31 23:59:59"],
+    # epoch start, far future (ns-safe), and a .999999 microsecond
+    # boundary (bucket/window truncation edges)
+    "TIMESTAMP": [
+        "1970-01-01 00:00:00",
+        "2199-12-31 23:59:59",
+        "1999-12-31 23:59:59.999999",
+    ],
 }
 
 
 def _build_edge_tables(con) -> None:
-    # one salt-rotated table truncated ENTIRELY (empty-input class)
-    empty_t = min(
-        sorted(TESTDATA_TABLES),
-        key=lambda t: (zlib.crc32(f"{SALT}:empty:{t}".encode()), t),
-    )
+    # one salt-rotated table truncated ENTIRELY (empty-input class);
+    # index-by-hash spreads successive salts across tables (the crc-min
+    # form picked events for both r06 and r06b)
+    tables = sorted(TESTDATA_TABLES)
+    empty_t = tables[zlib.crc32(f"{SALT}:empty".encode()) % len(tables)]
     for t in TESTDATA_TABLES:
         if t == empty_t:
             con.sql(f"DELETE FROM {t}")

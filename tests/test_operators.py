@@ -2523,3 +2523,47 @@ def test_banding_parameter_validation(spark):
         minhash_bands(df, "doc_id", "text", num_hashes=16, band_size=20)
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_pairs(df, "doc_id", "text", bits=16, max_hamming=16)
+
+
+def test_similarity_family_handles_empty_corpus(spark):
+    """Empty (or all-NULL/zero-norm) embedding corpora must yield the
+    EMPTY top-k relation, not an analysis error: the codebook/centroid
+    samples collect zero rows and an empty centroid literal types as
+    array<void>, which the lambda scorers cannot field-extract
+    (edge-fuzz find, r06 — surfaced when the fuzzer truncated
+    embeddings wholesale). Pinned here deterministically because the
+    fuzzer's empty-table pick rotates with the salt."""
+    from nba_spurs_etl_spark.operators.clustering import kmeans_lloyd
+    from nba_spurs_etl_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+        ivf_pq_topk,
+        ivf_topk,
+        pq_topk,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    zeros = spark.createDataFrame(
+        [(1, [0.0] * 8, 0), (2, None, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    for corpus in (empty, zeros):
+        q = corpus.limit(3)
+        assert brute_force_topk(corpus, q, "vec_id", "embedding").count() == 0
+        assert (
+            brute_force_topk_arrow(corpus, q, "vec_id", "embedding").count()
+            == 0
+        )
+        assert ivf_topk(corpus, q, "vec_id", "embedding").count() == 0
+        assert pq_topk(corpus, q, "vec_id", "embedding", m=4).count() == 0
+        assert (
+            ivf_pq_topk(corpus, q, "vec_id", "embedding", m=4).count() == 0
+        )
+        out = kmeans_lloyd(corpus, "vec_id", "embedding", k=4)
+        # kmeans excludes NULL vectors but legitimately clusters the
+        # all-zero one (L2 distance needs no normalization) — only the
+        # truly empty corpus yields the empty assignment
+        assert out.count() == (0 if corpus is empty else 1)
+        assert [f.name for f in out.schema.fields] == ["vec_id", "cell", "d2"]
