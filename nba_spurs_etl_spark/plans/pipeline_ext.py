@@ -2738,3 +2738,85 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_label", "lang_guess")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "dedup_lsh_eval",
+    group="ext-dedup evaluation",
+    oracle=f"""
+WITH {_minhash_pairs_ctes()},
+sizes AS (SELECT doc, COUNT(*) AS n FROM shingle_pairs GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS c
+  FROM shingle_pairs a JOIN shingle_pairs b
+    ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON doc_a = sa.doc
+  JOIN sizes sb ON doc_b = sb.doc
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+),
+j AS (
+  SELECT e.doc_a IS NOT NULL AS is_true, c.doc_a IS NOT NULL AS is_cand
+  FROM exact e FULL JOIN cand c
+    ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+),
+m AS (
+  SELECT
+    CAST(COUNT(CASE WHEN is_true AND is_cand THEN 1 END) AS BIGINT) AS tp,
+    CAST(COUNT(CASE WHEN NOT is_true THEN 1 END) AS BIGINT) AS fp,
+    CAST(COUNT(CASE WHEN NOT is_cand THEN 1 END) AS BIGINT) AS fn
+  FROM j
+)
+SELECT tp, fp, fn,
+  CASE WHEN tp + fp > 0
+       THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+  CASE WHEN tp + fn > 0
+       THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall
+FROM m
+""",
+    doc="Dedup-quality evaluation: MinHash(16)+LSH(4x4) candidate "
+    "pairs scored against the EXACT 3-gram Jaccard >= 0.5 truth set "
+    "(full outer join on the pair key -> tp/fp/fn -> precision/"
+    "recall) — the measurement a pipeline runs on a sample before "
+    "trusting approximate dedup to delete data at 100 TB, expressed "
+    "as a query so it runs ON the engine being evaluated (both sides "
+    "are the already-cataloged operators; the truth side is the "
+    "sample-sized exact join, never the production path). One "
+    "integer-exact global aggregate; precision/recall are single "
+    "divisions of exact counts, NULL when undefined (empty corpus).",
+)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5
+    ).select("doc_a", "doc_b", F.lit(True).alias("is_true"))
+    cand = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=_NUM_HASHES, band_size=_BAND_SIZE,
+    ).select("doc_a", "doc_b", F.lit(True).alias("is_cand"))
+    j = exact.join(cand, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("is_true", F.lit(False)).alias("is_true"),
+        F.coalesce("is_cand", F.lit(False)).alias("is_cand"),
+    )
+    m = j.agg(
+        F.count(F.when(F.col("is_true") & F.col("is_cand"), 1)).alias("tp"),
+        F.count(F.when(~F.col("is_true"), 1)).alias("fp"),
+        F.count(F.when(~F.col("is_cand"), 1)).alias("fn"),
+    )
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+        ).alias("recall"),
+    )
