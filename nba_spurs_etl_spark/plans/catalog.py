@@ -67,8 +67,9 @@ ENTRY_QUERY = "summary_rank"
 # q13_order_count_histogram, q15_top_supplier,
 # q17_small_quantity_revenue, q19_disjunctive_predicates,
 # q22_dormant_customers, q12_shipmode_priority, q20_excess_suppliers —
-# plus the two entries added mid-r06 (corpus_quality_model_filter,
-# text_langid_confusion), making 30 for a 50-slot prefix.
+# plus the three entries added mid-r06 (corpus_quality_model_filter,
+# text_langid_confusion, dedup_lsh_eval), making 31 for a 50-slot
+# prefix.
 set_priority([
     # streaming full-oracle twins (batch-equivalence contract)
     "stream_sliding_agg",
