@@ -39,95 +39,88 @@ ENTRY_QUERY = "summary_rank"
 # oracles, so they accumulate driver-green evidence too; also adds the
 # new dedup_simhash_banded. Everything rotated out keeps its full
 # DuckDB-oracle parity test in tests/test_parity.py.
-# ROTATED round 6 (VERDICT r05 item 1): cumulative driver-green was
-# 133/210 oracled entries after r05; this rotation replaces the ENTIRE
-# 50-entry prefix with entries that have NEVER been driver-checked
-# (100% fresh — target was >=80%), lifting the reachable union to
-# 183/210. Breadth held: streaming full-oracle twins, the curation
-# tail, events analytics, text/similarity/graph/multimodal, dedup
-# cluster ops, six TPC-H classics, and the reference gold/silver
-# fixture shapes. All 50 re-verified side-by-side MATCH vs DuckDB at
-# sf0.01 before this rotation; everything rotated out (including the
-# r05 prefix and ENTRY_QUERY summary_rank, which the driver smoke
-# check still runs via entry()) keeps its full DuckDB-oracle parity
-# test in tests/test_parity.py.
+# ROTATED round 6 (VERDICT r05 item 1): replaced the ENTIRE 50-entry
+# prefix with never-driver-checked entries (100% fresh) — r06 came
+# back 50/50 green, lifting the driver-green union to 180/213 oracled.
+# ROTATED round 7 (VERDICT r06 item 1): this prefix closes the union
+# at 213/213. Slots 1-2 are events_retention_cohorts and
+# events_click_purchase_join — the ONLY two entries ever to FAIL a
+# driver check (r01, TIMESTAMP_NTZ unix_micros; fixed in r02 via
+# functions/scalar.py epoch_us) and the entries the r06 queue comment
+# wrongly omitted (ADVICE r06 item 1). Slots 3-33 are the remaining 31
+# never-driver-checked oracled entries (the r06 queue plus the three
+# entries added mid-r06). Slots 34-50 are 17 twice-green re-checks
+# chosen for breadth and for plans touched this round (both gold
+# models under perf rework, the r05-reworked PPJoin, the q9 drift
+# item, two streaming twins, ANN, curation, text). All 50 re-verified
+# side-by-side MATCH vs DuckDB at sf0.01 before this rotation;
+# everything rotated out keeps its full DuckDB-oracle parity test in
+# tests/test_parity.py.
 #
-# Round-7 rotation queue (the 28 oracled entries still never driver-
-# checked after this prefix runs — swap them in next round to close
-# the union at 210/210 with headroom for 22 twice-green re-checks):
-# events_props_variant, events_value_histogram,
-# sql_lateral_top_customers, cdc_snapshot_diff, schema_evolution_read,
-# incremental_agg_orders, zorder_orders_buckets,
-# table_checksum_buckets, window_dist_functions,
-# sql_udf_scalar_functions, multimodal_features,
-# multimodal_frame_sample, events_sessionize_capped,
-# orders_month_spine_recursive, events_weighted_sample,
-# left_join_flags, unpivot_nation_metrics, derived_key_join,
-# q7_nation_trade, q8_market_share, q11_value_concentration,
-# q13_order_count_histogram, q15_top_supplier,
-# q17_small_quantity_revenue, q19_disjunctive_predicates,
-# q22_dormant_customers, q12_shipmode_priority, q20_excess_suppliers —
-# plus the three entries added mid-r06 (corpus_quality_model_filter,
-# text_langid_confusion, dedup_lsh_eval), making 31 for a 50-slot
-# prefix.
+# Round-8 rotation queue: no oracled entry remains unchecked once
+# CORRECTNESS_r07 lands green — rotate to the entries with the OLDEST
+# last-green round (the r01/r02 greens first), plus any new entries
+# added in r07+.
 set_priority([
-    # streaming full-oracle twins (batch-equivalence contract)
-    "stream_sliding_agg",
-    "stream_dedup",
-    "stream_user_profile",
-    "stream_dedup_within_watermark",
-    "stream_stream_left_join",
-    "stream_static_enrich",
-    "stream_stream_join",
+    # the two r01 driver FAILURES (TIMESTAMP_NTZ class) — first in line
+    "events_retention_cohorts",
+    "events_click_purchase_join",
+    # lakehouse / table-maintenance ops
+    "cdc_snapshot_diff",
+    "schema_evolution_read",
+    "incremental_agg_orders",
+    "zorder_orders_buckets",
+    "table_checksum_buckets",
+    # SQL surface: windows, UDFs, lateral, recursive spine
+    "window_dist_functions",
+    "sql_udf_scalar_functions",
+    "sql_lateral_top_customers",
+    "orders_month_spine_recursive",
     # events analytics tail
-    "events_tumbling_agg",
-    "events_sessionize",
-    "events_sliding_agg",
-    "events_user_profile_batch",
-    "events_value_mad",
-    "events_rfm_segments",
-    "events_twap",
-    "events_ohlc_hourly",
-    "events_scd2_intervals",
-    "events_drift_chi2",
-    # curation tail (training-data pipeline ops)
-    "corpus_pack_bins",
-    "corpus_source_quota",
-    "corpus_quality_floor",
-    "corpus_mixture_sample",
-    "corpus_shard_plan",
-    "vocab_encode_docs",
-    "balanced_class_sample",
-    "contrastive_negatives",
-    "split_assign",
-    "stratified_sample",
-    # text / similarity / graph / multimodal
-    "text_pii_redact",
-    "doc_chunks",
-    "text_chargram_dist",
-    "text_top_terms",
-    "similarity_topk_lsh_multi",
-    "embedding_label_centroids",
-    "graph_pagerank_dups",
-    "graph_triangles_dups",
-    "multimodal_resize_plan",
-    # dedup cluster resolution
-    "dedup_keep_best_per_cluster",
-    "dedup_filtered_corpus",
+    "events_props_variant",
+    "events_value_histogram",
+    "events_sessionize_capped",
+    "events_weighted_sample",
+    # multimodal plumbing (full-oracle forms)
+    "multimodal_features",
+    "multimodal_frame_sample",
+    # reference join/unpivot fixture shapes (SURVEY §2 J/U rows)
+    "left_join_flags",
+    "unpivot_nation_metrics",
+    "derived_key_join",
     # TPC-H classics never yet in a driver prefix
-    "q2_min_price_supplier",
-    "q4_late_shipments",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "q14_promo_share",
-    "q16_supplier_breadth",
-    # reference gold/silver fixture shapes (SURVEY §2 P/J/U rows)
-    "priority_class_split",
-    "filter_in_like",
-    "join_dim_broadcast",
-    "join_three_way_geo",
-    "scalar_snapshot",
-    "key_skew_profile",
+    "q7_nation_trade",
+    "q8_market_share",
+    "q11_value_concentration",
+    "q12_shipmode_priority",
+    "q13_order_count_histogram",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_excess_suppliers",
+    "q22_dormant_customers",
+    # the three entries added mid-r06
+    "corpus_quality_model_filter",
+    "text_langid_confusion",
+    "dedup_lsh_eval",
+    # ---- 17 twice-green re-checks (breadth + plans touched in r07) ----
+    "gold_streaks_and_rivals",
+    "gold_players_recommendations",
+    "gold_summary_by_season",
+    "gold_home_vs_away",
+    "gold_team_weaknesses_wide",
+    "summary_rank",
+    "pricing_summary",
+    "q9_product_profit",
+    "q3_shipping_priority",
+    "stream_cdc_apply",
+    "stream_dedup_lsh_index",
+    "dedup_minhash_lsh",
+    "dedup_jaccard_prefix_filtered",
+    "similarity_topk_ivf_pq",
+    "similarity_topk_bruteforce",
+    "corpus_pipeline",
+    "text_c4_filters",
 ])
 
 
