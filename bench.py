@@ -302,6 +302,13 @@ def main() -> int:
                     del sf_hist[name]
             if fp is not None:
                 fp_table[name] = fp
+            else:
+                # ADVICE r06: drop the stale fingerprint too — leaving
+                # it would let a later session that reverts to the OLD
+                # plan match it while its history rows were reseeded by
+                # the CURRENT plan, gating one plan with another's
+                # medians. Both tables reseed together or not at all.
+                fp_table.pop(name, None)
             hist = sf_hist.get(name, [])
             med = statistics.median(hist) if hist else None
             full = _always_double(name) or med is None

@@ -1523,6 +1523,19 @@ def orders_month_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must be raised session-stickily (monotone max — never lowered, so
     # concurrent builders can't fight) rather than set/restored here.
     months = (hi.year - lo.year) * 12 + (hi.month - lo.month) + 1
+    # ADVICE r06: the raise is session-wide (every later recursive CTE
+    # in the session loses the 100-level backstop up to this value), so
+    # CAP it — a corrupt year-9999 date must not quietly set a
+    # near-unbounded limit for the whole session. 12_000 levels covers
+    # a 1000-year spine (the calibrated fuzz extreme is 1970..2199 ≈
+    # 2.8k months) while keeping the runaway backstop at a bound that
+    # still aborts a genuinely diverging recursion fast.
+    if months + 10 > 12_000:
+        raise ValueError(
+            "orders_month_spine_recursive: o_orderdate span "
+            f"{lo}..{hi} needs a {months}-month spine — beyond the "
+            "12000-level recursion cap; the date domain is corrupt"
+        )
     cur = int(spark.conf.get("spark.sql.cteRecursionLevelLimit"))
     if months + 10 > cur:
         spark.conf.set("spark.sql.cteRecursionLevelLimit", months + 10)

@@ -79,7 +79,7 @@ WITH seq AS (
       OR lag(epoch_us(ts)) OVER (
       PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
     THEN 1 ELSE 0 END AS is_new
-  FROM events
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 sess AS (
   SELECT user_id, value, us,
@@ -121,8 +121,15 @@ def stream_sliding_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DISTINCT, not a bare projection: dedup keyed on event_id keeps ONE
+# row per id, which is only the full event set while ids are unique.
+# Under duplicate-PK data (the r07 stream-drain fuzzer injects verbatim
+# row copies) the drain legitimately emits each id once; DISTINCT over
+# the whole projection is the exact contract because duplicates are
+# verbatim — two DIFFERENT rows sharing an id would make the kept row
+# engine-arbitrary and not SQL-expressible.
 _EVENTS_PROJ_ORACLE = """
-SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+SELECT DISTINCT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
   event_type, value
 FROM events
 """
@@ -445,8 +452,16 @@ def stream_scd2_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.scalar import epoch_us
     from ..streaming.scd2 import Scd2Snapshot, stamp_file_order
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "value", epoch_us("ts").alias("us"), "event_id"
+    # NULL contract, mirrored from the batch twin events_scd2_intervals
+    # and its oracle: a change row without an identity or a timestamp
+    # cannot version a dimension. Without this filter the twins diverge
+    # under NULL injection — NULL-user rows built None-keyed intervals
+    # and NULL-ts rows silently fell out of BOTH midpoint filters below
+    # (r07 stream-drain fuzzer find).
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "value", epoch_us("ts").alias("us"), "event_id")
     )
     # time-split the changelog at the global midpoint: every key's
     # batch-1 rows precede its batch-2 rows, the append-mode ordering

@@ -164,8 +164,15 @@ def stream_session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Per-user session windows (30-min inactivity gap) — the native
     stateful session operator; batch twin is the gaps-and-islands
     sessionization (plans.pipeline_ext.events_sessionize)."""
+    # NULL contract, mirrored from the batch twin and its oracle
+    # (pipeline_ext.events_sessionize): a row with no user identity or
+    # no event time cannot belong to a session. session_window already
+    # drops NULL-ts rows implicitly; the explicit filter also excludes
+    # the NULL-user group that groupBy would otherwise emit (r07
+    # stream-drain fuzzer find — same class as the r06 stateful fixes).
     return (
-        events.withWatermark("ts", "10 minutes")
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

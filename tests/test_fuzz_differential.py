@@ -37,10 +37,12 @@ changes per round in this file) so successive rounds sweep different
 catalog regions; any entry that diverges gets pinned by a regular
 parity/oracle fix, not by editing the fuzz harness.
 
-Excluded by design: ``gold_``/``silver_`` (synthesized NBA fixtures —
-they never read these tables), ``stream_`` (rate/file streams +
-checkpoints; covered by their own exactly-once tests), and rows-only
-entries (no oracle to diff against).
+Excluded from the salt-rotated BATCH subsets: ``gold_``/``silver_``
+(synthesized NBA fixtures — they never read these tables) and
+rows-only entries (no oracle to diff against). ``stream_`` twins run
+through their own dedicated drain tests below (round 7): one drain
+per oracled stream twin per campaign on the perturbed copy, plus the
+edge copy in full-pool sweeps.
 """
 
 from __future__ import annotations
@@ -274,3 +276,35 @@ def test_fuzz_differential(spark, fuzz_dir, q):
 @pytest.mark.parametrize("q", _subset("edge"), ids=lambda q: q.name)
 def test_fuzz_edge(spark, fuzz_edge_dir, q):
     _diff_one(spark, fuzz_edge_dir, q, "edge-fuzzed")
+
+
+# Streaming twins (VERDICT r06 item 4): the batch subsets above never
+# execute a stream's OWN prepared projection/state logic on perturbed
+# data — the r06 ADVICE find (streaming twins missing the batch twins'
+# NULL filters) lived exactly in that blind spot. Every stream_ entry
+# is an ordinary catalog callable that drains a bounded file-source
+# stream to a table, so the same _diff_one works: drain each oracled
+# stream twin once per campaign on the NULL/dup/orphan copy. The
+# edge copy (empty table + extreme values) runs in full-pool mode
+# (SPARK_GRAFT_FUZZ_N>=999) — 15 extra drains are sweep-budget, not
+# per-CI-run budget.
+_STREAM_TWINS = sorted(
+    (
+        q
+        for q in registry().values()
+        if q.name.startswith("stream_") and q.oracle is not None
+    ),
+    key=lambda q: q.name,
+)
+
+
+@pytest.mark.parametrize("q", _STREAM_TWINS, ids=lambda q: q.name)
+def test_fuzz_stream_drain(spark, fuzz_dir, q):
+    _diff_one(spark, fuzz_dir, q, "fuzzed-stream")
+
+
+@pytest.mark.parametrize("q", _STREAM_TWINS, ids=lambda q: q.name)
+def test_fuzz_stream_drain_edge(spark, fuzz_edge_dir, q):
+    if N_ENTRIES < 999:
+        pytest.skip("edge-dir stream drains run in full-pool sweeps only")
+    _diff_one(spark, fuzz_edge_dir, q, "edge-fuzzed-stream")
