@@ -319,8 +319,16 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = 16,
     nprobe: int = 4,
+    train_sample: int = 0,
+    train_iters: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
+
+    ``train_sample > 0`` swaps the md5-sample centroids for spherical
+    k-means centroids trained on that many md5-sampled rows
+    (``train_ivf_centroids``) — same plan shape and query cost, higher
+    recall (curve in docs/SCALE.md); the md5 form stays the
+    oracle-exact catalog path.
 
     Coarse quantizer: ``n_cells`` corpus vectors chosen by smallest
     md5(id) — a seeded random sample in disguise, so the DuckDB oracle
@@ -342,7 +350,15 @@ def ivf_topk(
         v.alias("candv"),
         F.sqrt(_dot(v, v)).alias("candn"),
     )
-    cent_rows = _pq_sample_rows(candidates, id_col, vec_col, n_cells, with_norm=True)
+    cent_rows = (
+        train_ivf_centroids(
+            candidates, id_col, vec_col, n_cells, train_sample, train_iters
+        )
+        if train_sample
+        else _pq_sample_rows(
+            candidates, id_col, vec_col, n_cells, with_norm=True
+        )
+    )
     if not cent_rows:
         return _empty_topk(corpus)
     cents = _centroid_literal(cent_rows)
@@ -678,6 +694,108 @@ def _pq_codebook_literal(code_rows, m: int, sub: int):
     )
 
 
+def _lloyd_np(X, k: int, iters: int, spherical: bool = False):
+    """Deterministic Lloyd's k-means over a SMALL sampled matrix,
+    driver-side (numpy float64). This is deliberately not the
+    distributed ``operators.clustering.kmeans_lloyd``: a codebook
+    trains on a bounded sample (k x dim index metadata, the classic
+    IVF/PQ recipe — Jegou et al. 2011 train on ~100k of billions), so
+    m x iters Spark jobs would buy nothing but scheduling overhead.
+    Determinism mirrors the distributed operator's rules: init = the
+    first k rows (callers pass the md5-ordered sample, so the md5
+    codebook IS the iteration-0 state and training is a strict
+    refinement), argmin ties go to the smallest index (numpy argmin
+    contract), empty clusters keep their previous centroid.
+    ``spherical``: renormalize centroids after each update (cosine
+    objective for IVF cells); zero-norm means keep the previous
+    centroid."""
+    import numpy as np
+
+    C = X[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(len(C)):
+            members = X[a == j]
+            if not len(members):
+                continue
+            c = members.mean(axis=0)
+            if spherical:
+                n = float(np.sqrt((c * c).sum()))
+                if n <= 0.0:
+                    continue
+                c = c / n
+            C[j] = c
+    return C
+
+
+def train_pq_codebooks(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    n_codes: int,
+    sample_n: int = 256,
+    iters: int = 8,
+):
+    """Per-subspace k-means PQ codebooks: the md5-smallest ``sample_n``
+    corpus vectors train ``m`` independent Lloyd runs (one per
+    subspace slice). Returns the nested ``[m][n_codes][sub]`` literal
+    payload, or None on an empty corpus. No SQL oracle can re-derive
+    a k-means fit, so the catalog keeps the md5 sample codebook as its
+    oracle-exact form; this is the measured-recall production path
+    (curves in docs/SCALE.md)."""
+    import numpy as np
+
+    rows = _pq_sample_rows(candidates, id_col, vec_col, sample_n)
+    if not rows:
+        return None
+    X = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub = d // m
+    k = min(n_codes, len(rows))
+    return [
+        [
+            [float(x) for x in c]
+            for c in _lloyd_np(X[:, s * sub:(s + 1) * sub], k, iters)
+        ]
+        for s in range(m)
+    ]
+
+
+def train_ivf_centroids(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    sample_n: int = 512,
+    iters: int = 8,
+):
+    """Spherical k-means IVF centroids (cosine objective: sample rows
+    are unit-normalized and centroids renormalize each round) trained
+    on the md5-smallest ``sample_n`` corpus vectors. Returns
+    ``_centroid_literal``-shaped rows with integer cell ids 0..k-1 and
+    unit norms."""
+    import numpy as np
+
+    rows = _pq_sample_rows(candidates, id_col, vec_col, sample_n)
+    if not rows:
+        return []
+    X = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
+    norms = np.sqrt((X * X).sum(axis=1))
+    X = X[norms > 0]
+    if not len(X):
+        return []
+    X = X / np.sqrt((X * X).sum(axis=1))[:, None]
+    C = _lloyd_np(X, min(n_cells, len(X)), iters, spherical=True)
+    return [
+        {"cid": i, "cv": [float(x) for x in c], "cn": 1.0}
+        for i, c in enumerate(C)
+    ]
+
+
 def _pq_subvec(vec, s, sub: int):
     # element_at arithmetic instead of slice(): start offsets are
     # lambda-variable Columns, which slice() does not accept
@@ -758,6 +876,8 @@ def pq_topk(
     k: int = 10,
     m: int = 4,
     n_codes: int = 16,
+    train_sample: int = 0,
+    train_iters: int = 8,
 ) -> DataFrame:
     """Product-quantization (PQ) approximate top-k with ADC scoring
     (Jegou/Douze/Schmid, "Product quantization for nearest neighbor
@@ -790,20 +910,33 @@ def pq_topk(
     # oracle mirrors norm > 0.
     candidates = _nonzero_norm(candidates, vec_col)
     queries = _nonzero_norm(queries, vec_col)
-    code_rows = sorted(
-        _pq_sample_rows(candidates, id_col, vec_col, n_codes),
-        key=lambda r: r["cid"],
-    )
-    if not code_rows:
-        return _empty_topk(
-            candidates.select(F.col(id_col).alias("cand_id")),
-            score_col="adc_score",
+    if train_sample:
+        books = train_pq_codebooks(
+            candidates, id_col, vec_col, m, n_codes, train_sample,
+            train_iters,
         )
-    d = len(code_rows[0]["cv"])
-    if d % m != 0:
-        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
-    sub = d // m
-    cb_lit = _pq_codebook_literal(code_rows, m, sub)
+        if books is None:
+            return _empty_topk(
+                candidates.select(F.col(id_col).alias("cand_id")),
+                score_col="adc_score",
+            )
+        n_codes, sub = len(books[0]), len(books[0][0])
+        cb_lit = F.lit(books)
+    else:
+        code_rows = sorted(
+            _pq_sample_rows(candidates, id_col, vec_col, n_codes),
+            key=lambda r: r["cid"],
+        )
+        if not code_rows:
+            return _empty_topk(
+                candidates.select(F.col(id_col).alias("cand_id")),
+                score_col="adc_score",
+            )
+        d = len(code_rows[0]["cv"])
+        if d % m != 0:
+            raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+        sub = d // m
+        cb_lit = _pq_codebook_literal(code_rows, m, sub)
 
     cands = spread_for_compute(candidates, id_col).select(
         F.col(id_col).alias("cand_id"),
@@ -853,6 +986,8 @@ def ivf_pq_topk(
     nprobe: int = 4,
     m: int = 16,
     n_codes: int = 32,
+    train_sample: int = 0,
+    train_iters: int = 8,
 ) -> DataFrame:
     """IVF-PQ: the classic production ANN layout — IVF cells PRUNE the
     candidate set (each query scores ~nprobe/n_cells of the corpus),
@@ -885,17 +1020,38 @@ def ivf_pq_topk(
             candidates.select(F.col(id_col).alias("cand_id")),
             score_col="adc_score",
         )
-    # ---- IVF coarse quantizer (cosine argmax, ivf_topk convention)
-    cents = _centroid_literal(sample_rows[:n_cells])
-    best_cell = _best_cell(cents, "v", "nrm")
+    if train_sample:
+        # trained index (no SQL oracle): spherical-k-means cells +
+        # per-subspace-k-means codebooks, same plan shape / query cost
+        cent_rows = train_ivf_centroids(
+            candidates, id_col, vec_col, n_cells, train_sample,
+            train_iters,
+        )
+        books = train_pq_codebooks(
+            candidates, id_col, vec_col, m, n_codes, train_sample,
+            train_iters,
+        )
+        if not cent_rows or books is None:
+            return _empty_topk(
+                candidates.select(F.col(id_col).alias("cand_id")),
+                score_col="adc_score",
+            )
+        cents = _centroid_literal(cent_rows)
+        best_cell = _best_cell(cents, "v", "nrm")
+        n_codes, sub = len(books[0]), len(books[0][0])
+        cb_lit = F.lit(books)
+    else:
+        # ---- IVF coarse quantizer (cosine argmax, ivf_topk convention)
+        cents = _centroid_literal(sample_rows[:n_cells])
+        best_cell = _best_cell(cents, "v", "nrm")
 
-    # ---- PQ fine quantizer (pq_topk convention: cid-ordered sample)
-    code_rows = sorted(sample_rows[:n_codes], key=lambda r: r["cid"])
-    d = len(code_rows[0]["cv"])
-    if d % m != 0:
-        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
-    sub = d // m
-    cb_lit = _pq_codebook_literal(code_rows, m, sub)
+        # ---- PQ fine quantizer (pq_topk convention: cid-ordered sample)
+        code_rows = sorted(sample_rows[:n_codes], key=lambda r: r["cid"])
+        d = len(code_rows[0]["cv"])
+        if d % m != 0:
+            raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+        sub = d // m
+        cb_lit = _pq_codebook_literal(code_rows, m, sub)
 
     assigned = spread_for_compute(candidates, id_col).select(
         F.col(id_col).alias("cand_id"),

@@ -303,8 +303,84 @@ def test_fuzz_stream_drain(spark, fuzz_dir, q):
     _diff_one(spark, fuzz_dir, q, "fuzzed-stream")
 
 
+# Watermark late-drop contract (r07 sweep find): the edge copy plants
+# epoch-1970 and year-2199 timestamps in the SAME table, so the first
+# micro-batch containing a far-future row advances the watermark ~230
+# years and every later-arriving old row is dropped as late — CORRECT
+# streaming semantics (the documented admission contract of
+# withWatermark) that no final-cut SQL oracle can express, because the
+# drop set depends on ARRIVAL order, not values. For the four twins
+# that emit row-grain output keyed by event time, the edge drain
+# therefore asserts the strongest order-free contract instead of
+# equality: (a) no spurious and no duplicate emissions — the drained
+# multiset is a SUB-multiset of the batch result; (b) every missing
+# row is genuinely late-ELIGIBLE, i.e. its event time sits more than
+# the 10-min watermark delay below the table's max event time (a row
+# inside the final delay window can never have been late in any
+# arrival order). The aggregate twins keep strict equality — they
+# passed: late rows land in already-closed windows only under
+# disorder larger than their drain's file split, which the pinned
+# intake order avoids.
+_EDGE_LATE_TOLERANT = {
+    "stream_dedup": ("us",),
+    "stream_dedup_within_watermark": ("us",),
+    "stream_stream_join": ("click_us", "purchase_us"),
+    "stream_stream_left_join": ("click_us", "purchase_us"),
+}
+_WM_DELAY_US = 600_000_000
+
+
 @pytest.mark.parametrize("q", _STREAM_TWINS, ids=lambda q: q.name)
 def test_fuzz_stream_drain_edge(spark, fuzz_edge_dir, q):
     if N_ENTRIES < 999:
         pytest.skip("edge-dir stream drains run in full-pool sweeps only")
-    _diff_one(spark, fuzz_edge_dir, q, "edge-fuzzed-stream")
+    tol_cols = _EDGE_LATE_TOLERANT.get(q.name)
+    if tol_cols is None:
+        _diff_one(spark, fuzz_edge_dir, q, "edge-fuzzed-stream")
+        return
+    try:
+        sdf = q.builder(spark, fuzz_edge_dir)
+        spark_names = sdf.columns
+        spark_rows = [tuple(r) for r in sdf.collect()]
+    except ValueError as e:
+        if "comparison region is undefined" in str(e):
+            # the empty-table slice removed one whole event class; the
+            # twin's contract raise IS the documented behavior there
+            pytest.skip(str(e))
+        raise
+    con = duckdb.connect()
+    try:
+        for t in TESTDATA_TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{fuzz_edge_dir}/{t}.parquet')"
+            )
+        rel = con.sql(q.oracle)
+        duck_names = list(rel.columns)
+        duck_rows = rel.fetchall()
+        max_us = con.sql(
+            "SELECT CAST(MAX(epoch_us(ts)) AS BIGINT) FROM events"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert sorted(spark_names) == sorted(duck_names), (
+        f"{q.name}: column mismatch spark={spark_names} duck={duck_names}"
+    )
+    s_ms = rows_to_multiset(spark_names, spark_rows)
+    d_ms = rows_to_multiset(duck_names, duck_rows)
+    spurious = s_ms - d_ms
+    assert not spurious, (
+        f"{q.name}: drained rows not in the batch result (first 5): "
+        f"{list(spurious.items())[:5]}"
+    )
+    # column positions of the event-time columns in the SORTED order
+    # rows_to_multiset uses
+    sorted_names = sorted(spark_names)
+    idx = [sorted_names.index(c) for c in tol_cols]
+    cutoff = max_us - _WM_DELAY_US
+    for row, cnt in (d_ms - s_ms).items():
+        ets = [row[i] for i in idx if row[i] is not None]
+        assert ets and min(ets) < cutoff, (
+            f"{q.name}: dropped row is NOT late-eligible "
+            f"(event times {ets} vs cutoff {cutoff}): {row}"
+        )
