@@ -47,9 +47,11 @@ ENTRY_QUERY = "summary_rank"
 # events_click_purchase_join — the ONLY two entries ever to FAIL a
 # driver check (r01, TIMESTAMP_NTZ unix_micros; fixed in r02 via
 # functions/scalar.py epoch_us) and the entries the r06 queue comment
-# wrongly omitted (ADVICE r06 item 1). Slots 3-33 are the remaining 31
-# never-driver-checked oracled entries (the r06 queue plus the three
-# entries added mid-r06). Slots 34-50 are 17 twice-green re-checks
+# wrongly omitted (ADVICE r06 item 1). Slots 3-34 are the remaining
+# never-driver-checked oracled entries (the r06 queue, the three
+# entries added mid-r06, and similarity_recall_eval added mid-r07 —
+# every oracled entry outside this prefix has a prior driver-green).
+# The remaining slots are 16 twice-green re-checks
 # chosen for breadth and for plans touched this round (both gold
 # models under perf rework, the r05-reworked PPJoin, the q9 drift
 # item, two streaming twins, ANN, curation, text). All 50 re-verified
@@ -99,10 +101,13 @@ set_priority([
     "q19_disjunctive_predicates",
     "q20_excess_suppliers",
     "q22_dormant_customers",
-    # the three entries added mid-r06
+    # the three entries added mid-r06, plus the one added mid-r07
+    # (it takes the 50th slot so the oracled union stays complete:
+    # a new oracled entry outside the prefix would reopen the gap)
     "corpus_quality_model_filter",
     "text_langid_confusion",
     "dedup_lsh_eval",
+    "similarity_recall_eval",
     # ---- 17 twice-green re-checks (breadth + plans touched in r07) ----
     "gold_streaks_and_rivals",
     "gold_players_recommendations",
@@ -120,7 +125,6 @@ set_priority([
     "similarity_topk_ivf_pq",
     "similarity_topk_bruteforce",
     "corpus_pipeline",
-    "text_c4_filters",
 ])
 
 

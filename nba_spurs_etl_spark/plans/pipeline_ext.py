@@ -596,6 +596,74 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_recall_eval",
+    group="ext-similarity evaluation",
+    oracle=f"""
+WITH truth AS (
+  SELECT query_id, cand_id FROM ({_topk_oracle(bucketed=False)}) t
+),
+cand AS (
+  SELECT query_id, cand_id FROM ({_ivf_oracle()}) t
+),
+j AS (
+  SELECT t.query_id, c.cand_id IS NOT NULL AS hit
+  FROM truth t LEFT JOIN cand c
+    ON t.query_id = c.query_id AND t.cand_id = c.cand_id
+)
+SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+  CAST(COUNT(*) AS BIGINT) AS truth_pairs,
+  CAST(COUNT(CASE WHEN hit THEN 1 END) AS BIGINT) AS hit_pairs,
+  CASE WHEN COUNT(*) > 0
+       THEN CAST(COUNT(CASE WHEN hit THEN 1 END) AS DOUBLE) / COUNT(*)
+  END AS recall_at_k
+FROM j
+""",
+    doc="ANN-quality evaluation, the similarity counterpart of "
+    "dedup_lsh_eval: the IVF approximate top-k (16 md5 cells, "
+    "nprobe=4) scored against the exact brute-force top-k truth set "
+    "via a left join on the (query, candidate) pair key -> "
+    "hits/truth = recall@k — the measurement a pipeline runs on a "
+    "sample before trusting an ANN index for retrieval/dedup at "
+    "100 TB, expressed as a query so it runs ON the engine being "
+    "evaluated (both sides are the already-cataloged operators; the "
+    "truth side is the query-sample-sized exact scan, never the "
+    "production path). One integer-exact global aggregate; recall is "
+    "a single division, NULL on an empty corpus. The trained-codebook "
+    "path (operators/similarity.train_ivf_centroids) raises this "
+    "number at identical query cost — measured curve in docs/SCALE.md "
+    "(k-means fits are not SQL-re-derivable, so the oracle-exact md5 "
+    "form is what is evaluated here).",
+)
+def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    truth = similarity.brute_force_topk(
+        emb, q, "vec_id", "embedding", k=_TOPK
+    ).select("query_id", "cand_id")
+    cand = similarity.ivf_topk(
+        emb, q, "vec_id", "embedding", k=_TOPK,
+        n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE,
+    ).select("query_id", "cand_id", F.lit(True).alias("hit"))
+    j = truth.join(cand, ["query_id", "cand_id"], "left").select(
+        "query_id", F.coalesce("hit", F.lit(False)).alias("hit")
+    )
+    m = j.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("truth_pairs"),
+        F.count(F.when(F.col("hit"), 1)).alias("hit_pairs"),
+    )
+    return m.select(
+        "n_queries",
+        "truth_pairs",
+        "hit_pairs",
+        F.when(
+            F.col("truth_pairs") > 0,
+            F.col("hit_pairs").cast("double") / F.col("truth_pairs"),
+        ).alias("recall_at_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

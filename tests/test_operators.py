@@ -2578,3 +2578,56 @@ def test_similarity_family_handles_empty_corpus(spark):
         # truly empty corpus yields the empty assignment
         assert out.count() == (0 if corpus is empty else 1)
         assert [f.name for f in out.schema.fields] == ["vec_id", "cell", "d2"]
+
+
+def test_trained_codebooks_deterministic_and_empty_safe(spark):
+    """The trained-codebook path (r07) must be exactly reproducible —
+    the index literals are regenerated on every query build, so any
+    nondeterminism would make the SAME query return different rows run
+    to run — and must inherit the empty-corpus contract."""
+    from nba_spurs_etl_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_topk,
+        pq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from nba_spurs_etl_spark.sources.catalog import load_table
+
+    from .conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    b1 = train_pq_codebooks(emb, "vec_id", "embedding", m=4, n_codes=8,
+                            sample_n=64, iters=3)
+    b2 = train_pq_codebooks(emb, "vec_id", "embedding", m=4, n_codes=8,
+                            sample_n=64, iters=3)
+    assert b1 == b2 and len(b1) == 4 and len(b1[0]) == 8
+    c1 = train_ivf_centroids(emb, "vec_id", "embedding", n_cells=8,
+                             sample_n=64, iters=3)
+    c2 = train_ivf_centroids(emb, "vec_id", "embedding", n_cells=8,
+                             sample_n=64, iters=3)
+    assert c1 == c2 and len(c1) == 8
+    # spherical centroids are unit-norm
+    for r in c1:
+        n = sum(x * x for x in r["cv"]) ** 0.5
+        assert abs(n - 1.0) < 1e-9
+
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    r1 = sorted(map(tuple, ivf_topk(
+        emb, q, "vec_id", "embedding", k=5, n_cells=8, nprobe=2,
+        train_sample=64, train_iters=3).collect()))
+    r2 = sorted(map(tuple, ivf_topk(
+        emb, q, "vec_id", "embedding", k=5, n_cells=8, nprobe=2,
+        train_sample=64, train_iters=3).collect()))
+    assert r1 == r2 and r1
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    eq = empty.limit(3)
+    assert ivf_topk(empty, eq, "vec_id", "embedding",
+                    train_sample=64).count() == 0
+    assert pq_topk(empty, eq, "vec_id", "embedding", m=4,
+                   train_sample=64).count() == 0
+    assert ivf_pq_topk(empty, eq, "vec_id", "embedding", m=4,
+                       train_sample=64).count() == 0
