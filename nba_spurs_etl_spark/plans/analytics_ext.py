@@ -983,12 +983,12 @@ h AS (
 SELECT CAST(MAX(total_rows) AS BIGINT) AS n_rows,
   CAST(MAX(total_keys) AS BIGINT) AS n_keys,
   CAST(MAX(cnt) AS BIGINT) AS max_cnt,
-  CAST(MIN(CASE WHEN cum_keys >= ceil(0.50 * total_keys) THEN cnt END)
-    AS BIGINT) AS p50_cnt,
-  CAST(MIN(CASE WHEN cum_keys >= ceil(0.90 * total_keys) THEN cnt END)
-    AS BIGINT) AS p90_cnt,
-  CAST(MIN(CASE WHEN cum_keys >= ceil(0.99 * total_keys) THEN cnt END)
-    AS BIGINT) AS p99_cnt,
+  CAST(MIN(CASE WHEN cum_keys >= ceil(CAST(0.50 AS DOUBLE) * total_keys)
+    THEN cnt END) AS BIGINT) AS p50_cnt,
+  CAST(MIN(CASE WHEN cum_keys >= ceil(CAST(0.90 AS DOUBLE) * total_keys)
+    THEN cnt END) AS BIGINT) AS p90_cnt,
+  CAST(MIN(CASE WHEN cum_keys >= ceil(CAST(0.99 AS DOUBLE) * total_keys)
+    THEN cnt END) AS BIGINT) AS p99_cnt,
   CAST(MAX(cnt) AS DOUBLE) / MAX(total_rows) AS top1_share,
   CAST(MAX(cnt) AS DOUBLE) * CAST(MAX(total_keys) AS DOUBLE)
     / MAX(total_rows) AS max_over_mean

@@ -1414,17 +1414,23 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="2.3 ext-fuzzy d2",
     oracle="""
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+  CAST(levenshtein(substr(a.c_name, 1, 64), substr(b.c_name, 1, 64))
+    AS INT) AS dist
 FROM customer a JOIN customer b
   ON a.c_custkey < b.c_custkey
 WHERE a.c_custkey % 50 = 0 AND b.c_custkey % 50 = 0
-  AND levenshtein(a.c_name, b.c_name) <= 2
+  AND levenshtein(substr(a.c_name, 1, 64), substr(b.c_name, 1, 64)) <= 2
 """,
     doc="Distance-2 fuzzy matching via delete-<=2 SymSpell keys "
     "(~|s|^2/2 keys/string — the quadratic key volume makes d2 an "
     "explicit opt-in, run here over a 1-in-50 blocked slice exactly "
     "as production would pre-block). Same exact-superset guarantee "
-    "and naive-oracle cross-check as the distance-1 form.",
+    "and naive-oracle cross-check as the distance-1 form. Inputs are "
+    "TRUNCATED to the operator's MAX_D2_LEN=64 on both sides — the "
+    "documented pre-blocking for the quadratic key volume (a 4 KB "
+    "string would post ~8M delete keys; the operator raises rather "
+    "than degrade — r07b edge-fuzz find); names longer than 64 chars "
+    "compare by prefix, a no-op on the pristine domain.",
 )
 def fuzzy_match_customers_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.fuzzy import edit_distance_pairs
@@ -1432,7 +1438,7 @@ def fuzzy_match_customers_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % 50 == 0)
-        .select("c_custkey", "c_name")
+        .select("c_custkey", F.substring("c_name", 1, 64).alias("c_name"))
     )
     return edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=2).select(
         F.col("id_a").cast("bigint").alias("id_a"),
@@ -1682,9 +1688,10 @@ WITH ranked AS (
 ),
 bounds AS (
   SELECT o_orderpriority,
-    MIN(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.01 * n) AS BIGINT))
+    MIN(CASE WHEN rn = GREATEST(1,
+          CAST(CEIL(CAST(0.01 AS DOUBLE) * n) AS BIGINT))
         THEN o_totalprice END) AS p01,
-    MIN(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+    MIN(CASE WHEN rn = CAST(CEIL(CAST(0.99 AS DOUBLE) * n) AS BIGINT)
         THEN o_totalprice END) AS p99
   FROM ranked GROUP BY 1
 )

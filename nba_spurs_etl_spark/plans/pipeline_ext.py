@@ -664,6 +664,117 @@ def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_int8_quant_eval",
+    group="ext-similarity evaluation",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding AS v,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+      AS amax
+  FROM embeddings
+),
+nz AS (SELECT vec_id, v, amax / 127.0 AS s FROM b WHERE amax > 0),
+d AS (
+  SELECT vec_id, v,
+    list_transform(v, x -> floor(CAST(x AS DOUBLE) / s + 0.5) * s) AS dq
+  FROM nz
+),
+m AS (
+  SELECT vec_id,
+    list_max(list_transform(generate_series(1, len(v)),
+      i -> abs(CAST(v[i] AS DOUBLE) - dq[i]))) AS max_err,
+    {_cos_sql("v", "dq")} AS cosd
+  FROM d
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  MAX(max_err) AS worst_abs_err,
+  CASE WHEN COUNT(*) > 0 THEN
+    CAST(SUM(CAST(floor(max_err * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+      / (1e9 * COUNT(*)) END AS avg_max_abs_err,
+  CASE WHEN COUNT(*) > 0 THEN
+    CAST(SUM(CAST(floor(cosd * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+      / (1e9 * COUNT(*)) END AS avg_cos_retained
+FROM m
+""",
+    doc="Scalar int8 quantization evaluation over the embedding "
+    "corpus — the 4x index-memory measurement an embedding store runs "
+    "before switching its ANN index to int8. Symmetric per-vector "
+    "scale s = max|x|/127, q = floor(x/s + 0.5) (no clamp needed: "
+    "|x| <= max|x| bounds q to ±127), dequantized error and cosine "
+    "retention per vector. Aggregation is integer-exact: per-vector "
+    "metrics quantize to 1e-9 fixed point BEFORE the SUM (float sums "
+    "are order-dependent; BIGINT sums are not — the repo-wide "
+    "map-combinable pattern), the global MAX is order-free, and each "
+    "mean is a single final division. Folds are sequential to match "
+    "the oracle bit-exactly; zero vectors are excluded (no scale), "
+    "mirrored in the oracle; an empty corpus yields the one-row "
+    "NULL-metric contract.",
+)
+def embedding_int8_quant_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    b = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_max(F.transform(v, lambda x: F.abs(xd(x)))).alias("amax"),
+    ).filter(F.col("amax") > 0)
+    s = F.col("amax") / F.lit(127.0)
+    d = b.select(
+        "vec_id",
+        "v",
+        F.transform(
+            F.col("v"), lambda x: F.floor(xd(x) / s + F.lit(0.5)) * s
+        ).alias("dq"),
+    )
+
+    def dot(a, c):
+        return F.aggregate(
+            F.zip_with(a, c, lambda x, y: xd(x) * xd(y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    m = d.select(
+        "vec_id",
+        F.array_max(
+            F.zip_with(
+                F.col("v"), F.col("dq"), lambda x, y: F.abs(xd(x) - y)
+            )
+        ).alias("max_err"),
+        (
+            dot(F.col("v"), F.col("dq"))
+            / (
+                F.sqrt(dot(F.col("v"), F.col("v")))
+                * F.sqrt(dot(F.col("dq"), F.col("dq")))
+            )
+        ).alias("cosd"),
+    )
+    agg = m.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.max("max_err").alias("worst_abs_err"),
+        F.sum(
+            F.floor(F.col("max_err") * 1e9 + F.lit(0.5)).cast("bigint")
+        ).alias("e_fx"),
+        F.sum(
+            F.floor(F.col("cosd") * 1e9 + F.lit(0.5)).cast("bigint")
+        ).alias("c_fx"),
+    )
+    return agg.select(
+        "n_vectors",
+        "worst_abs_err",
+        F.when(
+            F.col("n_vectors") > 0,
+            F.col("e_fx").cast("double") / (1e9 * F.col("n_vectors")),
+        ).alias("avg_max_abs_err"),
+        F.when(
+            F.col("n_vectors") > 0,
+            F.col("c_fx").cast("double") / (1e9 * F.col("n_vectors")),
+        ).alias("avg_cos_retained"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1901,12 +2012,18 @@ WITH s AS (
   FROM events
 )
 SELECT event_id, user_id, value,
-  value * ((0.05 * n) / tw) AS p_incl
+  value * ((CAST(0.05 AS DOUBLE) * n) / tw) AS p_incl
 FROM events CROSS JOIN s
 WHERE CAST({md5_long_sql("'wsamp_' || CAST(event_id AS VARCHAR)")} AS DOUBLE)
       / 1152921504606846976.0
-      < value * ((0.05 * n) / tw)
+      < value * ((CAST(0.05 AS DOUBLE) * n) / tw)
 """,
+    # CAST(0.05 AS DOUBLE), not the bare literal: DuckDB parses 0.05 as
+    # DECIMAL(3,2) (exact), Spark's lit(0.05) is the IEEE double — the
+    # products agree on most inputs but straddle a rounding boundary on
+    # some (n, tw), a LATENT ulp divergence the r07b fuzzer caught that
+    # pristine data never exercised. The p_incl math must be double on
+    # both engines.
     doc="Weight-proportional Poisson sample of the event log "
     "(weight = value, expected fraction 5%): inclusion iff "
     "hash-uniform u < w * f*n/W — quality-weighted corpus "

@@ -467,6 +467,17 @@ def stream_scd2_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch-1 rows precede its batch-2 rows, the append-mode ordering
     # contract of an SCD2 apply (index-metadata collect: 1 row)
     mn, mx = ev.agg(F.min("us"), F.max("us")).first()
+    if mn is None:
+        # empty (or fully NULL-filtered) changelog: nothing to split or
+        # drain — the empty snapshot IS the result, like the batch
+        # twin's empty window frame (r07b edge-fuzz find: the empty-
+        # table slice made (mn+mx)//2 a None+None TypeError)
+        snap = Scd2Snapshot(
+            spark, os.path.join(_work_dir("scd2", sf_dir), "snap"),
+            key="user_id",
+        )
+        snap.init_empty()
+        return snap.intervals()
     mid = (mn + mx) // 2
     work = _work_dir("scd2", sf_dir)
     logdir = os.path.join(work, "log")

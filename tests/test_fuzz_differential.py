@@ -373,12 +373,19 @@ def test_fuzz_stream_drain_edge(spark, fuzz_edge_dir, q):
         f"{q.name}: drained rows not in the batch result (first 5): "
         f"{list(spurious.items())[:5]}"
     )
+    missing = d_ms - s_ms
+    if not missing:
+        return
+    # an empty events table (empty-table slice) cannot have missing
+    # rows — both sides are empty and max_us is NULL; reaching here
+    # with no max is a real bug, not late data
+    assert max_us is not None, f"{q.name}: missing rows but empty events"
     # column positions of the event-time columns in the SORTED order
     # rows_to_multiset uses
     sorted_names = sorted(spark_names)
     idx = [sorted_names.index(c) for c in tol_cols]
     cutoff = max_us - _WM_DELAY_US
-    for row, cnt in (d_ms - s_ms).items():
+    for row, cnt in missing.items():
         ets = [row[i] for i in idx if row[i] is not None]
         assert ets and min(ets) < cutoff, (
             f"{q.name}: dropped row is NOT late-eligible "
