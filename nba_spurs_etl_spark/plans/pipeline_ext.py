@@ -2373,8 +2373,16 @@ scored AS (
     SUM(CAST(floor(s * 35184372088832.0 + 0.5) AS BIGINT)) AS score
   FROM (
     SELECT qt.query_id, post.doc, qt.term,
+      -- CAST(2.2 AS DOUBLE): the bare literal is DECIMAL in DuckDB,
+      -- and DECIMAL * BIGINT tf is EXACT (6.6) where Spark's
+      -- double(2.2) * tf is not (6.6000000000000005…) — the latent
+      -- ulp class the r07b fuzzer caught in events_weighted_sample;
+      -- here the 45-bit floor has absorbed it so far, but a straddle
+      -- at the quantization boundary would flip a rank. The other
+      -- literals are dyadic (0.5/0.25/0.75) or multiply doubles (1.2),
+      -- where DECIMAL->DOUBLE casting lands on the identical value.
       ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-        * (post.tf * 2.2)
+        * (post.tf * CAST(2.2 AS DOUBLE))
         / (post.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avgdl)) AS s
     FROM qt
     JOIN post ON post.term = qt.term
