@@ -679,3 +679,37 @@ def test_quality_model_filter_is_one_pass(spark, catalog):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "partial_count" in plan and "partial_sum" in plan, plan
     assert "Join" not in plan and "Broadcast" not in plan, plan
+
+
+def test_streaks_single_aggregation_tree(spark, catalog):
+    """gold_streaks_and_rivals (r07 rework, VERDICT r06 item 2): all
+    four picks must come from ONE aggregation tree — no join of any
+    kind and no broadcast build (each broadcast was a separate Spark
+    job; the model measured 1 job / 1.97x vs dbt after the fold). A
+    Join or Broadcast reappearing here means someone reintroduced the
+    extreme-values-subquery-and-join-back shape."""
+    plan = fmt_plan(catalog["gold_streaks_and_rivals"](spark, SF_SMOKE))
+    assert "Join" not in plan and "Broadcast" not in plan, plan
+    # the melt (generator) and the two aggregation levels must be there
+    assert "Generate" in plan, plan
+    assert plan.count("HashAggregate") >= 2 or (
+        "SortAggregate" in plan
+    ), plan
+
+
+def test_recommendations_single_broadcast(spark, catalog):
+    """gold_players_recommendations (r07 rework, VERDICT r06 item 3):
+    exactly ONE broadcast build may remain (the tiny weakness-flag
+    side); the per-player union fold must join via a non-broadcast
+    strategy (merge — zero exchanges over the SinglePartition fixture
+    cache). Two broadcast exchanges means the r06 three-job shape is
+    back."""
+    # toString keeps join keys inline (formatted explain splits them
+    # into detail sections), and a global BroadcastExchange count
+    # would also see the exchanges STORED inside the cached weaknesses
+    # subtree's plan text — pin the two live join strategies by key.
+    df = catalog["gold_players_recommendations"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"SortMergeJoin \[player_id", plan), plan
+    assert not re.search(r"BroadcastHashJoin \[player_id", plan), plan
+    assert re.search(r"BroadcastHashJoin \[weakness_type", plan), plan
