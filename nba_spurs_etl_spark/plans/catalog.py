@@ -47,12 +47,13 @@ ENTRY_QUERY = "summary_rank"
 # events_click_purchase_join — the ONLY two entries ever to FAIL a
 # driver check (r01, TIMESTAMP_NTZ unix_micros; fixed in r02 via
 # functions/scalar.py epoch_us) and the entries the r06 queue comment
-# wrongly omitted (ADVICE r06 item 1). Slots 3-35 are the remaining
+# wrongly omitted (ADVICE r06 item 1). Slots 3-36 are the remaining
 # never-driver-checked oracled entries (the r06 queue, the three
-# entries added mid-r06, and the two added mid-r07:
-# similarity_recall_eval + embedding_int8_quant_eval — every oracled
-# entry outside this prefix has a prior driver-green).
-# The remaining slots are 15 twice-green re-checks
+# entries added mid-r06, and the three added mid-r07:
+# similarity_recall_eval, embedding_int8_quant_eval,
+# text_bigram_lm_score — every oracled entry outside this prefix has
+# a prior driver-green). The remaining slots are 14 twice-green
+# re-checks
 # chosen for breadth and for plans touched this round (both gold
 # models under perf rework, the r05-reworked PPJoin, the q9 drift
 # item, two streaming twins, ANN, curation, text). All 50 re-verified
@@ -110,6 +111,7 @@ set_priority([
     "dedup_lsh_eval",
     "similarity_recall_eval",
     "embedding_int8_quant_eval",
+    "text_bigram_lm_score",
     # ---- 17 twice-green re-checks (breadth + plans touched in r07) ----
     "gold_streaks_and_rivals",
     "gold_players_recommendations",
@@ -122,7 +124,6 @@ set_priority([
     "q3_shipping_priority",
     "stream_cdc_apply",
     "stream_dedup_lsh_index",
-    "dedup_minhash_lsh",
     "dedup_jaccard_prefix_filtered",
     "similarity_topk_ivf_pq",
     "corpus_pipeline",

@@ -59,7 +59,7 @@ from nba_spurs_etl_spark.sources.catalog import TESTDATA_TABLES
 from .conftest import SF_CORRECT
 from .test_parity import rows_to_multiset
 
-SALT = os.environ.get("SPARK_GRAFT_FUZZ_SALT", "r06")
+SALT = os.environ.get("SPARK_GRAFT_FUZZ_SALT", "r07")
 # default 24 keeps one rotation inside CI time; SPARK_GRAFT_FUZZ_N=999
 # sweeps the whole candidate pool (~10 min) for a full audit
 N_ENTRIES = int(os.environ.get("SPARK_GRAFT_FUZZ_N", "24"))
