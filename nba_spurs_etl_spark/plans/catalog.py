@@ -43,17 +43,17 @@ ENTRY_QUERY = "summary_rank"
 # prefix with never-driver-checked entries (100% fresh) — r06 came
 # back 50/50 green, lifting the driver-green union to 180/213 oracled.
 # ROTATED round 7 (VERDICT r06 item 1): this prefix closes the union
-# at 213/213. Slots 1-2 are events_retention_cohorts and
+# at 217/217 oracled. Slots 1-2 are events_retention_cohorts and
 # events_click_purchase_join — the ONLY two entries ever to FAIL a
 # driver check (r01, TIMESTAMP_NTZ unix_micros; fixed in r02 via
 # functions/scalar.py epoch_us) and the entries the r06 queue comment
-# wrongly omitted (ADVICE r06 item 1). Slots 3-36 are the remaining
+# wrongly omitted (ADVICE r06 item 1). Slots 3-37 are the remaining
 # never-driver-checked oracled entries (the r06 queue, the three
-# entries added mid-r06, and the three added mid-r07:
+# entries added mid-r06, and the four added mid-r07:
 # similarity_recall_eval, embedding_int8_quant_eval,
-# text_bigram_lm_score — every oracled entry outside this prefix has
-# a prior driver-green). The remaining slots are 14 twice-green
-# re-checks
+# text_bigram_lm_score, stream_hypertable_rollup — every oracled
+# entry outside this prefix has a prior driver-green). The remaining
+# slots are 13 twice-green re-checks
 # chosen for breadth and for plans touched this round (both gold
 # models under perf rework, the r05-reworked PPJoin, the q9 drift
 # item, two streaming twins, ANN, curation, text). All 50 re-verified
@@ -103,16 +103,17 @@ set_priority([
     "q19_disjunctive_predicates",
     "q20_excess_suppliers",
     "q22_dormant_customers",
-    # the three entries added mid-r06, plus the one added mid-r07
-    # (it takes the 50th slot so the oracled union stays complete:
-    # a new oracled entry outside the prefix would reopen the gap)
+    # the three entries added mid-r06 and the four added mid-r07
+    # (each new oracled entry takes a prefix slot so the union stays
+    # complete: a new entry outside the prefix would reopen the gap)
     "corpus_quality_model_filter",
     "text_langid_confusion",
     "dedup_lsh_eval",
     "similarity_recall_eval",
     "embedding_int8_quant_eval",
     "text_bigram_lm_score",
-    # ---- 17 twice-green re-checks (breadth + plans touched in r07) ----
+    "stream_hypertable_rollup",
+    # ---- 13 twice-green re-checks (breadth + plans touched in r07) ----
     "gold_streaks_and_rivals",
     "gold_players_recommendations",
     "gold_summary_by_season",
@@ -123,7 +124,6 @@ set_priority([
     "q9_product_profit",
     "q3_shipping_priority",
     "stream_cdc_apply",
-    "stream_dedup_lsh_index",
     "dedup_jaccard_prefix_filtered",
     "similarity_topk_ivf_pq",
     "corpus_pipeline",

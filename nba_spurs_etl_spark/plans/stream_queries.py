@@ -44,6 +44,47 @@ def _work_dir(tag: str, sf_dir: str) -> str:
 
 
 @register(
+    "stream_hypertable_rollup",
+    group="2.9 ext-stream ext-rollup hypertable",
+    # the cascade's FINEST level is maintained by the stream; the
+    # coarser levels re-aggregate the drained partials with the SAME
+    # batch operators the batch twin uses, so this shares
+    # hypertable_rollup_1h's full oracle (raw aggregated directly) —
+    # proving the streaming continuous-aggregate is lossless
+    oracle=registry()["hypertable_rollup_1h"].oracle,
+    doc="Streaming continuous aggregate, TimescaleDB-style: the "
+    "stream maintains the 1-minute partials (count + exact-decimal "
+    "sum + min/max — the decomposable carry), drained complete-mode "
+    "via availableNow; the 5-min and 1-hour levels then derive from "
+    "the drained partials through the identical operators/rollups.py "
+    "re-aggregation the batch twin uses, raw data scanned once by "
+    "the STREAM only. Complete mode needs no watermark, so NULL and "
+    "out-of-order timestamps group exactly like the batch twin "
+    "(NULL ts -> NULL bucket) and the shared oracle holds under the "
+    "drain fuzzer's perturbations.",
+)
+def stream_hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rollups
+
+    ev = read_events_stream(spark, sf_dir)
+    m1 = ev.groupBy(
+        rollups.time_bucket(F.col("ts"), 60).alias("bucket"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("val_sum"),
+        F.min("value").alias("val_min"),
+        F.max("value").alias("val_max"),
+    )
+    drained = run_stream_to_table(
+        m1, spark, output_mode="complete", state_partitions=8
+    )
+    m5 = rollups.rollup_coarser(drained, ["event_type"], 300, finer_seconds=60)
+    h1 = rollups.rollup_coarser(m5, ["event_type"], 3600, finer_seconds=300)
+    return rollups.finalize_rollup(h1, ["event_type"])
+
+
+@register(
     "stream_tumbling_agg",
     group="2.9 ext-stream",
     # complete-mode drain emits every window, so the stream converges
