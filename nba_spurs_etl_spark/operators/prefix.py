@@ -251,6 +251,12 @@ def exact_kth_smallest(
     sort position (Spark ASC puts nulls first, DuckDB last), so a
     rank over a nullable column is not well-defined cross-engine.
     """
+    if k < 1:
+        # k=0 falls out of an empty input upstream ((0+1)//2 == 0) —
+        # without this guard the bucket loop never binds its cursor
+        # and dies with an UnboundLocalError instead of a contract
+        # error (edge-fuzz find, r07a: lineitem truncated wholesale)
+        raise ValueError(f"k={k} must be >= 1 (rank is 1-based)")
     v = F.col(value) if isinstance(value, str) else value
     d = df.select(v.alias("v"))
     j = k

@@ -2129,10 +2129,14 @@ def lineitem_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = li.count()
     k = (n + 1) // 2
+    schema = "n bigint, k bigint, median double"
+    if n == 0:
+        # no ranked rows → no median row; the oracle's WHERE rn = k
+        # matches nothing on an empty table, so the contract relation
+        # is EMPTY, not (0, 0, NULL) (edge-fuzz find, r07a)
+        return spark.createDataFrame([], schema)
     med = exact_kth_smallest(li, "l_extendedprice", k)
-    return spark.createDataFrame(
-        [(n, k, float(med))], "n bigint, k bigint, median double"
-    )
+    return spark.createDataFrame([(n, k, float(med))], schema)
 
 
 @register(

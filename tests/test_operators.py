@@ -1804,6 +1804,46 @@ def test_exact_kth_smallest_matches_sorted(spark):
         exact_kth_smallest(df, "v", 6001, num_buckets=16)
 
 
+def test_exact_kth_smallest_empty_and_k0_contract(spark):
+    """k < 1 and empty-input ranks are contract errors, and the median
+    entry short-circuits an empty fact to the EMPTY relation — its
+    oracle's ``WHERE rn = (n+1)//2`` matches nothing on zero rows
+    (edge-fuzz find, r07a: lineitem truncated wholesale drove
+    k = (0+1)//2 = 0 into an UnboundLocalError in the bucket loop).
+    Pinned deterministically because the fuzzer's empty-table pick
+    rotates with the salt."""
+    from nba_spurs_etl_spark.operators.prefix import exact_kth_smallest
+
+    empty = spark.createDataFrame([], "v double")
+    with pytest.raises(ValueError, match="1-based"):
+        exact_kth_smallest(empty, "v", 0, num_buckets=16)
+    with pytest.raises(ValueError, match="exceeds row count"):
+        exact_kth_smallest(empty, "v", 1, num_buckets=16)
+
+    import duckdb
+
+    from nba_spurs_etl_spark.plans.catalog import registry
+
+    q = registry()["lineitem_median_twophase"]
+    empty_dir = "/tmp/spark_graft_empty_li_pin"
+    con = duckdb.connect()
+    for t in ["lineitem"]:
+        con.sql(
+            f"CREATE VIEW src AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+        import os
+
+        os.makedirs(empty_dir, exist_ok=True)
+        con.sql(
+            f"COPY (SELECT * FROM src WHERE FALSE) TO "
+            f"'{empty_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    out = q.builder(spark, empty_dir)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["n", "k", "median"]
+
+
 def test_salted_join_equals_plain_join_under_hot_key(spark):
     """Salting must be result-invariant even when one key holds most
     of the fact side (the case it exists for), and stable across
