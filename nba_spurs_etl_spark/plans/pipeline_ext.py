@@ -1759,6 +1759,7 @@ monthly AS (
 SELECT CAST(s.m AS VARCHAR) AS month,
   COALESCE(mo.orders_cnt, CAST(0 AS BIGINT)) AS orders_cnt
 FROM spine s LEFT JOIN monthly mo ON s.m = mo.m
+WHERE s.m IS NOT NULL
 """,
     doc="Spark 4 RECURSIVE CTE surface: a month spine generated by "
     "linear recursion (min..max order month), left-joined to monthly "
@@ -1767,7 +1768,9 @@ FROM spine s LEFT JOIN monthly mo ON s.m = mo.m
     "engine (UNION ALL linear recursion; Spark does not yet support "
     "UNION-distinct recursion, so cyclic closures stay on the "
     "checkpointed label-propagation operator — see "
-    "dedup_minhash_components). Identical SQL text runs on DuckDB.",
+    "dedup_minhash_components). The same recursive dialect runs on "
+    "DuckDB; the oracle's WHERE s.m IS NOT NULL only drops the NULL "
+    "anchor row an empty table produces (empty-in-empty-out contract).",
 )
 def orders_month_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
@@ -1791,13 +1794,15 @@ def orders_month_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)",
     ).first()
     if lo is None or hi is None:
-        # empty orders: MIN/MAX are NULL and the f-string below would
-        # interpolate the literal DATE 'None' — a confusing parse error
-        # instead of a clear diagnosis (ADVICE r03)
-        raise ValueError(
-            "orders_month_spine_recursive: orders table is empty — "
-            "no o_orderdate bounds to build the month spine from"
-        )
+        # empty orders (or all-NULL dates): MIN/MAX are NULL and the
+        # f-string below would interpolate the literal DATE 'None' — a
+        # confusing parse error (ADVICE r03). No bounds means no
+        # months: return the EMPTY spine (edge-fuzz find, r07k — the
+        # oracle's NULL anchor row is filtered by its WHERE s.m IS NOT
+        # NULL, a no-op on any non-empty table whose spine rows are
+        # all real months).
+        spark.catalog.dropTempView(view)
+        return spark.createDataFrame([], "month string, orders_cnt bigint")
     # Recursion-depth headroom (edge-fuzz find, r06): Spark caps linear
     # recursion at spark.sql.cteRecursionLevelLimit (default 100) —
     # a 1970..2199 orderdate outlier needs a ~2760-month spine, which
