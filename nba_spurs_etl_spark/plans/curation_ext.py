@@ -215,8 +215,15 @@ WITH toks AS (
 ),
 w(grp, wt) AS (VALUES {wvals}),
 rates AS (
+  -- CAST both factors AS DOUBLE: DuckDB otherwise multiplies the
+  -- DECIMAL weight exactly (10000.0 * 0.2 = DECIMAL 2000.00 -> double
+  -- 2000.0) where Spark's lit(10000.0) * double(0.2) is
+  -- 2000.0000000000002 — a 1-ulp numerator difference feeding a FLOOR
+  -- threshold, the latent class the r07b fuzzer caught in
+  -- events_weighted_sample (audit find, late r07)
   SELECT t.grp, CAST(FLOOR(LEAST(1.0,
-      {float(_MIX_BUDGET)} * COALESCE(w.wt, 0.0) / SUM(t.n_tok)
+      CAST({float(_MIX_BUDGET)} AS DOUBLE) * CAST(COALESCE(w.wt, 0.0)
+        AS DOUBLE) / SUM(t.n_tok)
     ) * 1000000) AS BIGINT) AS threshold
   FROM toks t LEFT JOIN w ON t.grp = w.grp
   GROUP BY t.grp, w.wt
