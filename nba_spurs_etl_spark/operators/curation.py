@@ -536,11 +536,12 @@ def dsir_topk(
     Scale (100 TB): the token stream never shuffles wider than
     (doc, slot) counts — one map-combined groupBy; both distribution
     tables and the two scalar totals are broadcast; the final ranking
-    is a global top-k over one row per raw doc (the same
-    rank-then-filter Catalyst rewrites to TakeOrdered when k is
-    small). Target corpora are small by definition; if the pool's
-    per-doc rows outgrow a single global window, the top-k-pruned
-    two-phase form of ``global_rank_topk`` applies unchanged.
+    uses the explicit ``global_rank_topk`` two-phase form —
+    ``orderBy().limit(k)`` (TakeOrderedAndProject: per-partition
+    k-row heaps, driver merge) followed by a k-row rank window — so
+    no data-scale row ever crosses a SinglePartition exchange
+    regardless of optimizer rewrites. Target corpora are small by
+    definition.
     """
     from pyspark.sql import Window
 
@@ -635,11 +636,17 @@ def dsir_topk(
             ).alias("lw"),
         )
     )
+    # Explicit two-phase global top-k (the global_rank_topk pattern,
+    # plans/tpch_core.py): orderBy().limit(k) plans as
+    # TakeOrderedAndProject — a parallel per-partition k-row heap
+    # merged on the driver — and the rank window then runs over k rows
+    # total. The rank-then-filter form produced the same physical
+    # shape only via the LimitPushDownThroughWindow optimizer rule;
+    # this form IS the safe plan with or without that rule.
+    topk = terms.orderBy(F.col("lw").desc(), F.col("doc").asc()).limit(k)
     win = Window.orderBy(F.col("lw").desc(), F.col("doc").asc())
-    return (
-        terms.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= k)
-        .select("doc", "n_feats", "rank")
+    return topk.withColumn("rank", F.row_number().over(win)).select(
+        "doc", "n_feats", "rank"
     )
 
 

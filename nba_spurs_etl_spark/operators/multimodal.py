@@ -242,7 +242,7 @@ def audio_pipeline_features(
                         (doc, sr, len(s), len(s) / sr,
                          float(np.sqrt(np.mean(f * f))),
                          int(np.abs(f).max()), zc,
-                         _hash60(rz.tobytes()), None)
+                         _hash60_hex(rz.tobytes()), None)
                     )
                 except NotImplementedError as e:
                     rows.append(
@@ -254,6 +254,8 @@ def audio_pipeline_features(
                         (doc, None, None, None, None, None, None, None,
                          f"malformed:{e}")
                     )
+            # dtype=object — same 60-bit-hash float64-rounding hazard
+            # as image_pipeline_features (see comment there)
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -261,6 +263,7 @@ def audio_pipeline_features(
                     "rms", "peak", "zero_crossings", "resampled_hash",
                     "error",
                 ],
+                dtype=object,
             )
 
     return src.mapInPandas(run, schema=AUDIO_SCHEMA)
@@ -269,6 +272,17 @@ def audio_pipeline_features(
 def _hash60(b: bytes) -> int:
     """Python twin of functions.scalar.md5_long (same 60-bit value)."""
     return int(hashlib.md5(b).hexdigest()[:15], 16)
+
+
+def _hash60_hex(b: bytes) -> int:
+    """Content hash computed in the HEX-STRING domain: md5 of the
+    lowercase hex encoding of ``b`` (then the md5_long 60-bit trunc).
+    Same fingerprinting power as hashing the raw bytes, but
+    SQL-re-derivable: DuckDB's md5() accepts only VARCHAR, and raw
+    pixel/PCM bytes are not valid UTF-8 — the hex text is. Used for
+    the resized/resampled content hashes so the image/audio pipeline
+    entries carry full DuckDB oracles (VERDICT r07 item 4)."""
+    return _hash60(b.hex().encode())
 
 
 def featurize_binary(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
@@ -352,7 +366,7 @@ def image_pipeline_features(
                     rz = resize_nearest(px, w, h, tw, th)
                     rows.append(
                         (doc, w, h, float(a.mean()), int(a.min()),
-                         int(a.max()), tw, th, _hash60(rz), None)
+                         int(a.max()), tw, th, _hash60_hex(rz), None)
                     )
                 except NotImplementedError as e:
                     rows.append(
@@ -364,6 +378,12 @@ def image_pipeline_features(
                         (doc, None, None, None, None, None, None, None,
                          None, f"malformed:{e}")
                     )
+            # dtype=object: a batch mixing feature rows and error rows
+            # would otherwise coerce int columns with None to float64,
+            # ROUNDING the 60-bit content hashes (2^60-magnitude ints
+            # have 128-ulp spacing in float64 — caught by the r08
+            # DuckDB oracle); Arrow casts object columns to the schema
+            # types exactly
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -371,6 +391,7 @@ def image_pipeline_features(
                     "max_px", "resized_w", "resized_h", "resized_hash",
                     "error",
                 ],
+                dtype=object,
             )
 
     return src.mapInPandas(run, schema=IMAGE_SCHEMA)

@@ -649,41 +649,102 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 3-sigma relative error bound for Spark's default HLL sketch
+#: (lgConfigK=12): RSE = 1.04/sqrt(2^12) ~= 1.63%, 3 sigma ~= 4.9%
+_HLL_BOUND = 0.05
+
+
 @register(
     "events_hll_daily_rollup",
     group="ext-events 2.4 approx sketch-rollup",
-    oracle=None,
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_no, user_id
+  FROM events WHERE ts IS NOT NULL
+),
+d AS (
+  SELECT date_trunc('month',
+           DATE '1970-01-01' + CAST(day_no AS INTEGER))::DATE AS month,
+         day_no, user_id
+  FROM base
+),
+daily AS (
+  SELECT month, day_no, CAST(COUNT(*) AS BIGINT) AS events
+  FROM d GROUP BY 1, 2
+),
+m AS (
+  SELECT month, CAST(COUNT(*) AS BIGINT) AS days,
+         CAST(SUM(events) AS BIGINT) AS events
+  FROM daily GROUP BY 1
+),
+x AS (
+  SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM d GROUP BY 1
+)
+SELECT CAST(m.month AS VARCHAR) AS month, m.days, m.events,
+       x.exact_users, TRUE AS sketch_within_bound
+FROM m JOIN x USING (month)
+""",
     doc="Mergeable-sketch distinct rollup (the continuous-aggregate "
     "trick for COUNT DISTINCT): per-day HLL sketches of user_id "
     "(hll_sketch_agg), then the MONTHLY distinct estimated by UNIONING "
     "the daily sketches (hll_union_agg) — raw data scanned once at "
     "daily grain, every coarser resolution derived from kilobyte "
     "sketches, exactly how hypertable_rollup_1h cascades its exact "
-    "counts. No oracle: sketch binaries are engine-specific; "
-    "tests/test_operators.py bounds the estimate against the exact "
-    "distinct instead.",
+    "counts. Sketch binaries are engine-specific, so the BRACKET is "
+    "what the oracle checks (VERDICT r07 item 4): the entry emits the "
+    "exact monthly distinct plus sketch_within_bound = |est - exact| "
+    f"<= {_HLL_BOUND} * exact (3-sigma of the published lgK=12 RSE), "
+    "and DuckDB recomputes the exact side and asserts TRUE. Date "
+    "grain is tz-free integer epoch-day -> calendar month (the "
+    "TIMESTAMP_NTZ class from r01). The exact column rides along for "
+    "the bracket only; the production rollup keeps just the sketches.",
 )
 def events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
-        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
-        "user_id",
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            (epoch_us("ts") / F.lit(86_400_000_000))
+            .cast("bigint")
+            .alias("day_no"),
+            "user_id",
+        )
+        .withColumn(
+            "month",
+            F.trunc(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("day_no").cast("int")),
+                "month",
+            ),
+        )
     )
-    daily = ev.groupBy("month", "day").agg(
+    daily = ev.groupBy("month", "day_no").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).alias("events"),
     )
+    monthly = daily.groupBy("month").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.sum("events").alias("events"),
+        F.count(F.lit(1)).alias("days"),
+    )
+    exact = ev.groupBy("month").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
     return (
-        daily.groupBy("month")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
-                "approx_monthly_users"
-            ),
-            F.sum("events").alias("events"),
-            F.count(F.lit(1)).alias("days"),
+        monthly.join(exact, "month")
+        .select(
+            F.col("month").cast("string").alias("month"),
+            "days",
+            "events",
+            "exact_users",
+            (
+                # a month whose user_ids are all NULL yields a NULL
+                # sketch (aggregates skip NULLs) — read as estimate 0,
+                # matching exact_users = 0, instead of a NULL bound
+                F.abs(F.coalesce(F.col("est"), F.lit(0)) - F.col("exact_users"))
+                <= _HLL_BOUND * F.col("exact_users")
+            ).alias("sketch_within_bound"),
         )
-        .select("month", "days", "events", "approx_monthly_users")
-        .withColumn("month", F.col("month").cast("string"))
     )
 
 
@@ -1004,6 +1065,11 @@ FROM h
     "pass over that tiny table. max_over_mean is the classic skew "
     "factor (hottest key vs mean key); >> shuffle-partition count "
     "means AQE skew-split or salting. Raw keys never sort globally.",
+    advisor_allow={"SINGLE_PARTITION_DATA"},
+    allow_why="the global window runs over the count-of-counts "
+    "histogram, bounded by |distinct frequencies| = O(sqrt(n_rows)) "
+    "(sum of distinct counts <= n_rows) — kilobytes-to-megabytes at "
+    "any corpus size, never row- or key-grain",
 )
 def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
@@ -1552,6 +1618,9 @@ FROM daily
     "(not the data), so the single-task window is safe at any "
     "volume — unlike key-cardinality prefix sums, which use the "
     "two-phase form (orders_abc_classification).",
+    advisor_allow={"SINGLE_PARTITION_DATA"},
+    allow_why="the running sum windows the per-day frame — calendar-"
+    "bounded (~thousands of rows over years), not data- or key-grain",
 )
 def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -1787,6 +1856,10 @@ FROM marg WHERE n >= 5
     "hops are SURPRISING'). All three marginals window the k*k "
     "transition matrix, never the event stream; exact BIGINT "
     "products, one IEEE division.",
+    advisor_allow={"SINGLE_PARTITION_DATA"},
+    allow_why="the global total windows the k*k event-type transition "
+    "matrix (k = |event types|, a fixed enum) — tens of rows at any "
+    "data volume",
 )
 def events_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _markov_pair_counts(spark, sf_dir)

@@ -61,73 +61,89 @@ ENTRY_QUERY = "summary_rank"
 # everything rotated out keeps its full DuckDB-oracle parity test in
 # tests/test_parity.py.
 #
-# Round-8 rotation queue: no oracled entry remains unchecked once
-# CORRECTNESS_r07 lands green — rotate to the entries with the OLDEST
-# last-green round (the r01/r02 greens first), plus any new entries
-# added in r07+.
+# ROTATED round 8 (VERDICT r07 items 1/3/4): slots 1-2 are the two
+# re-planned global-rank entries (explicit orderBy().limit(k) +
+# k-row window — re-prove their oracles under the new plans); slots
+# 3-5 are the never-driver-checked entries, ALL THREE now carrying
+# full oracles (events_hll_daily_rollup: estimate bracketed vs
+# DuckDB's exact COUNT(DISTINCT) within the published 3-sigma bound;
+# the image/audio pipelines: md5-stream pixels/PCM, integer-exact
+# stats, and hex-domain content hashes re-derived in SQL — only
+# approx_sketches remains rows-only). Then every entry
+# whose LAST green is r01 or r02 (computed from CORRECTNESS_r01..r07:
+# 10 + 17 entries — the stalest evidence in the union), the four
+# similarity entries whose plans changed in the r08 perf work (Arrow
+# coarse quantizer, rendered literals, cached codebook samples), and
+# 14 of the r03 greens. Everything rotated out keeps its full
+# DuckDB-oracle parity test in tests/test_parity.py.
+#
+# Round-9 rotation queue: the remaining 14 r03 greens
+# (outlier_orders_zscore, q18_large_orders, q21_waiting_supplier,
+# q6_forecast_revenue, range_join_user_windows, rollup_orders,
+# salted_two_phase_agg, semantic_dedup_corpus,
+# similarity_topk_bruteforce, stats_linear_fit, table_profile_orders,
+# text_c4_filters, text_profile, events_props_json if not covered),
+# then the r04 greens, plus any entry whose plan changes in r09 and
+# any new r09 entries.
 set_priority([
-    # the two r01 driver FAILURES (TIMESTAMP_NTZ class) — first in line
-    "events_retention_cohorts",
-    "events_click_purchase_join",
-    # lakehouse / table-maintenance ops
-    "cdc_snapshot_diff",
-    "schema_evolution_read",
-    "incremental_agg_orders",
-    "zorder_orders_buckets",
-    "table_checksum_buckets",
-    # SQL surface: windows, UDFs, lateral, recursive spine
-    "window_dist_functions",
-    "sql_udf_scalar_functions",
-    "sql_lateral_top_customers",
-    "orders_month_spine_recursive",
-    # events analytics tail
-    "events_props_variant",
-    "events_value_histogram",
-    "events_sessionize_capped",
-    "events_weighted_sample",
-    # multimodal plumbing (full-oracle forms)
-    "multimodal_features",
-    "multimodal_frame_sample",
-    # reference join/unpivot fixture shapes (SURVEY §2 J/U rows)
-    "left_join_flags",
-    "unpivot_nation_metrics",
-    "derived_key_join",
-    # TPC-H classics never yet in a driver prefix
-    "q7_nation_trade",
-    "q8_market_share",
-    "q11_value_concentration",
-    "q12_shipmode_priority",
-    "q13_order_count_histogram",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_excess_suppliers",
-    "q22_dormant_customers",
-    # the three entries added mid-r06 and the four added mid-r07
-    # (each new oracled entry takes a prefix slot so the union stays
-    # complete: a new entry outside the prefix would reopen the gap)
-    "corpus_quality_model_filter",
-    "text_langid_confusion",
-    "dedup_lsh_eval",
-    "similarity_recall_eval",
-    "embedding_int8_quant_eval",
-    "text_bigram_lm_score",
-    "stream_hypertable_rollup",
-    # ---- 13 twice-green re-checks (breadth + plans touched in r07) ----
-    "gold_streaks_and_rivals",
-    "gold_players_recommendations",
-    "gold_summary_by_season",
-    "gold_home_vs_away",
-    "gold_team_weaknesses_wide",
-    "summary_rank",
-    "pricing_summary",
-    "q9_product_profit",
-    "q3_shipping_priority",
-    "stream_cdc_apply",
-    "dedup_jaccard_prefix_filtered",
+    # the two r08 re-planned global-rank fixes (VERDICT r07 item 1)
+    "corpus_dsir_topk",
+    "vocab_encode_docs",
+    # never-driver-checked until now (VERDICT r07 item 4)
+    "events_hll_daily_rollup",
+    "multimodal_image_pipeline",
+    "multimodal_audio_pipeline",
+    # ---- last green r01 (stalest oracled evidence) ----
+    "dedup_ngram_jaccard",
+    "embedding_int8_quantize",
+    "embedding_matryoshka_energy",
+    "events_hour_gapfill",
+    "events_segment_enrich",
+    "similarity_topk_arrow",
+    "similarity_topk_lsh",
+    "text_quality",
+    "text_repetition",
+    "text_tfcosine_pairs",
+    # ---- last green r02 ----
+    "cube_orders",
+    "dedup_exact",
+    "distinct_customers",
+    "grouping_sets_orders",
+    "pivot_status_counts",
+    "quantity_percentiles",
+    "rolling_7d_customer_revenue",
+    "setops_intersect_except",
+    "silver_free_agents",
+    "silver_games",
+    "silver_injuries",
+    "silver_player_stats",
+    "silver_players",
+    "silver_salaries",
+    "silver_teams",
+    "stream_tumbling_agg",
+    "window_analytics",
+    # ---- plans changed in r08 perf work (re-prove under new plans) ----
+    "similarity_topk_ivf",
     "similarity_topk_ivf_pq",
-    "corpus_pipeline",
+    "similarity_topk_pq",
+    "similarity_recall_eval",
+    # ---- oldest r03 greens (breadth fill) ----
+    "asof_purchase_click",
+    "corpus_decontaminate",
+    "dedup_embedding_cosine",
+    "dedup_minhash_components",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_kmeans_lloyd",
+    "events_funnel",
+    "events_props_json",
+    "gold_spurs_player_contributions",
+    "gold_team_weaknesses_unpivoted",
+    "hypertable_rollup_1h",
+    "join_semi_anti",
+    "merge_cdc_orders",
 ])
+
 
 
 def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:

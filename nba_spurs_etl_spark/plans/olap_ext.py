@@ -1371,6 +1371,8 @@ FROM ranked GROUP BY 1
     "Integer div avoids float boundary misbuckets. NULL prices are "
     "excluded up front: they have no position in a price order, and "
     "engines disagree on where NULL sorts (differential-fuzzer find).",
+    advisor_allow={"SINGLE_PARTITION_DATA"},
+    allow_why="the only SinglePartition exchange is the two-phase prefix sum's |buckets|-row offsets window (operators/prefix.py) — bucket count is a small literal, never data- or key-grain",
 )
 def orders_equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import global_running_sum
@@ -1538,6 +1540,8 @@ FROM orders WHERE o_orderdate IS NOT NULL
     "windows, |partitions|-row offset pass, broadcast add): "
     "operators/prefix.py. Decimal-exact, so the two-phase result is "
     "bit-identical to the one-task form and the SQL oracle.",
+    advisor_allow={"SINGLE_PARTITION_DATA"},
+    allow_why="the only SinglePartition exchange is the two-phase prefix sum's |buckets|-row offsets window (operators/prefix.py) — bucket count is a small literal, never data- or key-grain",
 )
 def orders_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import global_running_sum
@@ -1595,6 +1599,8 @@ FROM r GROUP BY 1
     "(operators/prefix.py) — no single-task window. Integer-microsecond "
     "time axis (DuckDB epoch_us == Spark unix_micros truncation of the "
     "ns source), so both engines bucket identically.",
+    advisor_allow={"SINGLE_PARTITION_DATA"},
+    allow_why="the only SinglePartition exchange is the two-phase prefix sum's |buckets|-row offsets window (operators/prefix.py) — bucket count is a small literal, never data- or key-grain",
 )
 def events_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import interval_concurrency
@@ -2289,6 +2295,8 @@ FROM run CROSS JOIN tot
     "division of two exact decimals per row and the class thresholds "
     "compare identically on both engines. The scalar total attaches "
     "as a 1-row broadcast.",
+    advisor_allow={"SINGLE_PARTITION_DATA"},
+    allow_why="the only SinglePartition exchange is the two-phase prefix sum's |buckets|-row offsets window (operators/prefix.py) — bucket count is a small literal, never data- or key-grain",
 )
 def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import global_running_sum
@@ -2517,6 +2525,8 @@ FROM r CROSS JOIN t GROUP BY n1, n2
     "sorts (Spark windows default NULLS FIRST ascending, DuckDB "
     "NULLS LAST — found by the differential fuzzer). "
     "The continuous-distribution companion to events_drift_chi2.",
+    advisor_allow={"SINGLE_PARTITION_DATA"},
+    allow_why="the only SinglePartition exchange is the two-phase prefix sum's |buckets|-row offsets window (operators/prefix.py) — bucket count is a small literal, never data- or key-grain",
 )
 def orders_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import global_running_sums

@@ -32,18 +32,48 @@ class CatalogQuery:
     oracle: str | None  # DuckDB SQL over the pre-registered testdata views
     group: str  # SURVEY §2 section tag, e.g. "2.4-A1" or "ext-dedup"
     doc: str = ""
+    #: advisor codes this query may suppress (plans.advisor.audit_plan);
+    #: every suppression MUST carry a non-empty ``allow_why`` naming the
+    #: bounded-cardinality argument — the catalog-wide flag-free test
+    #: honors these, so an unjustified suppression is a lint hole.
+    advisor_allow: frozenset = frozenset()
+    allow_why: str = ""
 
 
 _REGISTRY: dict[str, CatalogQuery] = {}
 
 
-def register(name: str, group: str, oracle: str | None, doc: str = ""):
-    """Decorator: register a (spark, sf_dir) -> DataFrame query builder."""
+def register(
+    name: str,
+    group: str,
+    oracle: str | None,
+    doc: str = "",
+    advisor_allow: frozenset | set | None = None,
+    allow_why: str = "",
+):
+    """Decorator: register a (spark, sf_dir) -> DataFrame query builder.
+
+    ``advisor_allow`` suppresses named advisor codes for THIS query in
+    the catalog-wide plan audit; it requires a non-empty ``allow_why``
+    justification (the bounded-cardinality argument a reviewer checks).
+    """
+    allow = frozenset(advisor_allow or ())
+    if allow and not allow_why.strip():
+        raise ValueError(
+            f"catalog query {name!r}: advisor_allow={sorted(allow)} "
+            "requires a non-empty allow_why justification"
+        )
+    if allow_why and not allow:
+        raise ValueError(
+            f"catalog query {name!r}: allow_why given without advisor_allow"
+        )
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate catalog query {name!r}")
-        _REGISTRY[name] = CatalogQuery(name, fn, oracle, group, doc)
+        _REGISTRY[name] = CatalogQuery(
+            name, fn, oracle, group, doc, allow, allow_why
+        )
         return fn
 
     return deco

@@ -37,7 +37,28 @@ from .test_fuzz_differential import (
     _materialize,
 )
 
-EMPTY_DIR = "/tmp/spark_graft_empty_all"
+# the directory name embeds a fingerprint of the table list AND the
+# source parquet mtimes, so a future round that adds a table, renames
+# one, or regenerates testdata with a changed schema can never diff
+# against a stale cached copy — the old dir is simply never looked at
+# again (ADVICE r07 item 1)
+from .conftest import SF_CORRECT  # noqa: E402
+
+
+def _empty_dir_name() -> str:
+    parts = []
+    for t in sorted(TESTDATA_TABLES):
+        path = f"{SF_CORRECT}/{t}.parquet"
+        try:
+            parts.append(f"{t}:{os.path.getmtime(path)}")
+        except OSError:
+            parts.append(f"{t}:?")
+    return "/tmp/spark_graft_empty_all_%08x" % zlib.crc32(
+        ",".join(parts).encode()
+    )
+
+
+EMPTY_DIR = _empty_dir_name()
 
 # Entries with a recorded empty-input divergence or crash (fix-site
 # comments cite the campaign): these run on every CI invocation.

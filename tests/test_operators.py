@@ -600,26 +600,43 @@ def test_kmeans_lloyd_refines_assignment(spark):
 
 
 def test_hll_daily_rollup_bounds_exact_distinct(spark):
+    """The entry now carries the bracket IN the output (r08, VERDICT
+    r07 item 4): exact_users rides along and sketch_within_bound is
+    the published-error assertion the DuckDB oracle re-checks. Pin
+    the frame's own claims against an independent exact rollup."""
     from pyspark.sql import functions as F
 
+    from nba_spurs_etl_spark.functions.scalar import epoch_us
     from nba_spurs_etl_spark.plans.catalog import queries
     from nba_spurs_etl_spark.sources.catalog import load_table
 
     sf = "/root/testdata/sf0.01"
     got = {
-        r["month"]: r["approx_monthly_users"]
+        r["month"]: r
         for r in queries()["events_hll_daily_rollup"](spark, sf).collect()
     }
     exact = {
         str(r["month"]): r["n"]
         for r in load_table(spark, sf, "events")
-        .groupBy(F.date_trunc("month", "ts").cast("date").alias("month"))
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.trunc(
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"),
+                    (epoch_us("ts") / F.lit(86_400_000_000))
+                    .cast("bigint")
+                    .cast("int"),
+                ),
+                "month",
+            ).cast("string").alias("month")
+        )
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
     assert set(got) == set(exact)
-    for m, est in got.items():
-        assert abs(est - exact[m]) / exact[m] < 0.05, (m, est, exact[m])
+    for m, r in got.items():
+        assert r["exact_users"] == exact[m], (m, r, exact[m])
+        assert r["sketch_within_bound"] is True, (m, r)
 
 
 # ---------------------------------------------------------------------------
@@ -779,6 +796,63 @@ def test_topk_arrow_empty_query_set_returns_empty(spark):
     )
     assert out.columns == ["query_id", "cand_id", "cos_sim", "rnk"]
     assert out.count() == 0
+
+
+def test_assign_cells_arrow_matches_best_cell_fold(spark):
+    """_assign_cells_arrow (r08: the Arrow batch-product coarse
+    quantizer behind ivf_topk / ivf_pq_topk) must agree with the
+    _best_cell literal fold — the executable spec it replaced — on
+    every row class the fold defines: real vectors (sf0.01 corpus),
+    a ragged-dim vector (fold → NULL products → NULL cell), and a
+    vector driving every cosine to NaN — which under Spark's
+    non-IEEE NaN ordering (NaN above everything, NaN == NaN) the
+    fold SELECTS, ties to the smallest cid."""
+    from .conftest import SF_SMOKE
+    from nba_spurs_etl_spark.operators import similarity as S
+    from nba_spurs_etl_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cand = S._nonzero_norm(emb, "embedding")
+    rows = S._pq_sample_rows(cand, "vec_id", "embedding", 8, with_norm=True)
+    dim = len(rows[0]["cv"])
+    extra = spark.createDataFrame(
+        [
+            (900001, [1.5] * (dim // 2)),        # ragged: fold gives NULL
+            (900002, [float("inf")] * dim),      # all-NaN cosines -> NULL
+            (900003, [-2.5] * dim),              # ordinary negative vector
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = (
+        cand.select("vec_id", "embedding")
+        .unionByName(extra)
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("candv"),
+            F.sqrt(S._dot(F.col("embedding"), F.col("embedding"))).alias(
+                "candn"
+            ),
+        )
+    )
+    cents = S._centroid_literal(rows)
+    fold = {
+        r["cand_id"]: r["cell"]
+        for r in corpus.withColumn(
+            "cell", S._best_cell(cents, "candv", "candn")
+        ).collect()
+    }
+    arrow = {
+        r["cand_id"]: r["cell"]
+        for r in S._assign_cells_arrow(
+            corpus, "candv", "candn", rows
+        ).collect()
+    }
+    assert fold == arrow
+    assert fold[900001] is None  # ragged dim
+    # all-NaN cosines: Spark's NaN-is-greatest ordering makes the fold
+    # pick the smallest centroid id, not NULL
+    assert fold[900002] == min(r["cid"] for r in rows)
+    assert fold[900003] is not None
 
 
 def test_lsh_bucket_dim_guard_names_the_misconfiguration(spark):
@@ -1825,20 +1899,28 @@ def test_exact_kth_smallest_empty_and_k0_contract(spark):
     from nba_spurs_etl_spark.plans.catalog import registry
 
     q = registry()["lineitem_median_twophase"]
-    empty_dir = "/tmp/spark_graft_empty_li_pin"
-    con = duckdb.connect()
-    for t in ["lineitem"]:
-        con.sql(
-            f"CREATE VIEW src AS SELECT * FROM "
-            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
-        )
-        import os
+    # atomic build (tmp dir + rename, the _materialize pattern): an
+    # unconditional in-place write raced under pytest-xdist — another
+    # worker's Spark job could read a half-written parquet
+    import os
 
-        os.makedirs(empty_dir, exist_ok=True)
+    empty_dir = "/tmp/spark_graft_empty_li_pin"
+    if not os.path.isdir(empty_dir):
+        tmp = f"{empty_dir}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        con = duckdb.connect()
         con.sql(
-            f"COPY (SELECT * FROM src WHERE FALSE) TO "
-            f"'{empty_dir}/{t}.parquet' (FORMAT PARQUET)"
+            "COPY (SELECT * FROM read_parquet("
+            "'/root/testdata/sf0.001/lineitem.parquet') WHERE FALSE) TO "
+            f"'{tmp}/lineitem.parquet' (FORMAT PARQUET)"
         )
+        con.close()
+        try:
+            os.rename(tmp, empty_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     out = q.builder(spark, empty_dir)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["n", "k", "median"]
