@@ -68,8 +68,9 @@ ENTRY_QUERY = "summary_rank"
 # full oracles (events_hll_daily_rollup: estimate bracketed vs
 # DuckDB's exact COUNT(DISTINCT) within the published 3-sigma bound;
 # the image/audio pipelines: md5-stream pixels/PCM, integer-exact
-# stats, and hex-domain content hashes re-derived in SQL — only
-# approx_sketches remains rows-only). Then every entry
+# stats, and hex-domain content hashes re-derived in SQL;
+# approx_sketches got the same bracket treatment mid-r08, so ALL 221
+# entries now carry oracles). Then every entry
 # whose LAST green is r01 or r02 (computed from CORRECTNESS_r01..r07:
 # 10 + 17 entries — the stalest evidence in the union), the four
 # similarity entries whose plans changed in the r08 perf work (Arrow
@@ -77,8 +78,8 @@ ENTRY_QUERY = "summary_rank"
 # 14 of the r03 greens. Everything rotated out keeps its full
 # DuckDB-oracle parity test in tests/test_parity.py.
 #
-# Round-9 rotation queue: the remaining 14 r03 greens
-# (outlier_orders_zscore, q18_large_orders, q21_waiting_supplier,
+# Round-9 rotation queue: the remaining r03 greens
+# (merge_cdc_orders, outlier_orders_zscore, q18_large_orders, q21_waiting_supplier,
 # q6_forecast_revenue, range_join_user_windows, rollup_orders,
 # salted_two_phase_agg, semantic_dedup_corpus,
 # similarity_topk_bruteforce, stats_linear_fit, table_profile_orders,
@@ -141,7 +142,9 @@ set_priority([
     "gold_team_weaknesses_unpivoted",
     "hypertable_rollup_1h",
     "join_semi_anti",
-    "merge_cdc_orders",
+    # newly-oracled mid-r08 (bracket form) — takes the last fill slot;
+    # merge_cdc_orders moves to the r09 queue
+    "approx_sketches",
 ])
 
 

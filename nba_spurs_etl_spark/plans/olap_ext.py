@@ -253,27 +253,118 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# approximate sketches (rows-only: sketch algorithms differ per engine)
+# approximate sketches, bracket-checked (sketch values are
+# engine-specific; the published error BOUNDS are not)
 # ---------------------------------------------------------------------------
+
+#: 3-sigma of approx_count_distinct's default rsd=0.05
+_ACD_BOUND = 0.15
+#: approx_percentile default accuracy: rank error <= n/accuracy
+_APCT_ACC = 10_000
 
 
 @register(
     "approx_sketches",
     group="2.4 approx",
-    oracle=None,
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+  TRUE AS users_within_bound,
+  TRUE AS p50_within_bound,
+  TRUE AS p99_within_bound
+FROM events GROUP BY event_type
+""",
     doc="approx_count_distinct (HyperLogLog++) + approx_percentile "
-    "(t-digest-style) per event_type — the sub-linear-memory forms of "
-    "distinct_customers / quantity_percentiles for 100 TB cardinality "
-    "work. No oracle: sketches are engine-specific by design; the "
-    "exact twins are oracle-checked.",
+    "(Greenwald-Khanna) per event_type — the sub-linear-memory forms "
+    "of distinct_customers / quantity_percentiles for 100 TB "
+    "cardinality work. Sketch VALUES are engine-specific, so the "
+    "BRACKET is the oracle contract (the events_hll_daily_rollup "
+    "pattern): the exact count-distinct rides along with "
+    "users_within_bound = |est - exact| <= 3-sigma of the default "
+    "rsd, and each percentile estimate is checked against its "
+    "published rank-error guarantee (n/accuracy, +2 ranks slack for "
+    "rounding) — DuckDB recomputes the exact side and asserts TRUE. "
+    "The rank check is SORT-FREE: the estimate (a real data point) "
+    "occupies ranks (count(value<est), count(value<=est)] in the "
+    "group's order, so in-bound ≡ that interval overlaps the "
+    "permitted window [ceil(q*n)-err, ceil(q*n)+err] — one broadcast "
+    "of the tiny estimate frame back onto events plus conditional "
+    "counts, instead of a per-group full sort (measured 8.5 s -> "
+    "~1 s at sf0.1).",
 )
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    sk = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.approx_percentile("value", 0.5).alias("approx_p50"),
         F.approx_percentile("value", 0.99).alias("approx_p99"),
         F.count(F.lit(1)).alias("events"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    # null-safe join keys throughout: the NULL event_type group is a
+    # real group in both frames, and a plain equi-join would drop it
+    # (NULL != NULL), leaving NULL bound booleans vs the oracle's TRUE
+    est = sk.select(
+        F.col("event_type").alias("_bt"), "approx_p50", "approx_p99"
+    )
+    counted = (
+        ev.join(
+            F.broadcast(est), ev["event_type"].eqNullSafe(F.col("_bt"))
+        )
+        .groupBy("_bt")
+        .agg(
+            F.count("value").alias("n"),
+            F.count(
+                F.when(F.col("value") < F.col("approx_p50"), 1)
+            ).alias("lt50"),
+            F.count(
+                F.when(F.col("value") <= F.col("approx_p50"), 1)
+            ).alias("le50"),
+            F.count(
+                F.when(F.col("value") < F.col("approx_p99"), 1)
+            ).alias("lt99"),
+            F.count(
+                F.when(F.col("value") <= F.col("approx_p99"), 1)
+            ).alias("le99"),
+        )
+    )
+    err = (F.col("n") / F.lit(_APCT_ACC)).cast("long") + F.lit(2)
+
+    def lo(q):
+        return F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(q) * F.col("n")).cast("long") - err,
+        )
+
+    def hi(q):
+        return F.least(
+            F.col("n"), F.ceil(F.lit(q) * F.col("n")).cast("long") + err
+        )
+
+    def pct_ok(lt, le, q):
+        # zero non-null values => NULL estimate and empty rank window:
+        # vacuously in bound, like the oracle's TRUE. Otherwise the
+        # estimate's occupied rank interval (lt, le] must overlap
+        # [lo, hi] — equivalent to value_at(lo) <= est <= value_at(hi)
+        # without materializing the order statistics.
+        return F.when(
+            F.coalesce(F.col("n"), F.lit(0)) == 0, F.lit(True)
+        ).otherwise(
+            (F.col(lt) + F.lit(1) <= hi(q)) & (F.col(le) >= lo(q))
+        )
+
+    return sk.join(
+        counted, sk["event_type"].eqNullSafe(F.col("_bt")), "left"
+    ).select(
+        sk["event_type"],
+        "events",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(_ACD_BOUND) * F.col("exact_users")
+        ).alias("users_within_bound"),
+        pct_ok("lt50", "le50", 0.5).alias("p50_within_bound"),
+        pct_ok("lt99", "le99", 0.99).alias("p99_within_bound"),
     )
 
 

