@@ -1073,13 +1073,18 @@ def connected_components_star(
     by property tests against a union-find model, including a 100k-leaf
     single-hub star).
     """
-    spark = pairs.sparkSession
-    edges = (
+    # ONE materialization of the upstream pair pipeline: both the edge
+    # set and the final node list derive from this checkpoint. Deriving
+    # nodes from `pairs` directly would re-execute the whole upstream
+    # plan (for the catalog entry, a second full MinHash-LSH pass —
+    # measured ~1.5 s of the entry at sf0.1, and an entire extra corpus
+    # scan at real scale).
+    base = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    edges = base.filter(F.col("u") != F.col("v"))
 
     def fingerprint(e: DataFrame) -> tuple:
         row = e.agg(
@@ -1113,8 +1118,8 @@ def connected_components_star(
         )
     # at the fixpoint, edges are (node, root) stars; roots label themselves
     nodes = (
-        pairs.select(F.col("doc_a").alias("doc"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc")))
+        base.select(F.col("u").alias("doc"))
+        .unionByName(base.select(F.col("v").alias("doc")))
         .distinct()
     )
     return (
