@@ -134,3 +134,69 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc", "rank")
     )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 10,
+    k0: int = 60,
+    a_flag: str = "in_a",
+    b_flag: str = "in_b",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankers: (query_id, doc_id,
+    fused_rank, <a_flag>, <b_flag>).
+
+    Inputs are (query_id, doc_id, rank) frames — one row per retrieved
+    candidate, rank 1-based within its query. Fused score is the
+    standard RRF sum ``1/(k0 + rank)`` over the rankers that retrieved
+    the candidate (Cormack/Clarke/Buettcher, SIGIR'09; k0=60 is the
+    paper's constant). The score stays INTERNAL (house ulp discipline):
+    with exactly two addends IEEE addition is order-free, each addend
+    ``1.0/(k0 + rank)`` is one division of exact integers, and ties
+    break on doc_id — so the RANK is bit-reproducible cross-engine
+    even though the raw double is never exposed.
+
+    Shape: both inputs are k-bounded per query by construction, so the
+    full-outer join and per-query window run on |Q| x O(k) rows —
+    nothing corpus-sized. Two rankers exactly (the binary form keeps
+    the float sum order-free); fuse N rankers by folding left,
+    fusing on ranks only.
+    """
+    an = a.select(
+        F.col("query_id").alias("_qa"),
+        F.col("doc_id").alias("_da"),
+        F.col("rank").alias("_ra"),
+    )
+    bn = b.select(
+        F.col("query_id").alias("_qb"),
+        F.col("doc_id").alias("_db"),
+        F.col("rank").alias("_rb"),
+    )
+    j = an.join(
+        bn,
+        (F.col("_qa") == F.col("_qb")) & (F.col("_da") == F.col("_db")),
+        "full_outer",
+    )
+    fused = j.select(
+        F.coalesce("_qa", "_qb").alias("query_id"),
+        F.coalesce("_da", "_db").alias("doc_id"),
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(k0)) + F.col("_ra")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(k0)) + F.col("_rb")), F.lit(0.0)
+            )
+        ).alias("_score"),
+        F.col("_ra").isNotNull().alias(a_flag),
+        F.col("_rb").isNotNull().alias(b_flag),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .select("query_id", "doc_id", "fused_rank", a_flag, b_flag)
+    )

@@ -733,6 +733,42 @@ def tf_cosine_pairs(
     )
 
 
+def label_centroid_arrays(
+    df: DataFrame, group_col: str, id_col: str, vec_col: str
+) -> DataFrame:
+    """(label, n_vecs, centroid array<double>, l2) — the un-exploded
+    form of :func:`label_centroids` (same deterministic sorted-id
+    fold; see its docstring for the contract). The array form feeds
+    centroid-consuming operators (:func:`mislabel_flags`); the
+    exploded form is the catalog/oracle surface."""
+    df = df.filter(
+        F.col(group_col).isNotNull() & F.col(vec_col).isNotNull()
+    )
+    sv = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v")))
+    )
+    grouped = df.groupBy(F.col(group_col).alias("grp")).agg(sv.alias("sv"))
+    dv = F.transform(
+        F.col("sv"), lambda s: F.transform(s["v"], lambda x: x.cast("double"))
+    )
+    n = F.size(dv)
+    summed = F.aggregate(
+        F.slice(dv, 2, n - 1),
+        F.element_at(dv, 1),
+        lambda acc, b: F.zip_with(acc, b, lambda x, y: x + y),
+    )
+    centroid = F.transform(summed, lambda s: s / n)
+    l2 = F.sqrt(
+        F.aggregate(centroid, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return grouped.select(
+        F.col("grp").alias("label"),
+        n.cast("bigint").alias("n_vecs"),
+        centroid.alias("centroid"),
+        l2.alias("l2"),
+    )
+
+
 def label_centroids(
     df: DataFrame, group_col: str, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -756,33 +792,8 @@ def label_centroids(
     from the output while the oracle keeps a NULL-valued one
     (differential-fuzzer find); the oracle mirrors the predicate.
     """
-    df = df.filter(
-        F.col(group_col).isNotNull() & F.col(vec_col).isNotNull()
-    )
-    sv = F.array_sort(
-        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v")))
-    )
-    grouped = df.groupBy(F.col(group_col).alias("grp")).agg(sv.alias("sv"))
-    dv = F.transform(
-        F.col("sv"), lambda s: F.transform(s["v"], lambda x: x.cast("double"))
-    )
-    n = F.size(dv)
-    summed = F.aggregate(
-        F.slice(dv, 2, n - 1),
-        F.element_at(dv, 1),
-        lambda acc, b: F.zip_with(acc, b, lambda x, y: x + y),
-    )
-    centroid = F.transform(summed, lambda s: s / n)
-    l2 = F.sqrt(
-        F.aggregate(centroid, F.lit(0.0), lambda a, x: a + x * x)
-    )
     return (
-        grouped.select(
-            F.col("grp").alias("label"),
-            n.cast("bigint").alias("n_vecs"),
-            centroid.alias("centroid"),
-            l2.alias("l2"),
-        )
+        label_centroid_arrays(df, group_col, id_col, vec_col)
         .select(
             "label",
             "n_vecs",
@@ -790,6 +801,65 @@ def label_centroids(
             "l2",
         )
         .select("label", "n_vecs", F.col("dim").cast("int").alias("dim"), "c", "l2")
+    )
+
+
+def mislabel_flags(
+    df: DataFrame, group_col: str, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vec_id, own_label, best_label, is_mislabeled): label-noise
+    detection by class prototype — confident-learning lite. A vector
+    whose nearest per-label centroid (cosine argmax, ties to smallest
+    label) is not its OWN label is flagged; at corpus scale these
+    flags drive relabel/drop queues before supervised training.
+
+    Composition of two already-audited pieces, so the scale shape is
+    inherited: centroids come from :func:`label_centroid_arrays` (one
+    groupBy shuffle, deterministic sorted-id fold), are O(|labels|)
+    rows collected driver-side (the IVF codebook pattern —
+    bounded-cardinality index metadata, not data), and assignment is
+    :func:`_assign_cells_arrow`'s zero-shuffle Arrow batch product
+    over the corpus. Zero-l2 centroids are excluded (no defined
+    cosine; mirrors the family's norm>0 convention), as are unlabeled
+    or zero-norm vectors; a vector with no scorable centroid (e.g.
+    dim mismatch) is dropped, matching the oracle's cos IS NOT NULL.
+    """
+    cents = (
+        label_centroid_arrays(df, group_col, id_col, vec_col)
+        .filter(F.col("l2") > 0)
+        .select(
+            F.col("label").cast("long").alias("cid"),
+            F.col("centroid").alias("cv"),
+            F.col("l2").alias("cn"),
+        )
+    )
+    # index-metadata caching, the codebook-sample pattern: centroids
+    # are built once per corpus snapshot and reused across plan builds
+    key = _index_cache_key(cents, "label_centroids")
+    if key is not None and key in _SAMPLE_CACHE:
+        cent_rows = _SAMPLE_CACHE[key]
+    else:
+        cent_rows = cents.collect()
+        if key is not None:
+            if len(_SAMPLE_CACHE) >= _SAMPLE_CACHE_MAX:
+                _SAMPLE_CACHE.clear()
+            _SAMPLE_CACHE[key] = cent_rows
+    v = F.col(vec_col)
+    base = _nonzero_norm(df.filter(F.col(group_col).isNotNull()), vec_col)
+    corpus = spread_for_compute(base, id_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(group_col).alias("own_label"),
+        v.alias("v"),
+        F.sqrt(_dot(v, v)).alias("vn"),
+    )
+    assigned = _assign_cells_arrow(corpus, "v", "vn", cent_rows, cell_col="best")
+    return assigned.filter(F.col("best").isNotNull()).select(
+        "vec_id",
+        "own_label",
+        F.col("best").cast("int").alias("best_label"),
+        (F.col("best") != F.col("own_label").cast("long")).alias(
+            "is_mislabeled"
+        ),
     )
 
 

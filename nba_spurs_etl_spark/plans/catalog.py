@@ -79,7 +79,8 @@ ENTRY_QUERY = "summary_rank"
 # DuckDB-oracle parity test in tests/test_parity.py.
 #
 # Round-9 rotation queue: the remaining r03 greens
-# (merge_cdc_orders, outlier_orders_zscore, q18_large_orders, q21_waiting_supplier,
+# (merge_cdc_orders, join_semi_anti, hypertable_rollup_1h,
+# outlier_orders_zscore, q18_large_orders, q21_waiting_supplier,
 # q6_forecast_revenue, range_join_user_windows, rollup_orders,
 # salted_two_phase_agg, semantic_dedup_corpus,
 # similarity_topk_bruteforce, stats_linear_fit, table_profile_orders,
@@ -128,6 +129,9 @@ set_priority([
     "similarity_topk_ivf_pq",
     "similarity_topk_pq",
     "similarity_recall_eval",
+    # ---- new in r08 (never driver-checked) ----
+    "search_hybrid_rrf_topk",
+    "embedding_mislabel_flags",
     # ---- oldest r03 greens (breadth fill) ----
     "asof_purchase_click",
     "corpus_decontaminate",
@@ -140,10 +144,9 @@ set_priority([
     "events_props_json",
     "gold_spurs_player_contributions",
     "gold_team_weaknesses_unpivoted",
-    "hypertable_rollup_1h",
-    "join_semi_anti",
     # newly-oracled mid-r08 (bracket form) — takes the last fill slot;
-    # merge_cdc_orders moves to the r09 queue
+    # merge_cdc_orders, join_semi_anti and hypertable_rollup_1h move
+    # to the r09 queue
     "approx_sketches",
 ])
 

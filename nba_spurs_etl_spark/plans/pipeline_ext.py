@@ -1199,11 +1199,12 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_label_centroids",
-    group="ext-similarity",
-    oracle="""
-WITH per_label AS (
+def _label_centroid_ctes() -> str:
+    """WITH-body fragment ending in ``nrm`` = (label, n_vecs,
+    centroid, l2) — shared between the ``embedding_label_centroids``
+    oracle and the mislabel-flag oracle so the fold-order discipline
+    can never drift between them."""
+    return """per_label AS (
   SELECT label, list(embedding ORDER BY vec_id) AS vecs
   FROM embeddings
   WHERE label IS NOT NULL AND embedding IS NOT NULL
@@ -1222,7 +1223,14 @@ nrm AS (
   SELECT label, n_vecs, centroid,
     sqrt(list_reduce(list_transform(centroid, x -> x * x), (a, b) -> a + b)) AS l2
   FROM cent
-),
+)"""
+
+
+@register(
+    "embedding_label_centroids",
+    group="ext-similarity",
+    oracle=f"""
+WITH {_label_centroid_ctes()},
 dims AS (
   SELECT label, n_vecs, l2, centroid,
     unnest(generate_series(1, len(centroid))) AS i
@@ -1238,6 +1246,54 @@ FROM dims
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(
+        load_table(spark, sf_dir, "embeddings"), "label", "vec_id", "embedding"
+    )
+
+
+@register(
+    "embedding_mislabel_flags",
+    group="ext-similarity quality",
+    oracle=f"""
+WITH {_label_centroid_ctes()},
+cgood AS (SELECT label AS clabel, centroid, l2 FROM nrm WHERE l2 > 0),
+-- rid: synthetic per-ROW key, so a duplicated vec_id keeps INPUT ROW
+-- grain (one flag row per example row, like the Spark side) instead
+-- of collapsing to one best per id (differential-fuzzer find)
+vbase AS (
+  SELECT vec_id, label AS own_label, embedding AS v,
+    ROW_NUMBER() OVER () AS rid
+  FROM embeddings
+  WHERE label IS NOT NULL AND {_dot_sql("embedding", "embedding")} > 0
+),
+mscored AS (
+  SELECT rid, vec_id, own_label, clabel,
+    {_dot_sql("v", "centroid")} / (sqrt({_dot_sql("v", "v")}) * l2) AS cos
+  FROM vbase CROSS JOIN cgood
+)
+SELECT vec_id, own_label, CAST(clabel AS INT) AS best_label,
+       clabel != own_label AS is_mislabeled
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY rid ORDER BY cos DESC, clabel ASC) AS rn
+  FROM mscored WHERE cos IS NOT NULL
+) WHERE rn = 1
+""",
+    doc="Label-noise detection by class prototype (confident-learning "
+    "lite): every labeled vector is assigned its nearest per-label "
+    "centroid by cosine (ties to smallest label); best_label != "
+    "own_label flags probable mislabels for relabel/drop queues "
+    "before supervised training. Centroids are the deterministic "
+    "sorted-id fold shared with embedding_label_centroids (one "
+    "groupBy shuffle), collected as O(|labels|) index metadata — the "
+    "IVF codebook pattern — and assignment is the zero-shuffle Arrow "
+    "batch product (operators/similarity.py::mislabel_flags; "
+    "_assign_cells_arrow is bit-identical to the JVM cosine fold, so "
+    "the argmax cannot diverge from the oracle). Zero-l2 centroids "
+    "and zero-norm/unlabeled vectors are excluded (family norm>0 "
+    "convention, mirrored in the oracle).",
+)
+def embedding_mislabel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.mislabel_flags(
         load_table(spark, sf_dir, "embeddings"), "label", "vec_id", "embedding"
     )
 
@@ -1367,9 +1423,13 @@ _IMG_BOX = 32
     group="ext-multimodal",
     oracle=f"""
 WITH rows_ AS (
+  -- ((x % m) + m) % m: FLOOR modulo, matching the Python synth's %
+  -- (SQL's truncated % goes negative for negative operands, which
+  -- made an INT-extreme n_chars produce h <= 0 and silently drop the
+  -- doc from the oracle while Spark kept it — edge-fuzzer find)
   SELECT doc_id AS doc,
-         CAST(16 + doc_id % 48 AS INT) AS w,
-         CAST(16 + n_chars % 48 AS INT) AS h
+         CAST(16 + ((doc_id % 48) + 48) % 48 AS INT) AS w,
+         CAST(16 + ((n_chars % 48) + 48) % 48 AS INT) AS h
   FROM documents WHERE doc_id % 97 <> 0 AND n_chars IS NOT NULL
 ),
 ok AS (SELECT DISTINCT doc, w, h FROM rows_),
@@ -2468,9 +2528,12 @@ def orders_sample_aes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="ext-multimodal",
     oracle="""
 WITH rows_ AS (
+  -- ((x % m) + m) % m: FLOOR modulo, matching the Python synth's %
+  -- for negative operands (edge-fuzzer find — see
+  -- multimodal_image_pipeline's rows_ comment)
   SELECT doc_id AS doc,
-         CAST(4000 + (doc_id % 4) * 2000 AS INT) AS sr,
-         CAST(64 + n_chars % 192 AS INT) AS n
+         CAST(4000 + ((doc_id % 4) + 4) % 4 * 2000 AS INT) AS sr,
+         CAST(64 + ((n_chars % 192) + 192) % 192 AS INT) AS n
   FROM documents
   WHERE doc_id % 89 <> 0 AND doc_id % 97 <> 0 AND n_chars IS NOT NULL
 ),
@@ -2640,11 +2703,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "search_bm25_topk",
-    group="ext-search",
-    oracle="""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+def _bm25_lex_ctes(k: int = 10) -> str:
+    """WITH-body fragment ending in ``lex`` = (query_id, doc, rank),
+    the BM25 top-k ranking — shared verbatim between the standalone
+    ``search_bm25_topk`` oracle and the hybrid-RRF fusion oracle so
+    the two can never drift apart on the fixed-point/avgdl subtleties
+    documented inline."""
+    return f"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 -- DISTINCT: a duplicated doc row would otherwise appear twice in dl
 -- and the scored JOIN would double that doc's score contributions,
 -- while Spark folds dlen into the tf group key (differential-fuzzer
@@ -2687,12 +2752,22 @@ scored AS (
     CROSS JOIN stats
   )
   GROUP BY 1, 2
-)
-SELECT query_id, doc, CAST(rank AS INT) AS rank FROM (
-  SELECT query_id, doc,
-    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc) AS rank
-  FROM scored
-) WHERE rank <= 10
+),
+lex AS (
+  SELECT query_id, doc, CAST(rank AS INT) AS rank FROM (
+    SELECT query_id, doc,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc) AS rank
+    FROM scored
+  ) WHERE rank <= {k}
+)"""
+
+
+@register(
+    "search_bm25_topk",
+    group="ext-search",
+    oracle=f"""
+WITH {_bm25_lex_ctes(10)}
+SELECT query_id, doc, rank FROM lex
 """,
     doc="BM25 top-10 retrieval (Lucene-style idf, k1=1.2 b=0.75) for "
     "queries synthesized from every 100th doc's first 3 words — the "
@@ -2721,6 +2796,89 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
     )
     return search.bm25_topk(docs, q, "doc_id", "text", k=10)
+
+
+@register(
+    "search_hybrid_rrf_topk",
+    group="ext-search hybrid",
+    oracle=f"""
+WITH {_bm25_lex_ctes(10)},
+sbase AS (SELECT vec_id, embedding AS v FROM embeddings
+          WHERE {_dot_sql("embedding", "embedding")} > 0),
+sq AS (SELECT vec_id AS query_id, v AS qv FROM sbase WHERE vec_id % 100 = 0),
+sc AS (SELECT vec_id AS cand_id, v AS cv FROM sbase),
+sscored AS (
+  SELECT query_id, cand_id, {_cos_sql("qv", "cv")} AS cos_sim
+  FROM sc JOIN sq ON sc.cand_id != sq.query_id
+),
+sem AS (
+  SELECT query_id, cand_id, CAST(rn AS INT) AS rnk FROM (
+    SELECT query_id, cand_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rn
+    FROM sscored
+  ) WHERE rn <= 10
+),
+-- two addends only, so the float RRF sum is order-free (IEEE addition
+-- is commutative); each addend is one division of exact small
+-- integers — bit-identical cross-engine
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc, s.cand_id) AS doc_id,
+         COALESCE(CAST(1 AS DOUBLE) / (60 + l.rank), CAST(0 AS DOUBLE))
+           + COALESCE(CAST(1 AS DOUBLE) / (60 + s.rnk), CAST(0 AS DOUBLE))
+           AS score,
+         l.doc IS NOT NULL AS in_lex,
+         s.cand_id IS NOT NULL AS in_sem
+  FROM lex l FULL JOIN sem s
+    ON l.query_id = s.query_id AND l.doc = s.cand_id
+)
+SELECT query_id, doc_id, CAST(rn AS INT) AS fused_rank, in_lex, in_sem
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM fused
+) WHERE rn <= 10
+""",
+    doc="Hybrid retrieval: reciprocal-rank fusion (k0=60) of the "
+    "cataloged BM25 top-10 (lexical) and exact-cosine top-10 "
+    "(semantic) rankers — the standard two-tower recipe for eval "
+    "mining and hard-negative selection, where either ranker alone "
+    "misses (lexical: paraphrases; semantic: rare exact terms). "
+    "Fusion is rank-only, so the expensive per-ranker score "
+    "disciplines stay encapsulated; the fused frame is k-bounded per "
+    "query (full-outer join + per-query window over |Q| x O(k) rows, "
+    "nothing corpus-sized — operators/search.py::rrf_fuse). Queries "
+    "whose id has no embedding (or a zero-norm one) fuse from the "
+    "lexical list alone, and vice versa — in_lex/in_sem expose which "
+    "tower retrieved each hit.",
+)
+def search_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import search, similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    qt = (
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(F.split(F.col("text"), " "), 1, 3)).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    lex = search.bm25_topk(docs, qt, "doc_id", "text", k=10).select(
+        "query_id", F.col("doc").alias("doc_id"), "rank"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = similarity.brute_force_topk_arrow(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), "vec_id", "embedding",
+        k=10,
+    ).select(
+        "query_id", F.col("cand_id").alias("doc_id"), F.col("rnk").alias("rank")
+    )
+    return search.rrf_fuse(
+        lex, sem, k=10, a_flag="in_lex", b_flag="in_sem"
+    )
 
 
 @register(

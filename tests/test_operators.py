@@ -1749,6 +1749,73 @@ def test_bm25_topk_ranks_exact_term_match_first(spark):
     assert got[(200, 1)] == 3 and (200, 2) not in got
 
 
+def test_rrf_fuse_rank_math_and_single_tower_hits(spark):
+    """RRF fusion pins: overlap beats single-tower rank 1, missing
+    tower contributes 0, query present in only one ranker survives,
+    equal fused scores tie-break on doc_id."""
+    from nba_spurs_etl_spark.operators.search import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1)],
+        "query_id long, doc_id long, rank int",
+    )
+    sem = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2), (3, 30, 1)],
+        "query_id long, doc_id long, rank int",
+    )
+    rows = {
+        (r["query_id"], r["doc_id"]): r
+        for r in rrf_fuse(lex, sem, k=10, a_flag="in_lex",
+                          b_flag="in_sem").collect()
+    }
+    # doc 11: 1/62 + 1/61 beats doc 10's 1/61 and doc 12's 1/62
+    assert rows[(1, 11)]["fused_rank"] == 1
+    assert rows[(1, 11)]["in_lex"] and rows[(1, 11)]["in_sem"]
+    assert rows[(1, 10)]["fused_rank"] == 2  # 1/61 > 1/62
+    assert rows[(1, 12)]["fused_rank"] == 3
+    assert not rows[(1, 12)]["in_lex"] and rows[(1, 12)]["in_sem"]
+    # single-tower queries survive with the other flag false
+    assert rows[(2, 20)]["fused_rank"] == 1 and not rows[(2, 20)]["in_sem"]
+    assert rows[(3, 30)]["fused_rank"] == 1 and not rows[(3, 30)]["in_lex"]
+    # equal-score tie (same rank, different towers) breaks on doc_id
+    lex2 = spark.createDataFrame(
+        [(1, 7, 1)], "query_id long, doc_id long, rank int"
+    )
+    sem2 = spark.createDataFrame(
+        [(1, 5, 1)], "query_id long, doc_id long, rank int"
+    )
+    t = {r["doc_id"]: r["fused_rank"] for r in rrf_fuse(lex2, sem2).collect()}
+    assert t == {5: 1, 7: 2}
+
+
+def test_mislabel_flags_detects_planted_outlier(spark):
+    """A vector sitting on the other class's prototype is flagged;
+    in-class vectors are not; zero-norm and unlabeled rows drop."""
+    from nba_spurs_etl_spark.operators.similarity import mislabel_flags
+
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.9, 0.1]),
+        (3, 1, [0.0, 1.0]),
+        (4, 1, [0.1, 0.9]),
+        (5, 0, [0.0, 1.0]),   # labeled 0, sits on class-1 prototype
+        (6, 0, [0.0, 0.0]),   # zero norm: excluded
+        (7, None, [1.0, 0.0]),  # unlabeled: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r for r in mislabel_flags(
+            df, "label", "vec_id", "embedding"
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[5]["is_mislabeled"] and got[5]["best_label"] == 1
+    for vid in (1, 2, 3, 4):
+        assert not got[vid]["is_mislabeled"], got[vid]
+
+
 def test_weighted_sample_per_group_counts(spark):
     from nba_spurs_etl_spark.operators.sampling import (
         weighted_sample_exact_k,
