@@ -1832,6 +1832,62 @@ def events_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Misra-Gries capacity: small enough that compression is ACTIVE on
+#: the mildly-skewed testdata (the summary actually subtracts and
+#: drops), large enough to keep a few guaranteed hitters per group
+_MG_M = 8
+
+
+def _mg_oracle() -> str:
+    m = _MG_M
+    return f"""
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS est FROM events
+  WHERE user_id IS NOT NULL GROUP BY 1, 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY est DESC, user_id ASC) AS rn
+  FROM c
+),
+d AS (
+  SELECT event_type,
+    COALESCE(MAX(CASE WHEN rn = {m + 1} THEN est END), 0) AS d
+  FROM r WHERE rn <= {m + 1} GROUP BY event_type
+)
+SELECT r.event_type, r.user_id,
+  CAST(r.est - d.d AS BIGINT) AS est_count,
+  CAST(d.d AS BIGINT) AS err_bound
+FROM r JOIN d ON r.event_type IS NOT DISTINCT FROM d.event_type
+WHERE r.rn <= {m} AND r.est - d.d > 0
+"""
+
+
+@register(
+    "events_heavy_hitters_mg",
+    group="ext-sketch heavy-hitters",
+    oracle=_mg_oracle(),
+    doc=f"Misra-Gries heavy hitters (capacity {_MG_M} keys per "
+    "event_type): bounded-memory top-frequency users with the "
+    "published deterministic bound est_count <= true <= est_count + "
+    "err_bound, and any key whose true count exceeds err_bound is "
+    "guaranteed kept. Unlike count-min (hash collisions, "
+    "probabilistic) the MG summary is exactly reproducible in any "
+    "engine — full oracle even in the COMPRESSED regime, because the "
+    "subtracted d is the (m+1)-th largest count VALUE (a multiset "
+    "property, immune to tie-breaks). Summaries are mergeable "
+    "(Agarwal et al., TODS'13), which is what the streaming twin "
+    "folds per micro-batch with O(groups x m) state forever "
+    "(operators/heavyhitters.py; compression plans a WindowGroupLimit "
+    "partial top-k, never a full per-group sort).",
+)
+def events_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import heavyhitters as hh
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return hh.mg_heavy_hitters(ev, "event_type", "user_id", _MG_M)
+
+
 @register(
     "events_bigram_lift",
     group="ext-events markov lift",

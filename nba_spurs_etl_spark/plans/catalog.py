@@ -80,11 +80,12 @@ ENTRY_QUERY = "summary_rank"
 #
 # Round-9 rotation queue: the remaining r03 greens
 # (merge_cdc_orders, join_semi_anti, hypertable_rollup_1h,
+# events_funnel, events_props_json,
 # outlier_orders_zscore, q18_large_orders, q21_waiting_supplier,
 # q6_forecast_revenue, range_join_user_windows, rollup_orders,
 # salted_two_phase_agg, semantic_dedup_corpus,
 # similarity_topk_bruteforce, stats_linear_fit, table_profile_orders,
-# text_c4_filters, text_profile, events_props_json if not covered),
+# text_c4_filters, text_profile),
 # then the r04 greens, plus any entry whose plan changes in r09 and
 # any new r09 entries.
 set_priority([
@@ -132,6 +133,8 @@ set_priority([
     # ---- new in r08 (never driver-checked) ----
     "search_hybrid_rrf_topk",
     "embedding_mislabel_flags",
+    "events_heavy_hitters_mg",
+    "stream_heavy_hitters_mg",
     # ---- oldest r03 greens (breadth fill) ----
     "asof_purchase_click",
     "corpus_decontaminate",
@@ -140,13 +143,11 @@ set_priority([
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_kmeans_lloyd",
-    "events_funnel",
-    "events_props_json",
     "gold_spurs_player_contributions",
     "gold_team_weaknesses_unpivoted",
     # newly-oracled mid-r08 (bracket form) — takes the last fill slot;
-    # merge_cdc_orders, join_semi_anti and hypertable_rollup_1h move
-    # to the r09 queue
+    # merge_cdc_orders, join_semi_anti, hypertable_rollup_1h,
+    # events_funnel and events_props_json move to the r09 queue
     "approx_sketches",
 ])
 

@@ -665,3 +665,44 @@ def stream_markov_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return mk.result()
+
+
+@register(
+    "stream_heavy_hitters_mg",
+    group="2.9 ext-stream ext-sketch",
+    # the catalog drain streams events as ONE batch (single parquet
+    # file; repack preserves it): merge(empty, batch summary) =
+    # compress(batch counts) = the batch operator exactly -> FULL
+    # shared oracle. Multi-batch merges keep the published bound but
+    # are batch-boundary-dependent by design; the explicit-batches
+    # property test in tests/test_streaming.py pins that regime.
+    oracle=registry()["events_heavy_hitters_mg"].oracle,
+    doc="STREAMING Misra-Gries heavy hitters "
+    "(streaming/heavyhitters.py::MGSnapshot): each micro-batch is "
+    "reduced to its own MG summary and MERGED into the persisted one "
+    "(mergeable-summaries algebra) — O(groups x m) state forever over "
+    "an unbounded key domain, the bounded-memory alternative to "
+    "stream_incremental_agg's exact per-key state. Versioned-parquet "
+    "store with the batch_id+1 retry contract: the additive merge "
+    "never double-counts a foreachBatch retry.",
+)
+def stream_heavy_hitters_mg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.heavyhitters import MGSnapshot
+    from .analytics_ext import _MG_M
+
+    work = _work_dir("mghh", sf_dir)
+    snap = MGSnapshot(
+        spark, os.path.join(work, "snap"), "event_type", "user_id", m=_MG_M
+    )
+    # seed from the BATCH loader (schema-only, limit 0): VersionStore
+    # writes with df.write, which a streaming frame cannot do
+    snap.seed_empty(
+        load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    )
+    snap.attach(
+        read_events_stream(spark, sf_dir).select("event_type", "user_id"),
+        os.path.join(work, "ckpt"),
+    ).awaitTermination()
+    return snap.result()

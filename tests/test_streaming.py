@@ -868,3 +868,63 @@ def test_stateful_profile_negative_value_rounding(spark):
     )
     batch_cents = user_profile_batch(ev).collect()[0]["total_cents"]
     assert batch_cents == expect
+
+
+def test_mg_snapshot_multibatch_bound_and_retry(spark, tmp_path):
+    """Multi-batch MG merges keep the published bound (est <= true <=
+    est + err; dropped keys have true <= err), state stays <= m keys
+    per group, a foreachBatch retry does not double-count, and the
+    single-batch fold equals the batch operator."""
+    import random
+
+    from nba_spurs_etl_spark.operators.heavyhitters import mg_heavy_hitters
+    from nba_spurs_etl_spark.streaming.heavyhitters import MGSnapshot
+
+    rng = random.Random(8)
+    # zipf-ish: key k appears ~60/k times, across two event types
+    rows = []
+    for et in ("a", "b"):
+        for k in range(1, 25):
+            rows += [(et, k)] * max(1, 60 // k)
+    rng.shuffle(rows)
+    schema = "event_type string, user_id bigint"
+    m = 4
+    cut = len(rows) // 3
+    batches = [
+        spark.createDataFrame(rows[:cut], schema),
+        spark.createDataFrame(rows[cut : 2 * cut], schema),
+        spark.createDataFrame(rows[2 * cut :], schema),
+    ]
+
+    snap = MGSnapshot(spark, str(tmp_path / "mg"), "event_type", "user_id", m)
+    snap.seed_empty(batches[0])
+    for bid, b in enumerate(batches):
+        snap.apply_batch(b, bid)
+    snap.apply_batch(batches[2], 2)  # retry: overwrites v3, no stacking
+    got = snap.result().collect()
+
+    true = Counter(rows)
+    kept = {(r["event_type"], r["user_id"]) for r in got}
+    per_group = Counter(r["event_type"] for r in got)
+    assert all(n <= m for n in per_group.values())
+    for r in got:
+        t = true[(r["event_type"], r["user_id"])]
+        assert r["est_count"] <= t <= r["est_count"] + r["err_bound"], r
+    errs = {r["event_type"]: r["err_bound"] for r in got}
+    for (et, k), t in true.items():
+        if (et, k) not in kept:
+            assert t <= errs[et], (et, k, t, errs[et])
+        if t > errs[et]:
+            assert (et, k) in kept, (et, k, t, errs[et])
+
+    # single-batch fold == batch operator (the shared-oracle contract)
+    allb = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    snap1 = MGSnapshot(spark, str(tmp_path / "mg1"), "event_type", "user_id", m)
+    snap1.seed_empty(allb)
+    snap1.apply_batch(allb, 0)
+    a = sorted(tuple(r) for r in snap1.result().collect())
+    b = sorted(
+        tuple(r)
+        for r in mg_heavy_hitters(allb, "event_type", "user_id", m).collect()
+    )
+    assert a == b
