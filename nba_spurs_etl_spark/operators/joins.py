@@ -189,3 +189,68 @@ def salted_join(
         (b[big_key] == s[small_key]) & (b["__salt"] == s["__salt"]),
     )
     return joined.drop(b["__salt"]).drop(s["__salt"])
+
+
+def grid_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_x: str,
+    left_y: str,
+    right_x: str,
+    right_y: str,
+    radius: int,
+) -> DataFrame:
+    """All (left, right) pairs within euclidean ``radius``, via grid
+    bucketing — the spatial join Spark lacks natively, in the only
+    shape that survives 100 TB (a cross join + distance filter does
+    not plan a join at all; it plans a cartesian).
+
+    Coordinates are INTEGER fixed-point (e.g. centi-units, offset to
+    non-negative — lon+180 style; integer ``div`` truncates toward
+    zero, so negative coordinates would straddle cell 0). Cell width =
+    ``radius``: any pair within the radius differs by at most one cell
+    per axis, so the LEFT side explodes into its 3x3 neighbor cells,
+    the right side buckets ONCE, the candidate join is a plain
+    equi-join on (cell_x, cell_y), and the exact refine
+    ``dx^2 + dy^2 <= radius^2`` runs in pure BIGINT — bit-exact in any
+    engine, no float geometry anywhere. Each qualifying pair matches
+    in exactly ONE cell (the right point's own), so no dedup pass.
+
+    Cost: 9x duplication of the left side's narrow (key, cell) rows,
+    one shuffle on the cell key; density skew (a hot city cell) spreads
+    across the 9-cell neighborhood and is AQE-splittable since the
+    cell key is the shuffle key. Output carries ``dist2`` (the exact
+    squared distance) alongside every input column.
+    """
+    w = int(radius)
+    r2 = w * w
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    l = (
+        left.withColumn("_dx", off)
+        .withColumn("_dy", off)
+        .select(
+            "*",
+            (F.expr(f"{left_x} div {w}") + F.col("_dx")).alias("_cx"),
+            (F.expr(f"{left_y} div {w}") + F.col("_dy")).alias("_cy"),
+        )
+        .drop("_dx", "_dy")
+        .alias("l")
+    )
+    r = right.select(
+        "*",
+        F.expr(f"{right_x} div {w}").alias("_cx"),
+        F.expr(f"{right_y} div {w}").alias("_cy"),
+    ).alias("r")
+    ddx = F.col(f"l.{left_x}") - F.col(f"r.{right_x}")
+    ddy = F.col(f"l.{left_y}") - F.col(f"r.{right_y}")
+    dist2 = ddx * ddx + ddy * ddy
+    joined = l.join(
+        r,
+        (F.col("l._cx") == F.col("r._cx"))
+        & (F.col("l._cy") == F.col("r._cy"))
+        & (dist2 <= F.lit(r2)),
+    )
+    return (
+        joined.withColumn("dist2", dist2.cast("long"))
+        .drop(l["_cx"]).drop(l["_cy"]).drop(r["_cx"]).drop(r["_cy"])
+    )

@@ -69,8 +69,9 @@ ENTRY_QUERY = "summary_rank"
 # DuckDB's exact COUNT(DISTINCT) within the published 3-sigma bound;
 # the image/audio pipelines: md5-stream pixels/PCM, integer-exact
 # stats, and hex-domain content hashes re-derived in SQL;
-# approx_sketches got the same bracket treatment mid-r08, so ALL 221
-# entries now carry oracles). Then every entry
+# approx_sketches got the same bracket treatment mid-r08, so ALL
+# entries carry oracles — 226 by late r08, including the five new
+# r08 entries slotted below). Then every entry
 # whose LAST green is r01 or r02 (computed from CORRECTNESS_r01..r07:
 # 10 + 17 entries — the stalest evidence in the union), the four
 # similarity entries whose plans changed in the r08 perf work (Arrow
@@ -80,7 +81,7 @@ ENTRY_QUERY = "summary_rank"
 #
 # Round-9 rotation queue: the remaining r03 greens
 # (merge_cdc_orders, join_semi_anti, hypertable_rollup_1h,
-# events_funnel, events_props_json,
+# events_funnel, events_props_json, asof_purchase_click,
 # outlier_orders_zscore, q18_large_orders, q21_waiting_supplier,
 # q6_forecast_revenue, range_join_user_windows, rollup_orders,
 # salted_two_phase_agg, semantic_dedup_corpus,
@@ -135,8 +136,8 @@ set_priority([
     "embedding_mislabel_flags",
     "events_heavy_hitters_mg",
     "stream_heavy_hitters_mg",
+    "geo_radius_join_grid",
     # ---- oldest r03 greens (breadth fill) ----
-    "asof_purchase_click",
     "corpus_decontaminate",
     "dedup_embedding_cosine",
     "dedup_minhash_components",

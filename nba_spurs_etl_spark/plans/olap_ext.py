@@ -440,6 +440,69 @@ def range_join_user_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed-point field: coords in [0, 10000) centi-units (a 100x100
+#: plane), radius 150 = 1.5 units -> expected pair density
+#: |S|*|C|*pi*r^2/1e8, ~100 pairs at sf0.01
+_GEO_MOD, _GEO_R = 10_000, 150
+
+
+@register(
+    "geo_radius_join_grid",
+    group="ext-join spatial",
+    oracle=f"""
+WITH s AS (
+  SELECT s_suppkey,
+    {md5_long_sql("'gxs_' || CAST(s_suppkey AS VARCHAR)")} % {_GEO_MOD} AS sx,
+    {md5_long_sql("'gys_' || CAST(s_suppkey AS VARCHAR)")} % {_GEO_MOD} AS sy
+  FROM supplier
+),
+c AS (
+  SELECT c_custkey,
+    {md5_long_sql("'gxc_' || CAST(c_custkey AS VARCHAR)")} % {_GEO_MOD} AS cx,
+    {md5_long_sql("'gyc_' || CAST(c_custkey AS VARCHAR)")} % {_GEO_MOD} AS cy
+  FROM customer
+)
+SELECT s_suppkey, c_custkey,
+  CAST((sx-cx)*(sx-cx) + (sy-cy)*(sy-cy) AS BIGINT) AS dist2
+FROM s JOIN c ON (sx-cx)*(sx-cx) + (sy-cy)*(sy-cy) <= {_GEO_R * _GEO_R}
+""",
+    doc="Spatial radius join (supplier x customer within 1.5 units on "
+    "a hash-synthesized 100x100 plane): the grid-bucketed composition "
+    "Spark lacks natively — cell width = radius, the left side "
+    "explodes into its 3x3 neighbor cells, candidates are a plain "
+    "equi-join on (cell_x, cell_y), and the refine dx^2+dy^2 <= r^2 "
+    "runs in pure BIGINT (no float geometry; bit-exact cross-engine). "
+    "A cross join + filter plans a cartesian and dies at scale; the "
+    "grid form shuffles on the cell key and is AQE-splittable on "
+    "density skew (operators/joins.py::grid_radius_join). The oracle "
+    "IS the naive quadratic form — DuckDB proves the grid composition "
+    "loses no pair.",
+)
+def geo_radius_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import md5_long
+    from ..operators.joins import grid_radius_join
+
+    def coords(df, key, px, py, xc, yc):
+        k = F.col(key).cast("string")
+        return df.select(
+            key,
+            (md5_long(F.concat(F.lit(px), k)) % _GEO_MOD).alias(xc),
+            (md5_long(F.concat(F.lit(py), k)) % _GEO_MOD).alias(yc),
+        )
+
+    s = coords(
+        load_table(spark, sf_dir, "supplier"), "s_suppkey",
+        "gxs_", "gys_", "sx", "sy",
+    )
+    c = coords(
+        load_table(spark, sf_dir, "customer"), "c_custkey",
+        "gxc_", "gyc_", "cx", "cy",
+    )
+    return grid_radius_join(s, c, "sx", "sy", "cx", "cy", _GEO_R).select(
+        "s_suppkey", "c_custkey", "dist2"
+    )
+
+
 # ---------------------------------------------------------------------------
 # hypertable-style cascade rollup + skew-safe aggregation
 # ---------------------------------------------------------------------------

@@ -2813,3 +2813,36 @@ def test_trained_codebooks_deterministic_and_empty_safe(spark):
                    train_sample=64).count() == 0
     assert ivf_pq_topk(empty, eq, "vec_id", "embedding", m=4,
                        train_sample=64).count() == 0
+
+
+def test_grid_radius_join_equals_bruteforce(spark):
+    """The 3x3-neighbor grid composition loses no pair and adds none:
+    equality with the naive cross-join form on random integer points,
+    including exact-boundary distances (dist2 == r^2 kept)."""
+    import random
+
+    from nba_spurs_etl_spark.operators.joins import grid_radius_join
+
+    rng = random.Random(88)
+    left = [(i, rng.randrange(0, 1000), rng.randrange(0, 1000))
+            for i in range(60)]
+    right = [(j, rng.randrange(0, 1000), rng.randrange(0, 1000))
+             for j in range(80)]
+    # plant an exact-boundary pair (dist2 == r^2 = 22500: dx=90 dy=120)
+    left.append((990, 500, 500))
+    right.append((991, 590, 620))
+    l = spark.createDataFrame(left, "lid long, sx long, sy long")
+    r = spark.createDataFrame(right, "rid long, cx long, cy long")
+    got = {
+        (x["lid"], x["rid"], x["dist2"])
+        for x in grid_radius_join(l, r, "sx", "sy", "cx", "cy", 150)
+        .select("lid", "rid", "dist2").collect()
+    }
+    want = {
+        (li, rj, (lx - rx) ** 2 + (ly - ry) ** 2)
+        for (li, lx, ly) in left
+        for (rj, rx, ry) in right
+        if (lx - rx) ** 2 + (ly - ry) ** 2 <= 150 * 150
+    }
+    assert got == want
+    assert (990, 991, 22500) in got
