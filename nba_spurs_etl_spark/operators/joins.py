@@ -223,6 +223,11 @@ def grid_radius_join(
     squared distance) alongside every input column.
     """
     w = int(radius)
+    if w <= 0:
+        # radius 0 would put 'div 0' in every cell expression: NULL
+        # cells (or an ANSI DIVIDE_BY_ZERO deep in the plan) and a
+        # silently empty join — name the misconfiguration instead
+        raise ValueError(f"grid_radius_join requires radius > 0; got {radius}")
     r2 = w * w
     off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
     l = (

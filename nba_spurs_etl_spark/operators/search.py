@@ -159,9 +159,13 @@ def rrf_fuse(
 
     Shape: both inputs are k-bounded per query by construction, so the
     full-outer join and per-query window run on |Q| x O(k) rows —
-    nothing corpus-sized. Two rankers exactly (the binary form keeps
-    the float sum order-free); fuse N rankers by folding left,
-    fusing on ranks only.
+    nothing corpus-sized. TWO rankers exactly, by design: the binary
+    form keeps the float sum order-free, and nesting fuse calls does
+    NOT compute N-way RRF (the outer call would score 1/(k0 +
+    fused_rank) of the intermediate fusion, not the sum of the N
+    original reciprocal ranks). For N rankers, union the N (query,
+    doc, rank) frames with a ranker tag and sum 1/(k0 + rank) per
+    (query, doc) in one aggregation over sorted-tag contributions.
     """
     an = a.select(
         F.col("query_id").alias("_qa"),

@@ -379,6 +379,17 @@ def _assign_cells_arrow(
     )
     if not rows:
         return df.withColumn(cell_col, F.lit(None).cast("long"))
+    dims = {len(r["cv"]) for r in rows}
+    if len(dims) > 1:
+        # fail with a NAMED error instead of numpy's opaque
+        # inhomogeneous-shape ValueError (the lsh_bucket_dim_guard
+        # convention): a mixed-dimension embedding corpus is a data
+        # bug the caller must fix, not score around
+        raise ValueError(
+            "centroid vectors have mixed dimensions "
+            f"{sorted(dims)}; the embedding corpus must be "
+            "uniform-dimension to build an ANN index"
+        )
     cids = np.array([r["cid"] for r in rows], dtype=np.int64)
     cm = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
     cn = np.array([r["cn"] for r in rows], dtype=np.float64)
@@ -824,6 +835,16 @@ def mislabel_flags(
     or zero-norm vectors; a vector with no scorable centroid (e.g.
     dim mismatch) is dropped, matching the oracle's cos IS NOT NULL.
     """
+    label_t = dict(df.dtypes)[group_col]
+    if label_t not in ("tinyint", "smallint", "int", "bigint"):
+        # centroids become integer cell ids in the Arrow kernel; a
+        # string/float label would crash there with an opaque numpy
+        # error — fail with a named contract instead (encode labels
+        # to ids first)
+        raise ValueError(
+            f"mislabel_flags requires an integer label column; got "
+            f"{group_col}: {label_t}"
+        )
     cents = (
         label_centroid_arrays(df, group_col, id_col, vec_col)
         .filter(F.col("l2") > 0)
@@ -853,10 +874,13 @@ def mislabel_flags(
         F.sqrt(_dot(v, v)).alias("vn"),
     )
     assigned = _assign_cells_arrow(corpus, "v", "vn", cent_rows, cell_col="best")
+    # best_label carries the INPUT label type (cell ids are the labels
+    # themselves, so the long->label_t cast is lossless by
+    # construction — no int32 truncation for wide label domains)
     return assigned.filter(F.col("best").isNotNull()).select(
         "vec_id",
         "own_label",
-        F.col("best").cast("int").alias("best_label"),
+        F.col("best").cast(label_t).alias("best_label"),
         (F.col("best") != F.col("own_label").cast("long")).alias(
             "is_mislabeled"
         ),
@@ -919,8 +943,14 @@ def _pq_sample_rows(
     cols = [F.col(id_col).alias("cid"), v.alias("cv")]
     if with_norm:
         cols.append(F.sqrt(_dot(v, v)).alias("cn"))
+    # NULL ids are excluded from the sample: they have no stable md5
+    # sample position (Spark sorts NULLS FIRST, DuckDB LAST) and the
+    # rendered literal / Arrow matrix build requires int ids —
+    # int(None) was a latent plan-build crash (r08 review find). The
+    # ANN oracles' cents CTEs mirror the predicate.
     rows = (
-        candidates.select(*cols)
+        candidates.filter(F.col(id_col).isNotNull())
+        .select(*cols)
         .orderBy(md5_long(F.col("cid").cast("string")), F.col("cid"))
         .limit(n)
         .collect()
@@ -1040,6 +1070,14 @@ def train_ivf_centroids(
     rows = _pq_sample_rows(candidates, id_col, vec_col, sample_n)
     if not rows:
         return []
+    dims = {len(r["cv"]) for r in rows}
+    if len(dims) > 1:
+        # named error, not numpy's inhomogeneous-shape ValueError
+        # (see _assign_cells_arrow's identical guard)
+        raise ValueError(
+            "training sample has mixed embedding dimensions "
+            f"{sorted(dims)}; the corpus must be uniform-dimension"
+        )
     X = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
     norms = np.sqrt((X * X).sum(axis=1))
     X = X[norms > 0]

@@ -101,6 +101,34 @@ def _has_scalar_aggregate(plan: str, sub: str) -> bool:
     return False
 
 
+def _has_global_window_group_limit(plan: str, sub: str) -> bool:
+    """True iff the tree-section ``sub`` contains a WindowGroupLimit
+    whose detail section shows an EMPTY partition spec (``Arguments:
+    [],`` — a GLOBAL top-k, bounding total rows to k).
+
+    A PARTITIONED WindowGroupLimit (per-key top-k) bounds rows per
+    key, not globally — k x |keys| is still data scale, so it must
+    never by itself excuse a SinglePartition collapse above it (the
+    same keyed-vs-global distinction as ``_has_scalar_aggregate``;
+    hole found by round-8 review).
+
+    Plan-text forms (Spark 4 formatted explain): the GLOBAL node
+    OMITS the partition bracket — ``Arguments: [ord...], rank_fn,
+    k, Mode`` — while the partitioned node leads with TWO bracket
+    groups: ``Arguments: [part...], [ord...], rank_fn, k, Mode``.
+    Global iff the second top-level argument is not a bracket."""
+    ids = re.findall(r"WindowGroupLimit \((\d+)\)", sub)
+    for nid in ids:
+        m = re.search(
+            r"\(%s\) WindowGroupLimit(?: \[[^\]]*\])?\n(?:.+\n)*?"
+            r"Arguments: \[[^\]]*\], (\[?)" % re.escape(nid),
+            plan,
+        )
+        if m and m.group(1) != "[":
+            return True
+    return False
+
+
 def audit_plan(df: DataFrame, allow: set[str] | None = None) -> list[tuple[str, str]]:
     """Return [(code, message)] red flags for the frame's physical plan.
 
@@ -137,7 +165,7 @@ def audit_plan(df: DataFrame, allow: set[str] | None = None) -> list[tuple[str, 
                 "Scan parquet" in sub
                 and "TakeOrdered" not in sub
                 and "CollectLimit" not in sub
-                and "WindowGroupLimit" not in sub
+                and not _has_global_window_group_limit(plan, sub)
                 and not _has_scalar_aggregate(plan, sub)
             ):
                 findings.append(

@@ -75,9 +75,12 @@ ENTRY_QUERY = "summary_rank"
 # whose LAST green is r01 or r02 (computed from CORRECTNESS_r01..r07:
 # 10 + 17 entries — the stalest evidence in the union), the four
 # similarity entries whose plans changed in the r08 perf work (Arrow
-# coarse quantizer, rendered literals, cached codebook samples), and
-# 14 of the r03 greens. Everything rotated out keeps its full
-# DuckDB-oracle parity test in tests/test_parity.py.
+# coarse quantizer, rendered literals, cached codebook samples), the
+# FIVE entries added mid-r08 (hybrid RRF, mislabel flags, the two MG
+# heavy-hitter twins, the geo grid join), and 8 of the r03 greens +
+# the newly-oracled approx_sketches (each new r08 entry displaced one
+# r03 green into the r09 queue below). Everything rotated out keeps
+# its full DuckDB-oracle parity test in tests/test_parity.py.
 #
 # Round-9 rotation queue: the remaining r03 greens
 # (merge_cdc_orders, join_semi_anti, hypertable_rollup_1h,

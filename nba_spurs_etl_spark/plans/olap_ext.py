@@ -25,6 +25,15 @@ from ..operators.joins import asof_join_backward
 from ..sources.catalog import load_table
 from .registry import register
 
+#: one shared justification for the five prefix-sum entries'
+#: SINGLE_PARTITION_DATA suppressions — a single constant so a future
+#: correction cannot leave a stale rationale on a live suppression
+_PREFIX_SUM_ALLOW_WHY = (
+    "the only SinglePartition exchange is the two-phase prefix sum's "
+    "|buckets|-row offsets window (operators/prefix.py) — bucket count "
+    "is a small literal, never data- or key-grain"
+)
+
 # ---------------------------------------------------------------------------
 # explicit semi / anti joins (the reference only emulates them, J3/J4)
 # ---------------------------------------------------------------------------
@@ -1526,7 +1535,7 @@ FROM ranked GROUP BY 1
     "excluded up front: they have no position in a price order, and "
     "engines disagree on where NULL sorts (differential-fuzzer find).",
     advisor_allow={"SINGLE_PARTITION_DATA"},
-    allow_why="the only SinglePartition exchange is the two-phase prefix sum's |buckets|-row offsets window (operators/prefix.py) — bucket count is a small literal, never data- or key-grain",
+    allow_why=_PREFIX_SUM_ALLOW_WHY,
 )
 def orders_equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import global_running_sum
@@ -1695,7 +1704,7 @@ FROM orders WHERE o_orderdate IS NOT NULL
     "operators/prefix.py. Decimal-exact, so the two-phase result is "
     "bit-identical to the one-task form and the SQL oracle.",
     advisor_allow={"SINGLE_PARTITION_DATA"},
-    allow_why="the only SinglePartition exchange is the two-phase prefix sum's |buckets|-row offsets window (operators/prefix.py) — bucket count is a small literal, never data- or key-grain",
+    allow_why=_PREFIX_SUM_ALLOW_WHY,
 )
 def orders_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import global_running_sum
@@ -1754,7 +1763,7 @@ FROM r GROUP BY 1
     "time axis (DuckDB epoch_us == Spark unix_micros truncation of the "
     "ns source), so both engines bucket identically.",
     advisor_allow={"SINGLE_PARTITION_DATA"},
-    allow_why="the only SinglePartition exchange is the two-phase prefix sum's |buckets|-row offsets window (operators/prefix.py) — bucket count is a small literal, never data- or key-grain",
+    allow_why=_PREFIX_SUM_ALLOW_WHY,
 )
 def events_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import interval_concurrency
@@ -2450,7 +2459,7 @@ FROM run CROSS JOIN tot
     "compare identically on both engines. The scalar total attaches "
     "as a 1-row broadcast.",
     advisor_allow={"SINGLE_PARTITION_DATA"},
-    allow_why="the only SinglePartition exchange is the two-phase prefix sum's |buckets|-row offsets window (operators/prefix.py) — bucket count is a small literal, never data- or key-grain",
+    allow_why=_PREFIX_SUM_ALLOW_WHY,
 )
 def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import global_running_sum
@@ -2680,7 +2689,7 @@ FROM r CROSS JOIN t GROUP BY n1, n2
     "NULLS LAST — found by the differential fuzzer). "
     "The continuous-distribution companion to events_drift_chi2.",
     advisor_allow={"SINGLE_PARTITION_DATA"},
-    allow_why="the only SinglePartition exchange is the two-phase prefix sum's |buckets|-row offsets window (operators/prefix.py) — bucket count is a small literal, never data- or key-grain",
+    allow_why=_PREFIX_SUM_ALLOW_WHY,
 )
 def orders_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import global_running_sums

@@ -536,7 +536,9 @@ WITH base AS (
   FROM embeddings WHERE {_dot_sql("embedding", "embedding")} > 0
 ),
 cents AS (
-  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM base
+  -- vec_id IS NOT NULL mirrors _pq_sample_rows: NULL ids have no
+  -- cross-engine-stable md5 sample position and no int cell id
+  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM base WHERE vec_id IS NOT NULL
   ORDER BY {md5_long_sql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT {_IVF_CELLS}
 ),
 assigned AS (
@@ -2934,7 +2936,8 @@ def _pq_oracle() -> str:
 WITH base AS (SELECT vec_id, embedding AS v FROM embeddings
               WHERE {_dot_sql("embedding", "embedding")} > 0),
 cents AS (
-  SELECT vec_id AS cid, v AS cv FROM base
+  -- vec_id IS NOT NULL mirrors _pq_sample_rows (see _ivf_oracle)
+  SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id IS NOT NULL
   ORDER BY {md5_long_sql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT {nc}
 ),
 cb AS (SELECT list(cv ORDER BY cid) AS cbl FROM cents),
@@ -3011,7 +3014,9 @@ WITH base AS (
   FROM embeddings WHERE {_dot_sql("embedding", "embedding")} > 0
 ),
 cents AS (
-  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM base
+  -- vec_id IS NOT NULL mirrors _pq_sample_rows: NULL ids have no
+  -- cross-engine-stable md5 sample position and no int cell id
+  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM base WHERE vec_id IS NOT NULL
   ORDER BY {md5_long_sql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT {cells}
 ),
 pqs AS (

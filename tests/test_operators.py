@@ -1971,7 +1971,14 @@ def test_exact_kth_smallest_empty_and_k0_contract(spark):
     # worker's Spark job could read a half-written parquet
     import os
 
-    empty_dir = "/tmp/spark_graft_empty_li_pin"
+    # dir name embeds the source file's mtime (the test_empty_tables
+    # _empty_dir_name pattern): regenerated testdata with a changed
+    # lineitem schema must invalidate the cached empty copy instead of
+    # silently validating against the stale schema (r08 review find)
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    empty_dir = (
+        f"/tmp/spark_graft_empty_li_pin_{int(os.path.getmtime(src))}"
+    )
     if not os.path.isdir(empty_dir):
         tmp = f"{empty_dir}.tmp.{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)

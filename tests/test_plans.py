@@ -625,6 +625,46 @@ def test_advisor_keyed_agg_does_not_excuse_single_partition(spark):
     assert audit_plan(topk) == []
 
 
+def test_advisor_partitioned_window_group_limit_does_not_excuse(spark):
+    """r08 review find: a PARTITIONED WindowGroupLimit (per-key top-k)
+    bounds rows per key, not globally — k x |keys| is still data
+    scale, so it must not exempt a SinglePartition collapse above it.
+    A GLOBAL WindowGroupLimit (unpartitioned rank filter, the
+    InferWindowGroupLimit rescue shape) bounds total rows to k and
+    stays exempt."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nba_spurs_etl_spark.plans.advisor import audit_plan
+    from nba_spurs_etl_spark.sources.catalog import load_table
+
+    od = load_table(spark, SF_SMOKE, "orders")
+
+    # per-key top-5 (partitioned WindowGroupLimit) + global running
+    # window -> data-scale single-task collapse, must flag
+    wk = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    topk = od.withColumn("rn", F.row_number().over(wk)).filter("rn <= 5")
+    wg = Window.orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    hole = topk.withColumn("rs", F.sum("o_totalprice").over(wg))
+    assert "SINGLE_PARTITION_DATA" in [c for c, _ in audit_plan(hole)]
+
+    # global rank filter planned as an UNPARTITIONED WindowGroupLimit
+    # (exclude the limit-pushdown rewrite so the node actually appears)
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer."
+        "LimitPushDownThroughWindow",
+    )
+    try:
+        w = Window.orderBy(F.desc("o_totalprice"))
+        legit = od.withColumn("rn", F.rank().over(w)).filter("rn <= 5")
+        assert audit_plan(legit) == []
+    finally:
+        spark.conf.unset("spark.sql.optimizer.excludedRules")
+
+
 def test_advisor_catalog_is_flag_free(spark, catalog):
     """Every registered batch query passes the advisor audit — the
     catalog-wide generalization of the individual pins (streaming
