@@ -72,6 +72,54 @@ def assign_splits(
     )
 
 
+def assign_splits_leakage_safe(
+    df: DataFrame,
+    id_col: str,
+    groups: DataFrame,
+    train_pct: int = 90,
+    valid_pct: int = 5,
+    salt: str = "lsplit",
+) -> DataFrame:
+    """(doc, component, bucket, split): train/validation/test where
+    every member of a near-dup GROUP lands in the SAME split.
+
+    Plain per-row hash splitting leaks: two near-identical documents
+    hash independently, so one lands in train and its twin in test —
+    the evaluation then scores memorization. Here the bucket hashes
+    the GROUP label (a connected component over dup pairs, e.g.
+    ``dedup.connected_components`` of MinHash-LSH candidates), so the
+    whole cluster moves together; docs outside any pair are singleton
+    groups labeled by their own id. This is decontamination's
+    preventive twin: instead of scrubbing leaked pairs after the
+    split, the split itself cannot separate them.
+
+    Scale: one key-partitioned left join of the corpus against the
+    (doc, component) frame (components are bounded-round iterative —
+    see connected_components); the split itself stays a row-local
+    expression. NULL ids keep the ``split_label`` contract: NULL
+    split, never a silent dump into test.
+    """
+    lab = (
+        df.select(F.col(id_col).alias("doc"))
+        .join(
+            groups.select(
+                F.col("doc").alias("_gd"), F.col("component").alias("_gc")
+            ),
+            F.col("doc") == F.col("_gd"),
+            "left",
+        )
+        .select(
+            "doc", F.coalesce(F.col("_gc"), F.col("doc")).alias("component")
+        )
+    )
+    return lab.select(
+        "doc",
+        "component",
+        split_bucket("component", salt).cast("bigint").alias("bucket"),
+        split_label("component", train_pct, valid_pct, salt).alias("split"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

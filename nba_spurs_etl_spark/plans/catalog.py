@@ -76,8 +76,9 @@ ENTRY_QUERY = "summary_rank"
 # 10 + 17 entries — the stalest evidence in the union), the four
 # similarity entries whose plans changed in the r08 perf work (Arrow
 # coarse quantizer, rendered literals, cached codebook samples), the
-# FIVE entries added mid-r08 (hybrid RRF, mislabel flags, the two MG
-# heavy-hitter twins, the geo grid join), and 8 of the r03 greens +
+# SIX entries added mid-r08 (hybrid RRF, mislabel flags, the two MG
+# heavy-hitter twins, the geo grid join, the leakage-safe split), and
+# 7 of the r03 greens +
 # the newly-oracled approx_sketches (each new r08 entry displaced one
 # r03 green into the r09 queue below). Everything rotated out keeps
 # its full DuckDB-oracle parity test in tests/test_parity.py.
@@ -85,6 +86,7 @@ ENTRY_QUERY = "summary_rank"
 # Round-9 rotation queue: the remaining r03 greens
 # (merge_cdc_orders, join_semi_anti, hypertable_rollup_1h,
 # events_funnel, events_props_json, asof_purchase_click,
+# corpus_decontaminate,
 # outlier_orders_zscore, q18_large_orders, q21_waiting_supplier,
 # q6_forecast_revenue, range_join_user_windows, rollup_orders,
 # salted_two_phase_agg, semantic_dedup_corpus,
@@ -140,8 +142,8 @@ set_priority([
     "events_heavy_hitters_mg",
     "stream_heavy_hitters_mg",
     "geo_radius_join_grid",
+    "corpus_split_leakage_safe",
     # ---- oldest r03 greens (breadth fill) ----
-    "corpus_decontaminate",
     "dedup_embedding_cosine",
     "dedup_minhash_components",
     "dedup_minhash_lsh",

@@ -1850,12 +1850,10 @@ def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_components",
-    group="ext-dedup iterative",
-    oracle=f"""
-WITH RECURSIVE {_minhash_pairs_ctes()},
-edges AS (
+#: recursive-CTE transitive closure + MIN over the minhash-LSH `cand`
+#: pairs, ending in comp = (doc, component) — shared by the components
+#: entries and the leakage-safe split so the closure can never drift
+_COMPONENTS_CTES = """edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM cand
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM cand
@@ -1865,9 +1863,20 @@ walk(doc, label) AS (
   SELECT doc, doc FROM nodes
   UNION
   SELECT e.dst, w.label FROM walk w JOIN edges e ON w.doc = e.src
-)
-SELECT doc, CAST(MIN(label) AS BIGINT) AS component
-FROM walk GROUP BY doc
+),
+comp AS (
+  SELECT doc, CAST(MIN(label) AS BIGINT) AS component
+  FROM walk GROUP BY doc
+)"""
+
+
+@register(
+    "dedup_minhash_components",
+    group="ext-dedup iterative",
+    oracle=f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+{_COMPONENTS_CTES}
+SELECT doc, component FROM comp
 """,
     doc="Duplicate GROUPS: connected components over the minhash-LSH "
     "candidate pairs via iterative min-label propagation (the engine's "
@@ -1884,6 +1893,50 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_size=_BAND_SIZE,
     )
     return dedup.connected_components(pairs)
+
+
+@register(
+    "corpus_split_leakage_safe",
+    group="ext-sampling ext-dedup",
+    oracle=f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+{_COMPONENTS_CTES},
+lab AS (
+  SELECT d.doc_id AS doc, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
+),
+b AS (
+  SELECT doc, component,
+    {md5_long_sql("'lsplit_' || CAST(component AS VARCHAR)")} % 100 AS bucket
+  FROM lab
+)
+SELECT doc, component, CAST(bucket AS BIGINT) AS bucket,
+  CASE WHEN bucket < 90 THEN 'train'
+       WHEN bucket < 95 THEN 'validation'
+       WHEN bucket IS NOT NULL THEN 'test' END AS split
+FROM b
+""",
+    doc="Leakage-safe train/validation/test split (90/5/5): the split "
+    "bucket hashes the near-dup COMPONENT label (connected components "
+    "over the MinHash-LSH candidate pairs), so a document and its "
+    "near-twin can never land in different splits — plain per-row "
+    "hash splitting puts one in train and the other in test, and the "
+    "eval scores memorization. Decontamination's preventive twin, "
+    "composed from two cataloged operators "
+    "(operators/sampling.py::assign_splits_leakage_safe); singleton "
+    "docs split by their own id, NULL ids keep the NULL-split "
+    "contract. Oracle shares the recursive-CTE closure with "
+    "dedup_minhash_components verbatim.",
+)
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=_NUM_HASHES, band_size=_BAND_SIZE,
+    )
+    return sampling.assign_splits_leakage_safe(
+        docs, "doc_id", dedup.connected_components(pairs)
+    )
 
 
 @register(

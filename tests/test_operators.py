@@ -2853,3 +2853,38 @@ def test_grid_radius_join_equals_bruteforce(spark):
     }
     assert got == want
     assert (990, 991, 22500) in got
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every member of a dup group gets the group's split; singletons
+    split by their own id (identical to plain assign_splits for them);
+    NULL ids keep the NULL-split contract."""
+    from pyspark.sql import functions as F
+
+    from nba_spurs_etl_spark.operators.sampling import (
+        assign_splits,
+        assign_splits_leakage_safe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 41)] + [(None,)], "doc_id long"
+    )
+    # components: docs 1..10 one cluster, 11..12 another
+    groups = spark.createDataFrame(
+        [(i, 1) for i in range(1, 11)] + [(11, 11), (12, 11)],
+        "doc long, component long",
+    )
+    out = assign_splits_leakage_safe(docs, "doc_id", groups)
+    rows = {r["doc"]: r for r in out.collect()}
+    assert len({rows[i]["split"] for i in range(1, 11)}) == 1
+    assert rows[11]["split"] == rows[12]["split"]
+    assert rows[None]["split"] is None and rows[None]["component"] is None
+    # singletons (outside any group) match the plain per-id splitter
+    # under the same salt
+    plain = {
+        r["doc"]: r["split"]
+        for r in assign_splits(docs, "doc_id", salt="lsplit").collect()
+    }
+    for i in range(13, 41):
+        assert rows[i]["component"] == i
+        assert rows[i]["split"] == plain[i]
