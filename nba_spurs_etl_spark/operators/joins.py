@@ -205,9 +205,16 @@ def grid_radius_join(
     shape that survives 100 TB (a cross join + distance filter does
     not plan a join at all; it plans a cartesian).
 
-    Coordinates are INTEGER fixed-point (e.g. centi-units, offset to
-    non-negative — lon+180 style; integer ``div`` truncates toward
-    zero, so negative coordinates would straddle cell 0). Cell width =
+    Coordinates are INTEGER fixed-point (e.g. centi-units), any sign:
+    cells come from pure-integer FLOOR division ``(x - pmod(x, w)) div
+    w`` (``pmod`` is non-negative, so the numerator is the largest
+    multiple of ``w`` <= x and the ``div`` is exact). With floor
+    cells, |dx| <= radius puts every in-radius pair in adjacent cells
+    by construction — no sign precondition. (Truncating ``div``
+    happens to be absorbed by the 3x3 explode too — the +1 shift it
+    applies to negative non-multiples cannot produce a 2-cell gap
+    within the radius — but that takes a case analysis; floor makes
+    it a one-line invariant.) Cell width =
     ``radius``: any pair within the radius differs by at most one cell
     per axis, so the LEFT side explodes into its 3x3 neighbor cells,
     the right side buckets ONCE, the candidate join is a plain
@@ -229,22 +236,28 @@ def grid_radius_join(
         # silently empty join — name the misconfiguration instead
         raise ValueError(f"grid_radius_join requires radius > 0; got {radius}")
     r2 = w * w
+
+    def cell(col: str):
+        # integer floor-division (BIGINT-exact — F.floor(x / w) would
+        # round-trip through DOUBLE and lose exactness past 2^53)
+        return F.expr(f"({col} - pmod({col}, {w})) div {w}")
+
     off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
     l = (
         left.withColumn("_dx", off)
         .withColumn("_dy", off)
         .select(
             "*",
-            (F.expr(f"{left_x} div {w}") + F.col("_dx")).alias("_cx"),
-            (F.expr(f"{left_y} div {w}") + F.col("_dy")).alias("_cy"),
+            (cell(left_x) + F.col("_dx")).alias("_cx"),
+            (cell(left_y) + F.col("_dy")).alias("_cy"),
         )
         .drop("_dx", "_dy")
         .alias("l")
     )
     r = right.select(
         "*",
-        F.expr(f"{right_x} div {w}").alias("_cx"),
-        F.expr(f"{right_y} div {w}").alias("_cy"),
+        cell(right_x).alias("_cx"),
+        cell(right_y).alias("_cy"),
     ).alias("r")
     ddx = F.col(f"l.{left_x}") - F.col(f"r.{right_x}")
     ddy = F.col(f"l.{left_y}") - F.col(f"r.{right_y}")

@@ -167,16 +167,20 @@ def rrf_fuse(
     doc, rank) frames with a ranker tag and sum 1/(k0 + rank) per
     (query, doc) in one aggregation over sorted-tag contributions.
     """
-    an = a.select(
-        F.col("query_id").alias("_qa"),
-        F.col("doc_id").alias("_da"),
-        F.col("rank").alias("_ra"),
-    )
-    bn = b.select(
-        F.col("query_id").alias("_qb"),
-        F.col("doc_id").alias("_db"),
-        F.col("rank").alias("_rb"),
-    )
+    # Defensive contract enforcement (ADVICE r08): inputs promise at
+    # most one row per (query_id, doc_id); a duplicated candidate
+    # would fan out through the full-outer join into duplicate fused
+    # rows with inflated ranks. Reduce to the BEST (minimum) rank per
+    # key — deterministic (unlike dropDuplicates' arbitrary survivor),
+    # a plan-level no-op in spirit for the cataloged producers (both
+    # emit row_number-unique rows), and O(|Q| x k) rows either way.
+    def _best(df: DataFrame, q: str, d: str, r: str) -> DataFrame:
+        return df.groupBy(
+            F.col("query_id").alias(q), F.col("doc_id").alias(d)
+        ).agg(F.min("rank").alias(r))
+
+    an = _best(a, "_qa", "_da", "_ra")
+    bn = _best(b, "_qb", "_db", "_rb")
     j = an.join(
         bn,
         (F.col("_qa") == F.col("_qb")) & (F.col("_da") == F.col("_db")),

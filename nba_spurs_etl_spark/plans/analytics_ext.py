@@ -649,8 +649,12 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: 3-sigma relative error bound for Spark's default HLL sketch
-#: (lgConfigK=12): RSE = 1.04/sqrt(2^12) ~= 1.63%, 3 sigma ~= 4.9%
+#: HLL sketch precision, passed EXPLICITLY to hll_sketch_agg so the
+#: bound below and the sketch configuration cannot drift apart if a
+#: Spark upgrade changes the default (ADVICE r08): 3-sigma relative
+#: error for lgConfigK=12 is RSE = 1.04/sqrt(2^12) ~= 1.63%,
+#: 3 sigma ~= 4.9%
+_HLL_LGK = 12
 _HLL_BOUND = 0.05
 
 
@@ -719,7 +723,7 @@ def events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     daily = ev.groupBy("month", "day_no").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
+        F.hll_sketch_agg("user_id", _HLL_LGK).alias("sk"),
         F.count(F.lit(1)).alias("events"),
     )
     monthly = daily.groupBy("month").agg(

@@ -266,9 +266,13 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-specific; the published error BOUNDS are not)
 # ---------------------------------------------------------------------------
 
-#: 3-sigma of approx_count_distinct's default rsd=0.05
+#: approx_count_distinct's rsd, passed EXPLICITLY below so the bound
+#: and the sketch configuration cannot drift apart across Spark
+#: upgrades (ADVICE r08); _ACD_BOUND is its 3-sigma
+_ACD_RSD = 0.05
 _ACD_BOUND = 0.15
-#: approx_percentile default accuracy: rank error <= n/accuracy
+#: approx_percentile accuracy, likewise explicit: rank error <=
+#: n/accuracy
 _APCT_ACC = 10_000
 
 
@@ -304,9 +308,9 @@ FROM events GROUP BY event_type
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sk = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.approx_percentile("value", 0.5).alias("approx_p50"),
-        F.approx_percentile("value", 0.99).alias("approx_p99"),
+        F.approx_count_distinct("user_id", _ACD_RSD).alias("approx_users"),
+        F.approx_percentile("value", 0.5, _APCT_ACC).alias("approx_p50"),
+        F.approx_percentile("value", 0.99, _APCT_ACC).alias("approx_p99"),
         F.count(F.lit(1)).alias("events"),
         F.countDistinct("user_id").alias("exact_users"),
     )

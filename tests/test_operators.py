@@ -1788,6 +1788,29 @@ def test_rrf_fuse_rank_math_and_single_tower_hits(spark):
     assert t == {5: 1, 7: 2}
 
 
+def test_rrf_fuse_duplicate_candidate_rows_reduce_to_best_rank(spark):
+    """A contract-violating input with two rows for one (query, doc)
+    must NOT fan out through the full-outer join into duplicate fused
+    rows: the defensive reduction keeps the BEST (minimum) rank,
+    deterministically (ADVICE r08)."""
+    from nba_spurs_etl_spark.operators.search import rrf_fuse
+
+    lex = spark.createDataFrame(
+        # doc 10 listed twice (ranks 3 and 1) — min rank 1 must win
+        [(1, 10, 3), (1, 10, 1), (1, 11, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    sem = spark.createDataFrame(
+        [(1, 11, 1)], "query_id long, doc_id long, rank int"
+    )
+    out = rrf_fuse(lex, sem, k=10).collect()
+    assert len(out) == 2  # one fused row per distinct (query, doc)
+    rows = {r["doc_id"]: r for r in out}
+    # doc 11: 1/62 + 1/61 beats doc 10's 1/61 (rank 1, not 1/63)
+    assert rows[11]["fused_rank"] == 1
+    assert rows[10]["fused_rank"] == 2
+
+
 def test_mislabel_flags_detects_planted_outlier(spark):
     """A vector sitting on the other class's prototype is flagged;
     in-class vectors are not; zero-norm and unlabeled rows drop."""
@@ -2853,6 +2876,159 @@ def test_grid_radius_join_equals_bruteforce(spark):
     }
     assert got == want
     assert (990, 991, 22500) in got
+
+
+def test_ann_index_disk_cache_roundtrip_and_invalidation(
+    spark, tmp_path, monkeypatch
+):
+    """The persisted index sidecar (VERDICT r08 item 2) survives a
+    'fresh process' (simulated by clearing the in-process tier): rows
+    round-trip value-exact, the DISK copy is provably the source on
+    the second build, and touching the source file's mtime OR
+    rewriting it at a different size invalidates the key."""
+    import json
+    import os
+
+    from nba_spurs_etl_spark.operators import similarity as S
+
+    cache_dir = tmp_path / "annidx"
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(cache_dir))
+    src = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.parquet(src)
+    cand = spark.read.parquet(src)
+
+    rows1 = S._pq_sample_rows(cand, "vec_id", "embedding", 8,
+                              with_norm=True)
+    files = sorted(os.listdir(cache_dir))
+    assert len(files) == 1
+    # fresh-process simulation: only the sidecar remains
+    S._SAMPLE_CACHE.clear()
+    rows2 = S._pq_sample_rows(cand, "vec_id", "embedding", 8,
+                              with_norm=True)
+    assert [dict(r) if isinstance(r, dict) else r.asDict()
+            for r in rows1] == list(rows2)
+    # prove the disk copy was the source: tamper it, clear mem, reload
+    p = cache_dir / files[0]
+    payload = json.loads(p.read_text())
+    payload["rows"][0]["cid"] = -999
+    p.write_text(json.dumps(payload))
+    S._SAMPLE_CACHE.clear()
+    rows3 = S._pq_sample_rows(cand, "vec_id", "embedding", 8,
+                              with_norm=True)
+    assert rows3[0]["cid"] == -999
+    # mtime bump invalidates: a fresh collect returns the TRUE rows
+    data_file = next(
+        f for f in os.listdir(src)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    os.utime(os.path.join(src, data_file), None)
+    S._SAMPLE_CACHE.clear()
+    cand = spark.read.parquet(src)  # fresh plan over the touched file
+    rows4 = S._pq_sample_rows(cand, "vec_id", "embedding", 8,
+                              with_norm=True)
+    assert rows4[0]["cid"] != -999
+    # size participates in the key (ADVICE r08): an mtime-preserving
+    # rewrite at a DIFFERENT size must miss
+    fp = os.path.join(src, data_file)
+    st = os.stat(fp)
+    k_before = S._index_cache_key(cand, "p")
+    with open(fp, "ab") as f:  # same mtime, different size
+        f.write(b"\x00")
+    os.utime(fp, (st.st_atime, st.st_mtime))  # restore mtime exactly
+    k_after = S._index_cache_key(cand, "p")
+    assert k_before != k_after
+
+
+def test_doubles_sql_roundtrips_edge_values_bit_exact(spark):
+    """The rendered-literal fast path (_doubles_sql -> F.expr) must be
+    bit-identical to the F.lit slow path it replaced, INCLUDING the
+    values Python repr / SQL parsing could plausibly mangle:
+    subnormals, -0.0, +/-inf, NaN, extreme magnitudes (ADVICE r08 —
+    the docstring claimed this was verified but nothing pinned it)."""
+    import math
+    import struct
+
+    from nba_spurs_etl_spark.operators.similarity import _doubles_sql
+
+    edges = [
+        5e-324,                 # smallest positive subnormal
+        -5e-324,
+        2.2250738585072014e-308,  # smallest normal
+        1.7976931348623157e+308,  # largest finite
+        -1.7976931348623157e+308,
+        0.0,
+        -0.0,
+        float("inf"),
+        float("-inf"),
+        float("nan"),
+        1e+300,
+        -1e-300,
+        0.1,                    # classic non-terminating binary fraction
+        1.0 + 2**-52,           # 1 ulp above 1
+        (2**53 - 1) * 1.0,      # largest exact integer double
+    ]
+
+    def bits(x):
+        return struct.pack("<d", x)
+
+    got = spark.range(1).select(
+        F.expr(_doubles_sql(edges)).alias("a")
+    ).first()["a"]
+    assert len(got) == len(edges)
+    for want, have in zip(edges, got):
+        if math.isnan(want):
+            assert math.isnan(have)
+        else:
+            # byte-compare: == would pass 0.0 for -0.0
+            assert bits(have) == bits(want), (want, have)
+
+    # the nested form parses to the same tree shape it encodes
+    nested = spark.range(1).select(
+        F.expr(_doubles_sql([[0.1, -0.0], [5e-324, 1e+300]])).alias("a")
+    ).first()["a"]
+    assert [bits(v) for row in nested for v in row] == [
+        bits(v) for v in (0.1, -0.0, 5e-324, 1e+300)
+    ]
+
+
+def test_grid_radius_join_negative_coordinates(spark):
+    """Signed fixed-point coordinates (raw lon/lat centi-units without
+    a +180 offset) bucket by pure-integer FLOOR division, so |dx| <= w
+    puts every in-radius pair in adjacent cells BY CONSTRUCTION — no
+    non-negative precondition (the ADVICE r08 item). Brute-force
+    equality over points straddling the origin pins it."""
+    import random
+
+    from nba_spurs_etl_spark.operators.joins import grid_radius_join
+
+    rng = random.Random(907)
+    left = [(i, rng.randrange(-500, 500), rng.randrange(-500, 500))
+            for i in range(60)]
+    right = [(j, rng.randrange(-500, 500), rng.randrange(-500, 500))
+             for j in range(80)]
+    # plant a cross-origin pair inside the radius whose floor cells
+    # differ on both axes (-100 -> cell -1, 5 -> cell 0):
+    # dist2 = 105^2 * 2 = 22050 <= 22500
+    left.append((990, -100, -100))
+    right.append((991, 5, 5))
+    l = spark.createDataFrame(left, "lid long, sx long, sy long")
+    r = spark.createDataFrame(right, "rid long, cx long, cy long")
+    got = {
+        (x["lid"], x["rid"], x["dist2"])
+        for x in grid_radius_join(l, r, "sx", "sy", "cx", "cy", 150)
+        .select("lid", "rid", "dist2").collect()
+    }
+    want = {
+        (li, rj, (lx - rx) ** 2 + (ly - ry) ** 2)
+        for (li, lx, ly) in left
+        for (rj, rx, ry) in right
+        if (lx - rx) ** 2 + (ly - ry) ** 2 <= 150 * 150
+    }
+    assert got == want
+    assert (990, 991, 105 * 105 * 2) in got
 
 
 def test_leakage_safe_split_keeps_clusters_together(spark):
