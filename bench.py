@@ -97,6 +97,173 @@ def _priority(name: str) -> tuple[int, str]:
     return (len(PRIORITY_PREFIXES), name)
 
 
+# --- VM speed calibration (VERDICT r08 item 3) -------------------------
+# Three fixed probes mirroring the suite's cost shapes — a parquet
+# scan-agg and a shuffle-agg over the repacked lineitem, plus a pure
+# codegen CPU hash — timed (min of 3 post-JIT runs each) at suite
+# start and end. The geometric mean of their ratios to the COMMITTED
+# per-sf references (bench_history.json "calib_ref", seeded once and
+# committed like the medians) is the vm_speed_factor published on the
+# stdout line and in BENCH_DETAIL — >1 means this VM window ran the
+# probes slower than the reference window. A single probe shape is not
+# enough: a pure-CPU probe measured FLAT across a window where every
+# real query (controls included) ran 1.5-2x slow (r09 adjudication
+# session), so the factor blends the IO/decode, shuffle, and codegen
+# components that real entries are made of.
+#
+# The escalation protocol divides each cold run by the GATING factor
+# before comparing to the committed medians, and normalizes warm runs
+# by it before appending to history, so a throttled VM window neither
+# triggers false escalations nor pollutes the medians. The gating
+# factor is clamped to [1, 4] — ASYMMETRICALLY: a slow window only
+# ever *loosens* the band (that failure mode costs a redundant warm
+# re-run), while an over-measured factor below 1 could *hide* a real
+# regression behind "the VM is fast", which is the failure mode the
+# bench exists to prevent. The unclamped ratio is published alongside.
+# Reported per-query timings stay RAW wall seconds of this session —
+# the factor on the line is what makes them comparable across rounds.
+_CALIB_CLAMP_HI = 4.0
+_CALIB_CPU_N = 256_000_000
+
+
+def _calib_probes(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from nba_spurs_etl_spark.session import default_parallelism
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    probes = {
+        "scan_agg": lambda: li.groupBy("l_returnflag").agg(
+            F.sum("l_extendedprice").alias("a"),
+            F.sum("l_quantity").alias("b"),
+            F.avg("l_discount").alias("c"),
+        ).collect(),
+        "shuffle_agg": lambda: li.select("l_orderkey", "l_extendedprice")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_extendedprice").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("s").alias("t"))
+        .collect(),
+        "cpu_hash": lambda: spark.range(
+            0, _CALIB_CPU_N, 1, default_parallelism()
+        ).selectExpr("count(xxhash64(id, id+1, id+2)) AS c").collect(),
+    }
+    out = {}
+    for name, fn in probes.items():
+        try:
+            fn()  # absorb this plan's Janino JIT (measured 3x of warm)
+            # min of 3: 'best available speed' — blips only push up
+            vals = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn()
+                vals.append(time.perf_counter() - t0)
+            out[name] = round(min(vals), 4)
+        except Exception as e:  # a broken probe must not fail bench
+            print(f"bench: calib probe {name} FAILED: {e}",
+                  file=sys.stderr)
+    return out
+
+
+def _vm_speed_factor(cur: dict, ref: dict) -> tuple[float, float]:
+    """(raw, gating) factor from current vs reference probe timings.
+    raw = geometric mean of the per-probe ratios (annotation value);
+    gating = raw clamped to [1, _CALIB_CLAMP_HI] (see module comment).
+    Pure so tests can pin the throttled-VM behavior directly."""
+    import math
+
+    common = [
+        k for k in cur
+        if k in ref and ref.get(k, 0) > 0 and cur.get(k, 0) > 0
+    ]
+    if not common:
+        return 1.0, 1.0
+    raw = math.exp(
+        sum(math.log(cur[k] / ref[k]) for k in common) / len(common)
+    )
+    return round(raw, 4), min(_CALIB_CLAMP_HI, max(1.0, round(raw, 4)))
+
+
+def _band(first: float, med: float, factor: float) -> bool:
+    """Single-run gate: is this session's cold run consistent with the
+    committed warm median once the VM window's speed is factored out?
+    (Pure so tests can pin the throttled-VM behavior directly.)"""
+    adj = first / factor
+    return med / 1.5 <= adj <= med * 1.6 or abs(adj - med) <= 0.3
+
+
+def _stream_reader_shape(fn) -> str:
+    """Which streaming source shape an entry drains, by source text —
+    controls measured per shape, not per entry."""
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return "events"
+    return "documents" if "read_documents_stream" in src else "events"
+
+
+def _stream_drain_overheads(spark, sf_dir: str) -> dict:
+    """Fixed micro-batch drain cost per streaming source shape
+    (VERDICT r08 item 6): a ONE-ROW copy of the source, the minimal
+    stateful aggregation, the same availableNow memory-sink drain the
+    catalog entries use. What it times is everything that is NOT the
+    query — stream start/stop, checkpoint dir writes, state-store
+    open/commit, sink materialization — which dominates the stream
+    entries' headline numbers (stream_tumbling_agg swung 1.3->9.6 s
+    across rounds on environment alone). BENCH_DETAIL publishes the
+    overheads and per-entry (total - overhead) nets so stream numbers
+    become comparable round-over-round; the suite total stays
+    raw-wall, controls untimed."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nba_spurs_etl_spark.streaming.dedup_stream import (
+        read_documents_stream,
+    )
+    from nba_spurs_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    ctl_root = os.path.join(tempfile.gettempdir(), "bench_drain_ctl")
+    out: dict[str, float] = {}
+    for shape, table, reader in (
+        ("events", "events", read_events_stream),
+        ("documents", "documents", read_documents_stream),
+    ):
+        try:
+            d = os.path.join(ctl_root, shape)
+            shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d, exist_ok=True)
+            spark.read.parquet(
+                os.path.join(sf_dir, f"{table}.parquet")
+            ).limit(1).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, f"{table}.parquet")
+            )
+
+            def once() -> float:
+                t0 = time.perf_counter()
+                run_stream_to_table(
+                    reader(spark, d).agg(F.count(F.lit(1)).alias("n")),
+                    spark,
+                    output_mode="complete",
+                    state_partitions=1,
+                ).write.format("noop").mode("overwrite").save()
+                return time.perf_counter() - t0
+
+            once()  # absorb the control's own first-plan JIT
+            out[shape] = round(min(once(), once()), 4)
+        except Exception as e:  # a broken control must not fail bench
+            print(
+                f"bench: drain control {shape} FAILED: {e}",
+                file=sys.stderr,
+            )
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -179,6 +346,13 @@ def main() -> int:
     spark.range(n_warm).repartition(n_warm).mapInPandas(
         _py_warm, "id long"
     ).write.format("noop").mode("overwrite").save()
+
+    # VM speed calibration (untimed; see _calib_probes). Measured
+    # after the warm-ups so it reads steady-state executor speed, and
+    # again at suite end so intra-suite drift is visible in
+    # BENCH_DETAIL. Runs over the REPACKED sf_dir — same layout the
+    # timed queries read.
+    calib_start = _calib_probes(spark, sf_dir)
 
     # Warm-run protocol: a query's first execution pays per-query
     # Janino JIT of its generated whole-stage-codegen classes — a fixed
@@ -266,6 +440,21 @@ def main() -> int:
     else:
         fp_table = {}
 
+    # vm_speed_factor = this window's probes over the committed per-sf
+    # references (seeded on first run at that sf; committed like the
+    # medians). Probes are data-sized, so refs are keyed by sf; when
+    # tiering is disabled (unparseable sf) no ref is read or written
+    # and the factor annotates only.
+    if tiering_enabled:
+        calib_ref = history.setdefault("calib_ref", {}).setdefault(
+            str(sf), {}
+        )
+        for k, v in calib_start.items():
+            calib_ref.setdefault(k, v)
+    else:
+        calib_ref = dict(calib_start)
+    factor_raw, factor = _vm_speed_factor(calib_start, calib_ref)
+
     def _always_double(name: str) -> bool:
         return name.startswith(("gold_", "summary_rank", "pricing_summary"))
 
@@ -316,11 +505,11 @@ def main() -> int:
                 full = True
                 refreshed.append(name)
             if not full:
-                in_band = (
-                    med / 1.5 <= first <= med * 1.6
-                    or abs(first - med) <= 0.3
-                )
-                if in_band:
+                # the band test factors out the VM window's speed
+                # (first/factor vs med) so a uniformly slow window
+                # doesn't escalate every stable entry — escalations
+                # should fire on ENTRY-SPECIFIC deviation only
+                if _band(first, med, factor):
                     # both operands are measurements of THIS plan (the
                     # fingerprint gate above evicts history the moment
                     # an implementation changes): med is the committed
@@ -333,17 +522,23 @@ def main() -> int:
                     warm_basis[name] = med
                     single_run.append(name)
                     # a cold run BELOW the median is a tighter upper
-                    # bound on warm — record it; an in-band cold above
-                    # the median would only drag the median toward
+                    # bound on warm — record it (speed-normalized, as
+                    # all history rows are); an in-band cold above the
+                    # median would only drag the median toward
                     # cold-run territory, so it stays out
-                    if first < med:
-                        sf_hist[name] = (hist + [first])[-5:]
+                    if first / factor < med:
+                        sf_hist[name] = (hist + [round(first / factor,
+                                                       4)])[-5:]
                     continue
                 escalated.append(name)
             warm = _run(fn)[0]
             timings[name] = warm
             warm_basis[name] = warm
-            sf_hist[name] = (sf_hist.get(name, []) + [warm])[-5:]
+            # history rows are kept in REFERENCE-window units (warm /
+            # factor) so a slow VM window can't drag the medians that
+            # gate future rounds; reported timings stay raw
+            sf_hist[name] = (sf_hist.get(name, [])
+                             + [round(warm / factor, 4)])[-5:]
         except Exception as e:  # keep the suite going; surface on stderr
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -351,6 +546,17 @@ def main() -> int:
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     n_failed = sum(1 for t in timings.values() if t < 0)
+
+    calib_end = _calib_probes(spark, sf_dir)
+    # per-shape fixed drain cost and per-entry nets (untimed controls;
+    # see _stream_drain_overheads)
+    overheads = _stream_drain_overheads(spark, sf_dir)
+    stream_net = {}
+    for name, fn in queries().items():
+        if name.startswith("stream_") and timings.get(name, -1) >= 0:
+            oh = overheads.get(_stream_reader_shape(fn))
+            if oh is not None:
+                stream_net[name] = round(max(0.0, timings[name] - oh), 4)
 
     history["run_counter"] = run_counter + 1
     with open(hist_path, "w") as f:
@@ -371,6 +577,13 @@ def main() -> int:
                 "escalated": sorted(escalated),
                 "refreshed": sorted(refreshed),
                 "plan_invalidated": sorted(invalidated),
+                "vm_speed_factor": factor,
+                "vm_speed_factor_raw": factor_raw,
+                "calib_start": calib_start,
+                "calib_end": calib_end,
+                "calib_ref": dict(calib_ref),
+                "stream_drain_overhead": overheads,
+                "stream_net": stream_net,
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_failed": n_failed,
@@ -389,6 +602,10 @@ def main() -> int:
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": n_failed,
+        # >1 = this VM window ran the fixed CPU calibration slower
+        # than the committed reference window; divide timings by it
+        # to compare across rounds (full decomposition in detail file)
+        "vm_speed_factor": round(factor, 3),
         "detail": "BENCH_DETAIL.json",
     }
     for name in sorted(timings, key=_priority):

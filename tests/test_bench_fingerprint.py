@@ -68,3 +68,58 @@ def test_fingerprint_detects_plan_change(spark):
     assert bench.plan_fingerprint(df1) == bench.plan_fingerprint(
         spark.range(100).filter("id > 1").groupBy().sum("id")
     )
+
+
+def test_band_normalizes_by_vm_speed_factor():
+    """The escalation gate (VERDICT r08 item 3): a uniformly throttled
+    VM window — every cold run k x its committed median — produces NO
+    false escalations once the calibration factor reads the same k,
+    while a genuine entry-specific regression still escalates."""
+    med = 1.0
+    # quiet window (factor 1): the historical band is unchanged
+    assert bench._band(1.5, med, 1.0)       # inside the 1.6x cap
+    assert not bench._band(1.7, med, 1.0)   # over the cap, over floor
+    # 2.5x-throttled window, factor correctly measured: the same
+    # plans' cold runs land at ~2.5x their medians and stay IN band
+    for cold in (2.0, 2.5, 3.5, 4.0):       # adj 0.8 .. 1.6
+        assert bench._band(cold, med, 2.5), cold
+    # an entry-specific 4x regression escalates even in that window
+    assert not bench._band(10.0, med, 2.5)  # adj 4.0
+    # fast window (factor < 1): merely MATCHING the old median on a
+    # 2x-faster VM is a 2x normalized regression — escalate and
+    # re-measure warm
+    assert not bench._band(1.0, med, 0.5)   # adj 2.0 > 1.6
+    assert bench._band(0.55, med, 0.5)      # adj 1.1 — in band
+
+
+def test_vm_speed_factor_geomean_and_asymmetric_clamp():
+    """raw = geometric mean of per-probe ratios; the GATING factor
+    never drops below 1 (a 'fast VM' reading must not tighten the
+    band into hiding regressions) and caps at 4 (beyond that the ref
+    itself is broken, not the VM 10x off)."""
+    ref = {"scan_agg": 0.4, "shuffle_agg": 0.8, "cpu_hash": 0.3}
+    # uniformly 2x slow window
+    cur = {k: v * 2 for k, v in ref.items()}
+    raw, gate = bench._vm_speed_factor(cur, ref)
+    assert abs(raw - 2.0) < 1e-6 and gate == 2.0
+    # uniformly 2x FAST window: annotate 0.5, gate clamps to 1.0
+    cur = {k: v / 2 for k, v in ref.items()}
+    raw, gate = bench._vm_speed_factor(cur, ref)
+    assert abs(raw - 0.5) < 1e-6 and gate == 1.0
+    # absurd ratio caps at 4
+    cur = {k: v * 10 for k, v in ref.items()}
+    assert bench._vm_speed_factor(cur, ref)[1] == 4.0
+    # probes missing on either side drop out; none shared -> neutral
+    raw, gate = bench._vm_speed_factor({"scan_agg": 0.8}, ref)
+    assert abs(raw - 2.0) < 1e-6
+    assert bench._vm_speed_factor({}, ref) == (1.0, 1.0)
+    assert bench._vm_speed_factor({"new_probe": 1.0}, {}) == (1.0, 1.0)
+
+
+def test_band_absolute_floor_and_edges():
+    # the 0.3s absolute floor rescues sub-second jitter, applied to
+    # the speed-ADJUSTED value
+    assert bench._band(0.38, 0.1, 1.0)      # ratio 3.8x but |d| < 0.3
+    assert not bench._band(0.45, 0.1, 1.0)  # |d| = 0.35 and 4.5x: out
+    assert bench._band(0.76, 0.1, 2.0)      # adj 0.38 -> floor saves
+    assert bench._band(8.0, 2.1, 4.0)       # adj 2.0 < 2.1 * 1.6
