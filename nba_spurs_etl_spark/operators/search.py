@@ -30,6 +30,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: fixed-point quantization scale shared by the score sum and the
+#: posting-cap impact rank: 45 fractional bits (see the summation
+#: comment in bm25_topk)
+_FP45 = float(1 << 45)
+
+
+def _impact(tf, dlen, avgdl, k1: float, b: float):
+    """The per-posting tf-part of the BM25 contribution —
+    ``tf*(k1+1) / (tf + k1*(1-b+b*dlen/avgdl))`` — as a Column. The
+    FULL contribution is ``idf(term) * _impact(...)``; idf is constant
+    within a term, so ranking a term's postings by impact alone IS
+    ranking them by contribution (the posting-cap invariant)."""
+    return (tf * F.lit(k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dlen / avgdl)
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -40,6 +57,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    max_postings_per_term: int | None = None,
 ) -> DataFrame:
     """(query_id, doc, rank): top-k docs per query by BM25.
 
@@ -48,7 +66,34 @@ def bm25_topk(
     is ulp-robust (score gaps dwarf libm ln jitter), the raw double is
     not, and cross-engine oracles compare bit-exactly. Ties break on
     doc id.
-    """
+
+    ``max_postings_per_term`` turns on champion-list candidate pruning
+    (the impact-ordered-index scale lever — Manning et al., IR, ch.7):
+    each query term nominates its ``P`` highest-impact postings —
+    ranked by the quantized tf-part of the contribution (idf is
+    constant within a term, so per-term impact order IS contribution
+    order), ties (doc, tf desc, dlen) — and a query scores only docs
+    nominated by at least one of ITS OWN terms. Candidates are scored
+    over ALL their postings, so every surviving doc's score is EXACT
+    (capping
+    the scoring itself was measured to destroy the ranking — a winner
+    that loses one term's contribution drops out; champion lists
+    change only WHICH docs compete, never their scores). df/idf stay
+    exact too (computed over the full hit stream, one map-combinable
+    aggregate). The candidate set is at most |query terms| x P
+    (query, doc) pairs REGARDLESS of corpus size — broadcastable, a
+    function of the workload — so the scoring aggregation and
+    per-query window stop growing with the corpus (the unpruned
+    fixture workload walls 18.5 s at 10x because every term matches
+    ~78% of the corpus). Documented loss bound: a doc is missed for
+    query q only if it falls outside the top-P postings of EVERY one
+    of q's terms, so any doc whose score could reach the top-k
+    survives whenever P >> k per term
+    (equality with the exact form on the fixture is pinned by
+    tests/test_operators.py). None = exact (no prune). The prune is
+    part of the result contract — oracles must mirror it exactly,
+    which the 45-bit quantization of the impact rank key makes
+    cross-engine deterministic."""
     qt = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_terms_col).alias("term"),
@@ -88,9 +133,83 @@ def bm25_topk(
         (F.sum("_dlen").cast("double") / F.count("_dlen")).alias("avgdl"),
     )
 
+    postings = matched
+    if max_postings_per_term is not None:
+        # materialize the hit aggregation ONCE: the pruned plan reads
+        # `matched` three times (nomination window, pruned postings,
+        # df) and each read would otherwise re-run the corpus token
+        # explode+groupBy — the same recompute class as
+        # connected_components_star's un-checkpointed nodes frame
+        # (r08 find). The checkpointed frame is hit-sized (query-term
+        # matches only), never corpus-sized.
+        matched = matched.localCheckpoint(eager=True)
+        dfreq = matched.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        # stats feeds both the nomination window and the scoring
+        # expression — one row; checkpoint it too or each read re-runs
+        # its corpus scan
+        stats = stats.localCheckpoint(eager=True)
+        # champion-list candidate generation (see docstring): rank
+        # each term's postings by the QUANTIZED impact — the same
+        # 45-bit floor the score sum uses, so the rank key is an exact
+        # integer and the P-boundary cut is bit-identical cross-engine
+        # (a raw-double order key could flip by an ulp) — with tf/dlen
+        # as trailing tiebreaks (a duplicated doc id with two texts
+        # yields two rows for one (doc, term), and the cut must be a
+        # total order — differential-fuzzer class). The window
+        # partitions by term, so Spark's WindowGroupLimit keeps at
+        # most P rows per term per input partition map-side; the
+        # DISTINCT champion-doc set (<= |terms| x P rows, a function
+        # of the WORKLOAD, not the corpus) then broadcast-semi-prunes
+        # the posting stream — docs keep either ALL their postings or
+        # none, which is what keeps surviving scores exact.
+        wt = Window.partitionBy("term").orderBy(
+            F.col("_q45").desc(),
+            F.col("doc").asc(),
+            F.col("tf").desc(),
+            F.col("dlen").asc(),
+        )
+        nominated = (
+            matched.crossJoin(F.broadcast(stats))
+            .withColumn(
+                "_q45",
+                F.floor(
+                    _impact(
+                        F.col("tf"), F.col("dlen"), F.col("avgdl"), k1, b
+                    )
+                    * F.lit(_FP45)
+                    + 0.5
+                ).cast("long"),
+            )
+            .withColumn("_pr", F.row_number().over(wt))
+            .filter(F.col("_pr") <= max_postings_per_term)
+            .select("term", "doc")
+        )
+        # doc-level prune first (champion of ANY term — result-neutral
+        # superset of the per-query filter below, applied earlier so
+        # the qt fan-out streams over fewer rows), then the exact
+        # per-(query, doc) candidate filter after the fan-out. Both
+        # are broadcast semi-joins: map-side filters, no shuffle of
+        # the posting stream.
+        postings = matched.join(
+            F.broadcast(nominated.select("doc").distinct()),
+            "doc",
+            "left_semi",
+        )
+        cands = (
+            nominated.join(F.broadcast(qt), "term")
+            .select("query_id", "doc")
+            .distinct()
+        )
+
+    contrib = postings.join(F.broadcast(qt), "term")
+    if max_postings_per_term is not None:
+        contrib = contrib.join(
+            F.broadcast(cands), ["query_id", "doc"], "left_semi"
+        )
     contrib = (
-        matched.join(F.broadcast(qt), "term")
-        .join(F.broadcast(dfreq), "term")
+        contrib.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",
@@ -102,10 +221,8 @@ def bm25_topk(
                     + (F.col("n_docs") - F.col("df") + 0.5)
                     / (F.col("df") + 0.5)
                 )
-                * (F.col("tf") * (k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + k1 * (1.0 - b + b * F.col("dlen") / F.col("avgdl"))
+                * _impact(
+                    F.col("tf"), F.col("dlen"), F.col("avgdl"), k1, b
                 )
             ).alias("s"),
         )

@@ -1749,6 +1749,79 @@ def test_bm25_topk_ranks_exact_term_match_first(spark):
     assert got[(200, 1)] == 3 and (200, 2) not in got
 
 
+def test_bm25_champion_pruning_bound_and_fixture_equality(spark):
+    """Champion-list candidate pruning (max_postings_per_term):
+    (a) survivors' scores are EXACT — on a synthetic corpus where the
+    winner has mediocre per-term impacts but is nominated by one term,
+    its rank matches the exact form (naive posting-capping broke this:
+    a winner losing one term's contribution dropped out, measured
+    recall 0.18); (b) the documented loss bound — a doc missed only if
+    outside top-P of EVERY query term — via P=1 where only per-term
+    nominees survive; (c) on the sf fixture workload P=512 EQUALS the
+    exact form, the claim the hybrid entry's doc makes."""
+    from nba_spurs_etl_spark.operators.search import bm25_topk
+    from nba_spurs_etl_spark.sources.catalog import load_table
+
+    # (a)+(b): 'alpha beta' query; doc 1 is the combined winner but is
+    # per-term rank 2 for both terms (docs 2 and 3 dominate one term
+    # each with huge tf)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta"),
+            (2, "alpha alpha alpha alpha alpha alpha alpha alpha"),
+            (3, "beta beta beta beta beta beta beta beta"),
+            (4, "gamma gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(7, "alpha"), (7, "beta")], "query_id long, term string"
+    )
+    exact = [
+        (r["rank"], r["doc"])
+        for r in bm25_topk(docs, q, "doc_id", "text", k=4).collect()
+    ]
+    # P=2 nominates docs {2,1} for alpha and {3,1} for beta: all three
+    # candidates scored exactly -> identical to the exact ranking
+    p2 = [
+        (r["rank"], r["doc"])
+        for r in bm25_topk(
+            docs, q, "doc_id", "text", k=4, max_postings_per_term=2
+        ).collect()
+    ]
+    assert sorted(p2) == sorted(exact)
+    # P=1 nominates only {2} and {3}: doc 1 is outside top-1 of EVERY
+    # query term -> missed, exactly the documented bound; survivors
+    # keep their exact relative order
+    p1 = {
+        r["doc"] for r in bm25_topk(
+            docs, q, "doc_id", "text", k=4, max_postings_per_term=1
+        ).collect()
+    }
+    assert p1 == {2, 3}
+
+    # (c) fixture equality at the catalog's P
+    from .conftest import SF_CORRECT
+
+    fdocs = load_table(spark, SF_CORRECT, "documents")
+    fq = (
+        fdocs.filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(F.split(F.col("text"), " "), 1, 3)).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    fex = {tuple(r) for r in bm25_topk(fdocs, fq, "doc_id", "text",
+                                       k=10).collect()}
+    fpr = {tuple(r) for r in bm25_topk(
+        fdocs, fq, "doc_id", "text", k=10, max_postings_per_term=512
+    ).collect()}
+    assert fex == fpr
+
+
 def test_rrf_fuse_rank_math_and_single_tower_hits(spark):
     """RRF fusion pins: overlap beats single-tower rank 1, missing
     tower contributes 0, query present in only one ranker survives,
