@@ -75,6 +75,19 @@ def _weaknesses(spark: SparkSession) -> DataFrame:
 # silver fixture parity (generators S5-S7 + scan/normalize semantics)
 # ---------------------------------------------------------------------------
 
+# per-table SURVEY §2.1 source id (each silver table gates its own
+# bronze generator/scan semantics — the id the VERDICT coverage table
+# cites for it), plus the shared normalize/DDL ids S10/S11
+_SILVER_S_ID = {
+    "teams": "S1",
+    "players": "S2",
+    "games": "S3",
+    "player_stats": "S4",
+    "salaries": "S5",
+    "free_agents": "S6",
+    "injuries": "S7",
+}
+
 for _tbl in ("games", "teams", "players", "player_stats", "salaries",
              "free_agents", "injuries"):
 
@@ -84,9 +97,13 @@ for _tbl in ("games", "teams", "players", "player_stats", "salaries",
 
         return q
 
+    # F8 = the seeded rand/choice/sample scalar surface every
+    # generator uses; F7 = f-string date assembly (free_agents
+    # dags:242, injuries dags:279)
+    _f_ids = "F7/F8" if _tbl in ("free_agents", "injuries") else "F8"
     register(
         f"silver_{_tbl}",
-        group="2.1-S5/S6/S7/S10/S11",
+        group=f"2.1-{_SILVER_S_ID[_tbl]}/S10/S11 2.8-{_f_ids}",
         oracle=f"WITH {SILVER_CTES} SELECT * FROM {_tbl}",
         doc=f"Deterministic hash-derived silver.{_tbl} fixture "
         "(reference generators dags:50-285, seeded per SURVEY §7.5).",
@@ -151,7 +168,7 @@ FROM base GROUP BY season, team_name, location
 
 @register(
     "gold_home_vs_away",
-    group="gold 2.2-P5/P8 2.4-A2",
+    group="gold 2.2-P1/P5/P8 2.4-A2",
     oracle=f"WITH {SILVER_CTES}{_HVA_TAIL}",
     doc="home_vs_away.sql end-to-end on the fixture.",
 )
@@ -378,7 +395,7 @@ LEFT JOIN bl ON TRUE
 
 @register(
     "gold_streaks_and_rivals",
-    group="gold 2.5-W4 2.4-A8/A9 2.6-O1 2.8-F1",
+    group="gold 2.2-P2 2.5-W4 2.4-A8/A9 2.6-O1 2.8-F1",
     oracle=f"WITH {SILVER_CTES}{_STREAKS_TAIL}",
     doc="streaks_and_rivals.sql end-to-end (VARCHAR plus_minus "
     "comparison quirk preserved; see plans/gold.py docstring).",
@@ -446,7 +463,7 @@ JOIN top_targets t ON w.weakness_type = t.weakness_type
 
 @register(
     "gold_players_recommendations",
-    group="gold 2.3-J2/J3/J4/J5/J7 2.5-W2 2.7-U3",
+    group="gold 2.2-P7 2.3-J2/J3/J4/J5/J7 2.4-A7 2.5-W2 2.7-U3",
     oracle=f"WITH {SILVER_CTES}{_weakness_ctes()}{_recommendations_tail()}",
     doc="players_recommendations.sql end-to-end incl. the model->model "
     "edge onto team_weaknesses (dbt ref()). VARCHAR MAX(salary) quirk "

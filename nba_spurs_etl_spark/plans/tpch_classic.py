@@ -245,7 +245,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "distinct_customers",
-    group="2.4 count-distinct",
+    group="2.4-A7 count-distinct",
     oracle="""
 SELECT o_orderpriority,
   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_customers,

@@ -70,7 +70,7 @@ GROUP BY l_returnflag, l_linestatus
 
 @register(
     "pricing_summary",
-    group="2.4-A1/A3 2.8-F2",
+    group="2.4-A1/A3 2.8-F2/F4",
     oracle=_PRICING_SUMMARY_SQL,
     doc="TPC-H Q1 shape: multi-key hash agg with exact decimal arithmetic. "
     "Partial agg happens map-side (2 flags x 2 statuses = tiny shuffle).",
@@ -183,7 +183,7 @@ GROUP BY 1, 2
 
 @register(
     "priority_class_split",
-    group="2.2-P5/P8 2.4-A2",
+    group="2.2-P5/P8 2.4-A2 2.8-F3",
     oracle=_PRIORITY_SPLIT_SQL,
     doc="home_vs_away shape: LIKE-derived class as a grouping column.",
 )

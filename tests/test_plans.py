@@ -776,6 +776,59 @@ def test_unpartitioned_topk_never_sorts_full_data(spark, catalog):
         assert not re.search(r"\bSort \[[^\]]*\], true,", plan), plan
 
 
+def test_survey_s2_ids_all_covered_and_index_current():
+    """VERDICT r08 item 8: the SURVEY §2 coverage map is GENERATED
+    from registry group tags (plans/coverage_map.py), so it cannot
+    drift from the catalog. Three gates: every §2 operator id is
+    declared by some registered entry's group (or by a named pytest
+    for side-effecting sink/lifecycle ids), every such test still
+    exists, and the rendered index block in docs/COVERAGE.md is
+    current (regenerate with scripts/gen_coverage_map.py)."""
+    import glob
+    import os
+
+    from nba_spurs_etl_spark.plans import coverage_map as cm
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ids = cm.survey_ids(os.path.join(repo, "SURVEY.md"))
+    # S1..S15 + P + J + A + W + O + U + F + the three section ids
+    assert len(ids) >= 60, ids
+    idx = cm.registry_id_index()
+    missing = [i for i in ids if i not in idx and i not in cm.TEST_GATED]
+    assert not missing, f"SURVEY §2 ids with no gate: {missing}"
+    src = "".join(
+        open(p, encoding="utf-8").read()
+        for p in glob.glob(os.path.join(repo, "tests", "*.py"))
+    )
+    for t in sorted(set(cm.TEST_GATED.values())):
+        assert f"def {t}(" in src, f"TEST_GATED names a dead test: {t}"
+    block = cm.render_index(os.path.join(repo, "SURVEY.md"))
+    assert "**UNCOVERED**" not in block
+    with open(os.path.join(repo, "docs", "COVERAGE.md"),
+              encoding="utf-8") as f:
+        assert block in f.read(), (
+            "docs/COVERAGE.md §2 index is stale — run "
+            "scripts/gen_coverage_map.py"
+        )
+
+
+def test_recommendations_rank_is_window_group_limited(spark, catalog):
+    """gold_players_recommendations' per-metric top-5 (the reference's
+    7 global ROW_NUMBERs, melted to one window partitioned by metric)
+    must plan a WindowGroupLimit below the Window (VERDICT r08 item 7):
+    InferWindowGroupLimit currently rescues the rank<=5 filter shape,
+    and scripts/topk_replan_probe.py measured 43x on the unprotected
+    form — this pin catches any conf/upgrade/refactor that drops the
+    rescue, instead of the regression surfacing as a full per-metric
+    sort of every player at scale."""
+    df = catalog["gold_players_recommendations"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit [metric" in plan, plan
+    # rank over ALL players happens before the position filter by
+    # contract, but nothing may global-sort the full player pool
+    assert not re.search(r"\bSort \[[^\]]*\], true,", plan), plan
+
+
 def test_quality_model_filter_is_one_pass(spark, catalog):
     """The model-based quality filter must stay a single map-combined
     aggregation: one Exchange (the doc-keyed agg), partial aggregation
