@@ -83,78 +83,81 @@ ENTRY_QUERY = "summary_rank"
 # r03 green into the r09 queue below). Everything rotated out keeps
 # its full DuckDB-oracle parity test in tests/test_parity.py.
 #
-# Round-9 rotation queue: the remaining r03 greens
-# (merge_cdc_orders, join_semi_anti, hypertable_rollup_1h,
-# events_funnel, events_props_json, asof_purchase_click,
-# corpus_decontaminate,
-# outlier_orders_zscore, q18_large_orders, q21_waiting_supplier,
-# q6_forecast_revenue, range_join_user_windows, rollup_orders,
-# salted_two_phase_agg, semantic_dedup_corpus,
-# similarity_topk_bruteforce, stats_linear_fit, table_profile_orders,
-# text_c4_filters, text_profile),
-# then the r04 greens, plus any entry whose plan changes in r09 and
-# any new r09 entries.
+# ROTATED round 9 (VERDICT r08 item 5): slots 1-5 are the entries
+# whose PLANS changed this round and must re-prove their oracles —
+# search_hybrid_rrf_topk (champion-list BM25 pruning, P=512, oracle
+# re-derives the cut), search_bm25_topk (the shared impact
+# sub-expression factored out), geo_radius_join_grid (floor-division
+# cells), approx_sketches + events_hll_daily_rollup (sketch
+# parameters pinned explicitly). Slots 6-25 are ALL 20 remaining r03
+# greens (the stalest evidence in the union), 26-41 ALL 16 r04
+# greens, 42-50 nine of the oldest r05 greens chosen for breadth and
+# for families touched this round (checkpoint-pattern dedup, the
+# r08-drift-cluster member lineitem_median_twophase, streaming
+# snapshots). After this rotation no oracled entry's last
+# driver-green is older than r05. All 50 verified side-by-side MATCH
+# vs DuckDB at sf0.01 before rotation; everything rotated out keeps
+# its full parity test in tests/test_parity.py.
+#
+# Round-10 rotation queue: the remaining 34 r05 greens
+# (corpus_decontaminate_bloom/_neardup excl. picks below — see
+# CORRECTNESS union), then the r06 greens, plus any entry whose plan
+# changes in r10 and any new r10 entries.
 set_priority([
-    # the two r08 re-planned global-rank fixes (VERDICT r07 item 1)
-    "corpus_dsir_topk",
-    "vocab_encode_docs",
-    # never-driver-checked until now (VERDICT r07 item 4)
-    "events_hll_daily_rollup",
-    "multimodal_image_pipeline",
-    "multimodal_audio_pipeline",
-    # ---- last green r01 (stalest oracled evidence) ----
-    "dedup_ngram_jaccard",
-    "embedding_int8_quantize",
-    "embedding_matryoshka_energy",
-    "events_hour_gapfill",
-    "events_segment_enrich",
-    "similarity_topk_arrow",
-    "similarity_topk_lsh",
-    "text_quality",
-    "text_repetition",
-    "text_tfcosine_pairs",
-    # ---- last green r02 ----
-    "cube_orders",
-    "dedup_exact",
-    "distinct_customers",
-    "grouping_sets_orders",
-    "pivot_status_counts",
-    "quantity_percentiles",
-    "rolling_7d_customer_revenue",
-    "setops_intersect_except",
-    "silver_free_agents",
-    "silver_games",
-    "silver_injuries",
-    "silver_player_stats",
-    "silver_players",
-    "silver_salaries",
-    "silver_teams",
-    "stream_tumbling_agg",
-    "window_analytics",
-    # ---- plans changed in r08 perf work (re-prove under new plans) ----
-    "similarity_topk_ivf",
-    "similarity_topk_ivf_pq",
-    "similarity_topk_pq",
-    "similarity_recall_eval",
-    # ---- new in r08 (never driver-checked) ----
+    # ---- plans changed in r09 (re-prove under new plans) ----
     "search_hybrid_rrf_topk",
-    "embedding_mislabel_flags",
-    "events_heavy_hitters_mg",
-    "stream_heavy_hitters_mg",
+    "search_bm25_topk",
     "geo_radius_join_grid",
-    "corpus_split_leakage_safe",
-    # ---- oldest r03 greens (breadth fill) ----
-    "dedup_embedding_cosine",
-    "dedup_minhash_components",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "embedding_kmeans_lloyd",
-    "gold_spurs_player_contributions",
-    "gold_team_weaknesses_unpivoted",
-    # newly-oracled mid-r08 (bracket form) — takes the last fill slot;
-    # merge_cdc_orders, join_semi_anti, hypertable_rollup_1h,
-    # events_funnel and events_props_json move to the r09 queue
     "approx_sketches",
+    "events_hll_daily_rollup",
+    # ---- last green r03 (stalest oracled evidence; all 20) ----
+    "asof_purchase_click",
+    "corpus_decontaminate",
+    "events_funnel",
+    "events_props_json",
+    "hypertable_rollup_1h",
+    "join_semi_anti",
+    "merge_cdc_orders",
+    "outlier_orders_zscore",
+    "q18_large_orders",
+    "q21_waiting_supplier",
+    "q6_forecast_revenue",
+    "range_join_user_windows",
+    "rollup_orders",
+    "salted_two_phase_agg",
+    "semantic_dedup_corpus",
+    "similarity_topk_bruteforce",
+    "stats_linear_fit",
+    "table_profile_orders",
+    "text_c4_filters",
+    "text_profile",
+    # ---- last green r04 (all 16) ----
+    "dedup_incremental_batch",
+    "dedup_simhash_banded",
+    "dedup_substring_spans_winnowed",
+    "events_concurrency_hourly",
+    "events_path_trigrams",
+    "fuzzy_match_customers_d2",
+    "global_rank_topk",
+    "orders_running_revenue",
+    "orders_sample_aes_per_priority",
+    "quality_assertions",
+    "split_part_extract",
+    "streaks_gaps_islands",
+    "stream_dedup_lsh_index",
+    "stream_session_agg",
+    "top1_per_group",
+    "union_topk_branches",
+    # ---- oldest r05 greens (breadth fill) ----
+    "corpus_decontaminate_bloom",
+    "dedup_components_star",
+    "dedup_substring_spans",
+    "events_markov_transitions",
+    "graph_label_propagation",
+    "lineitem_median_twophase",
+    "orders_salted_skew_join",
+    "scd2_asof_enrich",
+    "stream_scd2_apply",
 ])
 
 
