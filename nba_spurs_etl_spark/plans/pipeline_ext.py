@@ -2916,6 +2916,13 @@ sem AS (
     FROM sscored
   ) WHERE rn <= 10
 ),
+-- rrf_fuse's defensive contract reduction (ADVICE r08): a duplicated
+-- corpus id makes a ranker emit TWO rows for one (query, doc) — the
+-- r09a fuzzer planted exactly this (dup doc 387 occupied two cosine
+-- rank slots) — and a bare full join would fan the duplicate out into
+-- duplicate fused rows. Both engines keep the BEST (minimum) rank.
+lexu AS (SELECT query_id, doc, MIN(rank) AS rank FROM lex GROUP BY 1, 2),
+semu AS (SELECT query_id, cand_id, MIN(rnk) AS rnk FROM sem GROUP BY 1, 2),
 -- two addends only, so the float RRF sum is order-free (IEEE addition
 -- is commutative); each addend is one division of exact small
 -- integers — bit-identical cross-engine
@@ -2927,7 +2934,7 @@ fused AS (
            AS score,
          l.doc IS NOT NULL AS in_lex,
          s.cand_id IS NOT NULL AS in_sem
-  FROM lex l FULL JOIN sem s
+  FROM lexu l FULL JOIN semu s
     ON l.query_id = s.query_id AND l.doc = s.cand_id
 )
 SELECT query_id, doc_id, CAST(rn AS INT) AS fused_rank, in_lex, in_sem
