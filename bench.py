@@ -131,22 +131,31 @@ def _calib_probes(spark, sf_dir: str) -> dict:
 
     from nba_spurs_etl_spark.session import default_parallelism
 
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     probes = {
-        "scan_agg": lambda: li.groupBy("l_returnflag").agg(
-            F.sum("l_extendedprice").alias("a"),
-            F.sum("l_quantity").alias("b"),
-            F.avg("l_discount").alias("c"),
-        ).collect(),
-        "shuffle_agg": lambda: li.select("l_orderkey", "l_extendedprice")
-        .groupBy("l_orderkey")
-        .agg(F.sum("l_extendedprice").alias("s"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("s").alias("t"))
-        .collect(),
         "cpu_hash": lambda: spark.range(
             0, _CALIB_CPU_N, 1, default_parallelism()
         ).selectExpr("count(xxhash64(id, id+1, id+2)) AS c").collect(),
     }
+    try:
+        # inside its own guard: an unreadable lineitem must degrade to
+        # the cpu-only probe set, not abort the suite (review find —
+        # the read sat outside the per-probe try)
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        probes["scan_agg"] = lambda: li.groupBy("l_returnflag").agg(
+            F.sum("l_extendedprice").alias("a"),
+            F.sum("l_quantity").alias("b"),
+            F.avg("l_discount").alias("c"),
+        ).collect()
+        probes["shuffle_agg"] = (
+            lambda: li.select("l_orderkey", "l_extendedprice")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_extendedprice").alias("s"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("s").alias("t"))
+            .collect()
+        )
+    except Exception as e:
+        print(f"bench: calib data probes unavailable: {e}",
+              file=sys.stderr)
     out = {}
     for name, fn in probes.items():
         try:
@@ -228,7 +237,10 @@ def _stream_drain_overheads(spark, sf_dir: str) -> dict:
         run_stream_to_table,
     )
 
-    ctl_root = os.path.join(tempfile.gettempdir(), "bench_drain_ctl")
+    # per-invocation scratch: a FIXED shared dir would let two
+    # concurrent bench processes rmtree each other's control data
+    # mid-drain (review find)
+    ctl_root = tempfile.mkdtemp(prefix="bench_drain_ctl_")
     out: dict[str, float] = {}
     for shape, table, reader in (
         ("events", "events", read_events_stream),
@@ -236,7 +248,6 @@ def _stream_drain_overheads(spark, sf_dir: str) -> dict:
     ):
         try:
             d = os.path.join(ctl_root, shape)
-            shutil.rmtree(d, ignore_errors=True)
             os.makedirs(d, exist_ok=True)
             spark.read.parquet(
                 os.path.join(sf_dir, f"{table}.parquet")
@@ -261,6 +272,7 @@ def _stream_drain_overheads(spark, sf_dir: str) -> dict:
                 f"bench: drain control {shape} FAILED: {e}",
                 file=sys.stderr,
             )
+    shutil.rmtree(ctl_root, ignore_errors=True)
     return out
 
 
@@ -450,7 +462,13 @@ def main() -> int:
             str(sf), {}
         )
         for k, v in calib_start.items():
-            calib_ref.setdefault(k, v)
+            # the reference converges to the FASTEST window ever
+            # observed (min), so the factor reads 'how much slower
+            # than best-known' — a ref first seeded in a slow window
+            # would otherwise read every later quiet window as <1 and
+            # every equally-slow window as 1.0, re-enabling the false
+            # escalations the factor exists to prevent
+            calib_ref[k] = min(calib_ref.get(k, v), v)
     else:
         calib_ref = dict(calib_start)
     factor_raw, factor = _vm_speed_factor(calib_start, calib_ref)
@@ -513,12 +531,19 @@ def main() -> int:
                     # both operands are measurements of THIS plan (the
                     # fingerprint gate above evicts history the moment
                     # an implementation changes): med is the committed
-                    # trailing-median of true warm runs, first is this
-                    # session's cold run (>= this session's warm), so
-                    # min(first, med) is an upper bound on some
-                    # session's true warm timing of the current code —
-                    # never a number the current plan hasn't earned.
-                    timings[name] = round(min(first, med), 4)
+                    # trailing-median of true warm runs (REFERENCE-
+                    # window units since r09 — multiply by factor to
+                    # express it in this session's wall seconds), and
+                    # first is this session's cold run (>= this
+                    # session's warm), so min(first, med * factor) is
+                    # an upper bound on this session's true warm
+                    # timing of the current code — never a number the
+                    # current plan hasn't earned, and in the SAME raw
+                    # units as every escalated/full entry (review
+                    # find: min(first, med) mixed units on throttled
+                    # windows, double-correcting under the stdout
+                    # line's divide-by-factor instruction).
+                    timings[name] = round(min(first, med * factor), 4)
                     warm_basis[name] = med
                     single_run.append(name)
                     # a cold run BELOW the median is a tighter upper
@@ -533,10 +558,12 @@ def main() -> int:
                 escalated.append(name)
             warm = _run(fn)[0]
             timings[name] = warm
-            warm_basis[name] = warm
-            # history rows are kept in REFERENCE-window units (warm /
-            # factor) so a slow VM window can't drag the medians that
-            # gate future rounds; reported timings stay raw
+            # history rows AND warm_basis are kept in REFERENCE-window
+            # units (warm / factor) so a slow VM window can't drag the
+            # medians that gate future rounds, and so the BENCH_DETAIL
+            # seed fallback (which copies warm_basis into history)
+            # stays unit-consistent; reported timings stay raw
+            warm_basis[name] = round(warm / factor, 4)
             sf_hist[name] = (sf_hist.get(name, [])
                              + [round(warm / factor, 4)])[-5:]
         except Exception as e:  # keep the suite going; surface on stderr

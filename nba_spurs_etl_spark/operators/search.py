@@ -142,7 +142,36 @@ def bm25_topk(
         # connected_components_star's un-checkpointed nodes frame
         # (r08 find). The checkpointed frame is hit-sized (query-term
         # matches only), never corpus-sized.
-        matched = matched.localCheckpoint(eager=True)
+        #
+        # A checkpoint erases upstream lineage from the optimized
+        # plan (the leaf prints as a bare LogicalRDD), which would
+        # blind bench.py's plan fingerprint to upstream changes —
+        # history medians for OLD tokenization could gate NEW code
+        # (review find). Embed a fingerprint of the pre-checkpoint
+        # plans as a marker COLUMN NAME: attribute names survive in
+        # the LogicalRDD leaf's printed output (only expr ids are
+        # normalized), so any upstream change renames the column and
+        # evicts the history. One constant tinyint per row —
+        # negligible in the checkpoint, projected away downstream.
+        import hashlib
+
+        def _canon(df: DataFrame) -> str:
+            try:
+                return (
+                    df._jdf.queryExecution()
+                    .logical()
+                    .canonicalized()
+                    .toString()
+                )
+            except Exception:
+                return "?"
+
+        _lin = hashlib.sha256(
+            (_canon(matched) + _canon(stats)).encode()
+        ).hexdigest()[:12]
+        matched = matched.withColumn(
+            f"_lineage_{_lin}", F.lit(1).cast("tinyint")
+        ).localCheckpoint(eager=True)
         dfreq = matched.groupBy("term").agg(
             F.count(F.lit(1)).alias("df")
         )
@@ -155,9 +184,14 @@ def bm25_topk(
         # 45-bit floor the score sum uses, so the rank key is an exact
         # integer and the P-boundary cut is bit-identical cross-engine
         # (a raw-double order key could flip by an ulp) — with tf/dlen
-        # as trailing tiebreaks (a duplicated doc id with two texts
-        # yields two rows for one (doc, term), and the cut must be a
-        # total order — differential-fuzzer class). The window
+        # as trailing tiebreaks so the cut is a TOTAL order even on
+        # out-of-contract input (a duplicated doc id with two
+        # DIFFERENT texts yields two rows for one (doc, term); that
+        # class violates the documented doc-id PK contract and its
+        # SCORES are engine-divergent in the exact form too — the
+        # fuzzers duplicate full rows, which both engines fold
+        # identically — so the tiebreaks are defense-in-depth for
+        # determinism, not a parity claim). The window
         # partitions by term, so Spark's WindowGroupLimit keeps at
         # most P rows per term per input partition map-side; the
         # DISTINCT champion-doc set (<= |terms| x P rows, a function
@@ -240,7 +274,7 @@ def bm25_topk(
     # rank gaps below 2^-45 are genuine ties and break on doc id.
     scored = contrib.groupBy("query_id", "doc").agg(
         F.sum(
-            F.floor(F.col("s") * F.lit(float(1 << 45)) + 0.5).cast("long")
+            F.floor(F.col("s") * F.lit(_FP45) + 0.5).cast("long")
         ).alias("score")
     )
     win = Window.partitionBy("query_id").orderBy(

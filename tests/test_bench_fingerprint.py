@@ -92,6 +92,44 @@ def test_band_normalizes_by_vm_speed_factor():
     assert bench._band(0.55, med, 0.5)      # adj 1.1 — in band
 
 
+def test_checkpointed_bm25_fingerprint_sees_upstream_changes(spark):
+    """localCheckpoint erases upstream lineage from the optimized plan
+    (the leaf prints as a bare LogicalRDD), which would let history
+    medians recorded for OLD tokenization gate NEW code (review find).
+    bm25_topk's pruned path embeds a hash of the pre-checkpoint plans
+    as a marker column NAME on the checkpointed frame: the fingerprint
+    must be stable across rebuilds and MUST change when the upstream
+    plan changes, even though the change is behind the checkpoint."""
+    from nba_spurs_etl_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(8)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "alpha")], "query_id long, term string"
+    )
+
+    def fp(d):
+        return bench.plan_fingerprint(
+            bm25_topk(d, q, "doc_id", "text", k=2,
+                      max_postings_per_term=4)
+        )
+
+    a1, a2 = fp(docs), fp(docs)
+    assert a1 == a2, "fingerprint unstable across rebuilds"
+    # an upstream-only change (extra filter feeding the checkpointed
+    # token aggregation) must surface in the fingerprint
+    b = fp(docs.filter("doc_id >= 0"))
+    assert a1 != b, (
+        "fingerprint blind to upstream change behind localCheckpoint"
+    )
+    # and the marker must not leak into results
+    cols = bm25_topk(docs, q, "doc_id", "text", k=2,
+                     max_postings_per_term=4).columns
+    assert cols == ["query_id", "doc", "rank"]
+
+
 def test_vm_speed_factor_geomean_and_asymmetric_clamp():
     """raw = geometric mean of per-probe ratios; the GATING factor
     never drops below 1 (a 'fast VM' reading must not tighten the
