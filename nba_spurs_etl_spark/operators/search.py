@@ -93,7 +93,23 @@ def bm25_topk(
     tests/test_operators.py). None = exact (no prune). The prune is
     part of the result contract — oracles must mirror it exactly,
     which the 45-bit quantization of the impact rank key makes
-    cross-engine deterministic."""
+    cross-engine deterministic.
+
+    The prune is ADAPTIVE (VERDICT r09 item 1): nomination runs only
+    when it can bind — ``|distinct query terms| * P < corpus row
+    count``. The champion-doc union is bounded above by |terms| x P,
+    so when that bound already covers the corpus the nomination
+    window, the semi-joins, AND the eager checkpoints they require
+    are pure overhead (measured ~2 s at sf0.1's 5k docs, where the
+    pruned form cost 5.4 s vs the exact path's ~2.8 s) and the engine
+    returns the plain exact plan. The decision is data-derived from
+    two exact integers both engines compute identically — the raw row
+    count is metadata-only on parquet — so the oracle re-derives the
+    identical skip (``bindflag`` CTE in
+    plans/pipeline_ext.py::_bm25_lex_ctes). Skipping is
+    result-CHANGING in general (a per-query candidate set can bind
+    even when the global union does not), so the branch condition is
+    part of the contract, not a pure optimization."""
     qt = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_terms_col).alias("term"),
@@ -102,11 +118,21 @@ def bm25_topk(
     # prune the corpus TOKEN stream to query terms map-side
     # (broadcast), THEN aggregate: tf per (doc, term) is one linear
     # groupBy over token hits only — nothing corpus-sized ever
-    # shuffles, and per-doc work is O(len), not O(distinct x len)
-    tokens = docs.select(
+    # shuffles, and per-doc work is O(len), not O(distinct x len).
+    # Split ONCE, below the explode: projecting size(split(text))
+    # ABOVE a Generate re-splits the full text once per OUTPUT TOKEN
+    # (O(len^2) per doc — measured 0.8 s of the 2.8 s sf0.1 exact
+    # path); with the array materialized in the Generate's child the
+    # post-explode size(w) is O(1) per row and the whole stage stays
+    # in one codegen span.
+    base = docs.select(
         F.col(id_col).alias("doc"),
-        F.size(F.split(F.col(text_col), " ")).alias("dlen"),
-        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    )
+    tokens = base.select(
+        "doc",
+        F.size("_w").alias("dlen"),
+        F.explode("_w").alias("term"),
     )
     matched = (
         tokens.join(F.broadcast(qt.select("term").distinct()), "term")
@@ -125,16 +151,46 @@ def bm25_topk(
     # narrow (id, length) pair instead of (id, text) keeps the full
     # text out of the exchange (mirrors the oracle's
     # SELECT DISTINCT doc, dlen)
-    stats = docs.select(
-        F.col(id_col).alias("_id"),
-        F.size(F.split(F.col(text_col), " ")).alias("_dlen"),
+    stats = base.select(
+        F.col("doc").alias("_id"),
+        F.size("_w").alias("_dlen"),
     ).distinct().agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("_dlen").cast("double") / F.count("_dlen")).alias("avgdl"),
     )
 
     postings = matched
+    cands = None
+    prune_binds = False
     if max_postings_per_term is not None:
+        # adaptive bind decision (see docstring), made BEFORE any
+        # materialization so the skip path stays the plain exact plan
+        # (no checkpoints — at sf0.1 the eager checkpoints alone cost
+        # more than the exact path's duplicate token scan). Nomination
+        # can bind only when the champion union's upper bound
+        # (|distinct query terms| x P) is smaller than the corpus ROW
+        # count. The raw row count — not the deduped stats.n_docs —
+        # is deliberate: it is metadata-only on a parquet scan (no
+        # data read) and the oracle mirrors it verbatim (COUNT(*)
+        # FROM d in the bindflag CTE). Both operands are exact
+        # integers, so the branch can never flip on an engine ulp;
+        # the query-term count is workload-sized by contract.
+        # ONE job for both scalars (a cross join of two one-row
+        # aggregates): two sequential .count() jobs cost ~0.7 s of
+        # scheduler round-trips at sf0.1 — most of what the adaptive
+        # skip is trying to save
+        _dec = (
+            docs.agg(F.count(F.lit(1)).alias("_n_rows"))
+            .crossJoin(
+                qt.agg(F.countDistinct("term").alias("_n_terms"))
+            )
+            .first()
+        )
+        prune_binds = (
+            int(_dec["_n_terms"]) * int(max_postings_per_term)
+            < int(_dec["_n_rows"])
+        )
+    if prune_binds:
         # materialize the hit aggregation ONCE: the pruned plan reads
         # `matched` three times (nomination window, pruned postings,
         # df) and each read would otherwise re-run the corpus token
@@ -238,7 +294,7 @@ def bm25_topk(
         )
 
     contrib = postings.join(F.broadcast(qt), "term")
-    if max_postings_per_term is not None:
+    if cands is not None:
         contrib = contrib.join(
             F.broadcast(cands), ["query_id", "doc"], "left_semi"
         )

@@ -948,16 +948,61 @@ def _index_cache_key(candidates: DataFrame, *params):
 def _index_cache_dir():
     """Sidecar directory for persisted index metadata. Overridable via
     ``SPARK_GRAFT_INDEX_DIR`` (empty string disables persistence —
-    the in-process tier still works)."""
+    the in-process tier still works).
+
+    The default is PER-USER (ADVICE r09): a world-shared /tmp path
+    lets another local user pre-create the directory or plant JSON
+    payloads — cached rows define centroids/codebooks, so a poisoned
+    or clobbered sidecar silently changes ANN query results (the key
+    digest is computable from public repo code plus file stats).
+    Embedding the uid namespaces users apart; creation mode and the
+    ownership gate live in :func:`_trusted_cache_dir`."""
     import os
     import tempfile
 
     d = os.environ.get("SPARK_GRAFT_INDEX_DIR")
     if d == "":
         return None
-    return d or os.path.join(
-        tempfile.gettempdir(), "spark_graft_ann_index"
+    if d:
+        return d
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ann_index_{uid}"
     )
+
+
+def _trusted_cache_dir(create: bool = False):
+    """Resolve the sidecar dir and refuse anything not safely ours:
+    the path must be a real directory (not a symlink a hostile user
+    parked at the well-known name) owned by the current uid. Created
+    on demand with mode 0o700 so other local users can neither read
+    the cached plan metadata nor swap payloads under us. Applies to
+    an explicit ``SPARK_GRAFT_INDEX_DIR`` too — point it only at a
+    directory you own. Returns None (disk tier off) on any doubt;
+    persistence is an optimization, never worth trusting a foreign
+    directory for."""
+    import os
+    import stat
+
+    d = _index_cache_dir()
+    if d is None:
+        return None
+    if not os.path.lexists(d):
+        if not create:
+            return None
+        try:
+            os.makedirs(d, mode=0o700, exist_ok=True)
+        except OSError:
+            return None
+    try:
+        st = os.lstat(d)
+    except OSError:
+        return None
+    if not stat.S_ISDIR(st.st_mode):
+        return None  # symlink or plain file planted at the path
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        return None  # pre-created by another local user: untrusted
+    return d
 
 
 def _key_digest(key) -> str:
@@ -971,7 +1016,7 @@ def _disk_cache_load(key):
     import json
     import os
 
-    d = _index_cache_dir()
+    d = _trusted_cache_dir()
     if d is None:
         return None
     try:
@@ -988,11 +1033,10 @@ def _disk_cache_store(key, rows) -> None:
     import json
     import os
 
-    d = _index_cache_dir()
+    d = _trusted_cache_dir(create=True)
     if d is None:
         return
     try:
-        os.makedirs(d, exist_ok=True)
         recs = [
             r.asDict() if hasattr(r, "asDict") else dict(r) for r in rows
         ]

@@ -2770,10 +2770,17 @@ def _bm25_lex_ctes(k: int = 10, max_postings: int | None = None) -> str:
     order), ties (doc, tf desc, dlen); a query scores only docs
     nominated by one of its own terms, over ALL their postings —
     scores of survivors stay exact. The prune is part of the result
-    contract, re-derived here so DuckDB cuts identically."""
+    contract, re-derived here so DuckDB cuts identically — including
+    the ADAPTIVE skip (VERDICT r09 item 1): nomination applies only
+    when it can bind, ``|distinct query terms| * P < n_docs`` (the
+    ``bindflag`` CTE — both operands exact integers, so the branch
+    never flips on an engine ulp; when it cannot bind the candidate
+    filter is a WHERE-disabled LEFT JOIN and the scoring is the exact
+    form, matching the operator's driver-side branch)."""
     if max_postings is None:
         cap_ctes = ""
         cands_join = ""
+        cands_where = ""
     else:
         cap_ctes = f"""imp AS (
   SELECT post.doc, post.term, post.tf, dl.dlen,
@@ -2800,16 +2807,31 @@ nom AS (
 cands AS (
   SELECT DISTINCT qt.query_id, nom.doc FROM nom JOIN qt USING (term)
 ),
+-- adaptive bind decision, mirroring the operator's driver-side
+-- branch bit-for-bit: nomination runs only when the champion union's
+-- upper bound (|distinct query terms| x P) is smaller than the
+-- corpus ROW count (raw COUNT(*), not the deduped stats.n_docs — the
+-- operator uses docs.count(), metadata-only on parquet); otherwise
+-- the prune is pure overhead and the operator returns the plain
+-- exact plan. Both operands are exact integers.
+bindflag AS (
+  SELECT ((SELECT COUNT(DISTINCT term) FROM qt) * {int(max_postings)})
+         < (SELECT COUNT(*) FROM d) AS binds
+),
 """
         cands_join = (
-            "\n    JOIN cands ON cands.query_id = qt.query_id"
+            "\n    LEFT JOIN cands ON cands.query_id = qt.query_id"
             " AND cands.doc = post.doc"
+        )
+        cands_where = (
+            "\n    WHERE cands.doc IS NOT NULL"
+            " OR NOT (SELECT binds FROM bindflag)"
         )
     scored_src = f"""FROM qt
     JOIN post ON post.term = qt.term
     JOIN dfreq ON dfreq.term = qt.term
     JOIN dl ON dl.doc = post.doc{cands_join}
-    CROSS JOIN stats"""
+    CROSS JOIN stats{cands_where}"""
     tf_col, dlen_col = "post.tf", "dl.dlen"
     return f"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 -- DISTINCT: a duplicated doc row would otherwise appear twice in dl
@@ -2844,9 +2866,15 @@ dfreq AS (SELECT term, COUNT(DISTINCT doc) AS df FROM post
       -- at the quantization boundary would flip a rank. The other
       -- literals are dyadic (0.5/0.25/0.75) or multiply doubles (1.2),
       -- where DECIMAL->DOUBLE casting lands on the identical value.
+      -- The inner parens force idf * (impact/den) — the operator's
+      -- idf * _impact(...) association (ADVICE r09: the bare
+      -- a * b / c parses left-associated (a*b)/c, which can differ
+      -- from a*(b/c) by 1 ulp and flip the quantization addend on a
+      -- rounding boundary; the nomination key q45 above already used
+      -- the impact-first association).
       ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-        * ({tf_col} * CAST(2.2 AS DOUBLE))
-        / ({tf_col} + 1.2 * (0.25 + 0.75 * {dlen_col} / stats.avgdl)) AS s
+        * (({tf_col} * CAST(2.2 AS DOUBLE))
+           / ({tf_col} + 1.2 * (0.25 + 0.75 * {dlen_col} / stats.avgdl))) AS s
     {scored_src}
   )
   GROUP BY 1, 2
@@ -2956,10 +2984,16 @@ FROM (
     "sized (<= |terms| x 512 docs, broadcastable), not corpus-sized "
     "— the unpruned form walled 18.5 s at 10x because every fixture "
     "query term matches ~78% of the corpus (search_bm25_topk keeps "
-    "the exact form as the baseline). The prune is part of the "
-    "contract: the oracle re-derives the identical 45-bit-quantized "
-    "nomination cut, and on the fixture the result EQUALS the exact "
-    "form (pinned in tests). "
+    "the exact form as the baseline). The prune is ADAPTIVE "
+    "(VERDICT r09 item 1): nomination runs only when it can bind — "
+    "|distinct query terms| x P < corpus row count (the champion "
+    "union's upper bound already covers a small corpus, making "
+    "nomination + its checkpoints pure overhead: ~2 s at sf0.1's 5k "
+    "docs) — so fixture-scale runs return the plain exact plan while "
+    "10x+ corpora prune. The prune AND the bind decision are part of "
+    "the contract: the oracle re-derives the identical "
+    "45-bit-quantized nomination cut and the identical integer bind "
+    "comparison (bindflag CTE). "
     "Fusion is rank-only, k-bounded per query (full-outer join + "
     "window over |Q| x O(k) rows — operators/search.py::rrf_fuse). "
     "Queries whose id has no embedding (or a zero-norm one) fuse "

@@ -1771,6 +1771,10 @@ def test_bm25_champion_pruning_bound_and_fixture_equality(spark):
             (2, "alpha alpha alpha alpha alpha alpha alpha alpha"),
             (3, "beta beta beta beta beta beta beta beta"),
             (4, "gamma gamma"),
+            # 5th doc keeps n_docs above |terms|xP for P<=2 so the
+            # adaptive bind decision (2 terms x P < 5) still takes the
+            # nomination path these assertions exercise
+            (5, "gamma delta"),
         ],
         "doc_id long, text string",
     )
@@ -1820,6 +1824,125 @@ def test_bm25_champion_pruning_bound_and_fixture_equality(spark):
         fdocs, fq, "doc_id", "text", k=10, max_postings_per_term=512
     ).collect()}
     assert fex == fpr
+
+
+def test_bm25_adaptive_nomination_skips_when_it_cannot_bind(spark):
+    """VERDICT r09 item 1: the champion prune is adaptive — when
+    |distinct query terms| x P >= n_docs the champion union's upper
+    bound already covers the corpus, so nomination is pure overhead
+    and bm25_topk goes straight to exact scoring. Pin the decision
+    BOTH ways via the physical plan (the nomination window's _q45/_pr
+    columns appear only on the binding path) and pin skip-path results
+    == exact results."""
+    from nba_spurs_etl_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta"),
+            (2, "alpha alpha alpha alpha alpha alpha alpha alpha"),
+            (3, "beta beta beta beta beta beta beta beta"),
+            (4, "gamma gamma"),
+            (5, "gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(7, "alpha"), (7, "beta")], "query_id long, term string"
+    )
+
+    def plan(p):
+        df = bm25_topk(docs, q, "doc_id", "text", k=4,
+                       max_postings_per_term=p)
+        return df, df._jdf.queryExecution().executedPlan().toString()
+
+    # P=3: 2 terms x 3 = 6 >= 5 docs -> skip (no nomination window),
+    # result identical to the exact form
+    skipped, splan = plan(3)
+    assert "_q45" not in splan and "_pr" not in splan
+    exact = {tuple(r) for r in bm25_topk(
+        docs, q, "doc_id", "text", k=4).collect()}
+    assert {tuple(r) for r in skipped.collect()} == exact
+    # P=2: 2 x 2 = 4 < 5 -> binds (nomination window present, over
+    # the checkpointed hit aggregation)
+    _, bplan = plan(2)
+    assert "_q45" in bplan and "_pr" in bplan
+    assert "_lineage_" in bplan  # checkpoint marker column present
+    # the skip path is the PLAIN exact plan — no checkpoints (at
+    # sf0.1 the eager checkpoints alone cost more than the exact
+    # path's duplicate token scan), so no marker column either
+    assert "_lineage_" not in splan
+
+
+def test_bm25_contribution_association_bit_exact_cross_engine(spark):
+    """ADVICE r09 (medium): the BM25 contribution must associate as
+    idf * (impact/den) in BOTH engines — the bare SQL ``a * b / c``
+    parses left-associated ``(a*b)/c``, which differs from
+    ``a*(b/c)`` by 1 ulp on some inputs and can flip the
+    floor(s*2^45+0.5) addend at a rounding boundary. Pin each engine
+    bit-for-bit against a Python IEEE-double emulation of the
+    impact-first association (Python floats are the same binary64),
+    over a grid that includes at least one point where the two
+    associations genuinely differ."""
+    import duckdb
+    import struct
+
+    c = 0.7432167423402214  # stands in for idf: association-only pin
+    grid = [
+        (tf, dlen, avgdl)
+        for tf in (1, 2, 3, 5, 7, 11, 63, 1000)
+        for dlen in (1, 2, 9, 10, 100, 997)
+        for avgdl in (1.0, 7.25, 23.196153846153846, 104.7)
+    ]
+
+    def py_ref(tf, dlen, avgdl):
+        den = tf + 1.2 * (0.25 + (0.75 * dlen) / avgdl)
+        return c * ((tf * 2.2) / den)
+
+    refs = [py_ref(*g) for g in grid]
+    # the grid must witness the ulp divergence the fix closes
+    assert any(
+        py_ref(tf, dlen, avgdl) != (c * (tf * 2.2)) / (
+            tf + 1.2 * (0.25 + (0.75 * dlen) / avgdl)
+        )
+        for tf, dlen, avgdl in grid
+    ), "grid has no association-sensitive point; strengthen it"
+
+    from nba_spurs_etl_spark.operators.search import _impact
+
+    sdf = spark.createDataFrame(
+        [(i, float(tf), float(dlen), float(avgdl))
+         for i, (tf, dlen, avgdl) in enumerate(grid)],
+        "i long, tf double, dlen double, avgdl double",
+    )
+    got_spark = {
+        r["i"]: r["s"]
+        for r in sdf.select(
+            "i",
+            (F.lit(c) * _impact(
+                F.col("tf"), F.col("dlen"), F.col("avgdl"), 1.2, 0.75
+            )).alias("s"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE g(i BIGINT, tf DOUBLE, dlen DOUBLE, avgdl DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO g VALUES (?, ?, ?, ?)",
+        [(i, float(tf), float(dlen), float(avgdl))
+         for i, (tf, dlen, avgdl) in enumerate(grid)],
+    )
+    got_duck = dict(con.sql(
+        f"SELECT i, {c!r} * ((tf * CAST(2.2 AS DOUBLE))"
+        " / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl))) FROM g"
+    ).fetchall())
+
+    def bits(x):
+        return struct.pack("<d", x)
+
+    for i, ref in enumerate(refs):
+        assert bits(got_spark[i]) == bits(ref), (i, grid[i])
+        assert bits(got_duck[i]) == bits(ref), (i, grid[i])
 
 
 def test_rrf_fuse_rank_math_and_single_tower_hits(spark):
@@ -3013,6 +3136,67 @@ def test_ann_index_disk_cache_roundtrip_and_invalidation(
     os.utime(fp, (st.st_atime, st.st_mtime))  # restore mtime exactly
     k_after = S._index_cache_key(cand, "p")
     assert k_before != k_after
+
+
+def test_ann_sidecar_trust_gate(tmp_path, monkeypatch):
+    """ADVICE r09: the sidecar disk tier must refuse directories that
+    are not safely ours — cached rows define centroids/codebooks, so
+    a poisoned world-shared path silently changes ANN results. Pins:
+    per-user default path, 0o700 creation, and refusal of (a) a plain
+    file parked at the path, (b) a symlink parked at the path, (c) a
+    directory owned by another uid (simulated via the lstat seam)."""
+    import os
+    import stat
+
+    from nba_spurs_etl_spark.operators import similarity as S
+
+    # default path embeds the uid (per-user namespace)
+    monkeypatch.delenv("SPARK_GRAFT_INDEX_DIR", raising=False)
+    if hasattr(os, "getuid"):
+        assert str(os.getuid()) in S._index_cache_dir()
+
+    # creation mode is 0o700
+    d = tmp_path / "fresh"
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(d))
+    got = S._trusted_cache_dir(create=True)
+    assert got == str(d)
+    assert stat.S_IMODE(os.stat(d).st_mode) == 0o700
+
+    # (a) plain file planted at the path -> disk tier off, and the
+    # store path must not raise
+    f = tmp_path / "file"
+    f.write_text("not a dir")
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(f))
+    assert S._trusted_cache_dir() is None
+    assert S._trusted_cache_dir(create=True) is None
+    S._disk_cache_store(("k",), [{"x": 1}])  # no-op, no exception
+    assert S._disk_cache_load(("k",)) is None
+
+    # (b) symlink parked at the path (even pointing at our own dir)
+    real = tmp_path / "real"
+    real.mkdir()
+    link = tmp_path / "link"
+    link.symlink_to(real)
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(link))
+    assert S._trusted_cache_dir() is None
+
+    # (c) directory owned by another uid: simulate via the lstat seam
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(real))
+    if hasattr(os, "getuid"):
+        true_lstat = os.lstat
+
+        def foreign_lstat(p, *a, **kw):
+            r = true_lstat(p, *a, **kw)
+            if str(p) == str(real):
+                vals = list(r)
+                vals[stat.ST_UID] = r.st_uid + 1
+                return os.stat_result(vals)
+            return r
+
+        monkeypatch.setattr(os, "lstat", foreign_lstat)
+        assert S._trusted_cache_dir() is None
+        monkeypatch.setattr(os, "lstat", true_lstat)
+    assert S._trusted_cache_dir() == str(real)
 
 
 def test_doubles_sql_roundtrips_edge_values_bit_exact(spark):
