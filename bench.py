@@ -192,6 +192,28 @@ def _vm_speed_factor(cur: dict, ref: dict) -> tuple[float, float]:
     return round(raw, 4), min(_CALIB_CLAMP_HI, max(1.0, round(raw, 4)))
 
 
+def _rebase_ratio(old_ref: dict, new_ref: dict) -> float:
+    """Unit shift when the committed calibration reference improves:
+    geomean of the per-probe new/old ratios — the same aggregation
+    _vm_speed_factor uses, so multiplying committed history rows by
+    this expresses them exactly in the NEW ref's units (ADVICE r09:
+    without the rescale a trailing-5 list mixes two units whenever
+    min-convergence finds a faster window). 1.0 when nothing changed
+    or no probe is shared. (Pure so tests can pin it directly.)"""
+    import math
+
+    common = [
+        k for k in old_ref
+        if k in new_ref and old_ref.get(k, 0) > 0 and new_ref.get(k, 0) > 0
+    ]
+    if not common:
+        return 1.0
+    return math.exp(
+        sum(math.log(new_ref[k] / old_ref[k]) for k in common)
+        / len(common)
+    )
+
+
 def _band(first: float, med: float, factor: float) -> bool:
     """Single-run gate: is this session's cold run consistent with the
     committed warm median once the VM window's speed is factored out?
@@ -461,6 +483,7 @@ def main() -> int:
         calib_ref = history.setdefault("calib_ref", {}).setdefault(
             str(sf), {}
         )
+        old_ref = dict(calib_ref)
         for k, v in calib_start.items():
             # the reference converges to the FASTEST window ever
             # observed (min), so the factor reads 'how much slower
@@ -469,9 +492,36 @@ def main() -> int:
             # every equally-slow window as 1.0, re-enabling the false
             # escalations the factor exists to prevent
             calib_ref[k] = min(calib_ref.get(k, v), v)
+        # ADVICE r09: a min-convergence improvement RE-BASES the
+        # normalization unit — rows already committed at this sf were
+        # recorded as warm/factor against the OLD ref, so without a
+        # rescale the same trailing-5 list would mix two units and
+        # skew the gate medians. Express every committed row in the
+        # NEW ref's units; applied on every improvement, however
+        # small, so lists can never drift epochs apart.
+        _rebase = _rebase_ratio(old_ref, calib_ref)
+        if _rebase != 1.0:
+            for _n in list(sf_hist):
+                sf_hist[_n] = [
+                    round(r * _rebase, 4) for r in sf_hist[_n]
+                ]
     else:
         calib_ref = dict(calib_start)
     factor_raw, factor = _vm_speed_factor(calib_start, calib_ref)
+    # ADVICE r09: beyond the gating clamp the ref itself is suspect —
+    # med*factor would report min(first, med*4), a value below any
+    # measurement obtainable in a >4x-throttled session ('never a
+    # number the current plan hasn't earned'). Escalate EVERYTHING to
+    # the full warm protocol (raw earned runs only) and neither append
+    # history rows nor publish warm_basis: a broken normalization must
+    # not leak into the medians or the seed fallback.
+    calib_broken = factor_raw > _CALIB_CLAMP_HI
+    if calib_broken:
+        print(
+            f"bench: calibration factor {factor_raw} exceeds clamp "
+            f"{_CALIB_CLAMP_HI}; full protocol, history writes off",
+            file=sys.stderr,
+        )
 
     def _always_double(name: str) -> bool:
         return name.startswith(("gold_", "summary_rank", "pricing_summary"))
@@ -518,7 +568,7 @@ def main() -> int:
                 fp_table.pop(name, None)
             hist = sf_hist.get(name, [])
             med = statistics.median(hist) if hist else None
-            full = _always_double(name) or med is None
+            full = _always_double(name) or med is None or calib_broken
             if not full and _in_refresh_slice(name):
                 full = True
                 refreshed.append(name)
@@ -562,10 +612,14 @@ def main() -> int:
             # units (warm / factor) so a slow VM window can't drag the
             # medians that gate future rounds, and so the BENCH_DETAIL
             # seed fallback (which copies warm_basis into history)
-            # stays unit-consistent; reported timings stay raw
-            warm_basis[name] = round(warm / factor, 4)
-            sf_hist[name] = (sf_hist.get(name, [])
-                             + [round(warm / factor, 4)])[-5:]
+            # stays unit-consistent; reported timings stay raw. In a
+            # calib-broken window (factor_raw beyond the clamp) the
+            # normalization itself is untrusted: report the raw earned
+            # warm run but keep it out of history and warm_basis.
+            if not calib_broken:
+                warm_basis[name] = round(warm / factor, 4)
+                sf_hist[name] = (sf_hist.get(name, [])
+                                 + [round(warm / factor, 4)])[-5:]
         except Exception as e:  # keep the suite going; surface on stderr
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -606,6 +660,7 @@ def main() -> int:
                 "plan_invalidated": sorted(invalidated),
                 "vm_speed_factor": factor,
                 "vm_speed_factor_raw": factor_raw,
+                "calib_broken": calib_broken,
                 "calib_start": calib_start,
                 "calib_end": calib_end,
                 "calib_ref": dict(calib_ref),

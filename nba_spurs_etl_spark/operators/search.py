@@ -35,6 +35,12 @@ from pyspark.sql import functions as F
 #: comment in bm25_topk)
 _FP45 = float(1 << 45)
 
+#: adaptive-bind decisions memoized per corpus snapshot + workload
+#: plan + P (see the decision comment in bm25_topk); in-process only —
+#: the decision is two exact integers, cheap to recompute in a fresh
+#: process
+_BIND_MEMO: dict = {}
+
 
 def _impact(tf, dlen, avgdl, k1: float, b: float):
     """The per-posting tf-part of the BM25 contribution —
@@ -178,18 +184,43 @@ def bm25_topk(
         # ONE job for both scalars (a cross join of two one-row
         # aggregates): two sequential .count() jobs cost ~0.7 s of
         # scheduler round-trips at sf0.1 — most of what the adaptive
-        # skip is trying to save
-        _dec = (
-            docs.agg(F.count(F.lit(1)).alias("_n_rows"))
-            .crossJoin(
-                qt.agg(F.countDistinct("term").alias("_n_terms"))
+        # skip is trying to save. The decision is additionally
+        # memoized per (docs plan, qt plan, files+mtimes+sizes, P) —
+        # the same corpus-snapshot key discipline as the ANN index
+        # cache (operators/similarity.py::_index_cache_key), so
+        # repeated builds of the same entry (bench warm protocol,
+        # composed retrieval pipelines) skip the decision job
+        # entirely; any data or workload change misses.
+        from .similarity import _index_cache_key
+
+        _qt_canon = "?"
+        try:
+            _qt_canon = (
+                qt._jdf.queryExecution().logical().canonicalized()
+                .toString()
             )
-            .first()
+        except Exception:
+            pass
+        _memo_key = _index_cache_key(
+            docs, "bm25_bind", _qt_canon, int(max_postings_per_term)
         )
-        prune_binds = (
-            int(_dec["_n_terms"]) * int(max_postings_per_term)
-            < int(_dec["_n_rows"])
-        )
+        prune_binds = _BIND_MEMO.get(_memo_key) if _memo_key else None
+        if prune_binds is None:
+            _dec = (
+                docs.agg(F.count(F.lit(1)).alias("_n_rows"))
+                .crossJoin(
+                    qt.agg(F.countDistinct("term").alias("_n_terms"))
+                )
+                .first()
+            )
+            prune_binds = (
+                int(_dec["_n_terms"]) * int(max_postings_per_term)
+                < int(_dec["_n_rows"])
+            )
+            if _memo_key:
+                if len(_BIND_MEMO) >= 64:
+                    _BIND_MEMO.clear()
+                _BIND_MEMO[_memo_key] = prune_binds
     if prune_binds:
         # materialize the hit aggregation ONCE: the pruned plan reads
         # `matched` three times (nomination window, pruned postings,
@@ -350,6 +381,7 @@ def rrf_fuse(
     k0: int = 60,
     a_flag: str = "in_a",
     b_flag: str = "in_b",
+    strict: bool = False,
 ) -> DataFrame:
     """Reciprocal-rank fusion of two rankers: (query_id, doc_id,
     fused_rank, <a_flag>, <b_flag>).
@@ -363,6 +395,10 @@ def rrf_fuse(
     ``1.0/(k0 + rank)`` is one division of exact integers, and ties
     break on doc_id — so the RANK is bit-reproducible cross-engine
     even though the raw double is never exposed.
+
+    ``strict=True`` (opt-in, for debug/fuzz harnesses) raises a named
+    contract error when an input carries duplicate (query_id, doc_id)
+    rows instead of silently reducing them to their best rank.
 
     Shape: both inputs are k-bounded per query by construction, so the
     full-outer join and per-query window run on |Q| x O(k) rows —
@@ -381,10 +417,37 @@ def rrf_fuse(
     # key — deterministic (unlike dropDuplicates' arbitrary survivor),
     # a plan-level no-op in spirit for the cataloged producers (both
     # emit row_number-unique rows), and O(|Q| x k) rows either way.
+    # ``strict`` (ADVICE/VERDICT r09 item 8) turns the silent
+    # reduction into a LOUD contract error: the r09a fuzz find (a
+    # duplicated corpus id occupying two cosine rank slots) surfaced
+    # only because the reduction changed a result — under strict mode
+    # the next such producer bug raises with the offending key instead
+    # of being quietly folded. Opt-in (debug/fuzz harnesses): the
+    # check rides the same aggregation, but production fusion keeps
+    # the documented reduce-to-best semantics.
     def _best(df: DataFrame, q: str, d: str, r: str) -> DataFrame:
-        return df.groupBy(
+        g = df.groupBy(
             F.col("query_id").alias(q), F.col("doc_id").alias(d)
-        ).agg(F.min("rank").alias(r))
+        ).agg(F.min("rank").alias(r), F.count(F.lit(1)).alias("_n"))
+        if strict:
+            # a filter cannot be pruned away (unlike an unused
+            # assert_true projection), and raise_error evaluates only
+            # on offending rows
+            g = g.filter(
+                F.when(
+                    F.col("_n") > 1,
+                    F.raise_error(
+                        F.format_string(
+                            "rrf_fuse strict: %s duplicate candidate "
+                            "rows for (query_id=%s, doc_id=%s) — "
+                            "ranker outputs must be unique per "
+                            "(query, doc)",
+                            "_n", q, d,
+                        )
+                    ).cast("boolean"),
+                ).otherwise(F.lit(True))
+            )
+        return g.drop("_n")
 
     an = _best(a, "_qa", "_da", "_ra")
     bn = _best(b, "_qb", "_db", "_rb")

@@ -161,3 +161,93 @@ def test_band_absolute_floor_and_edges():
     assert not bench._band(0.45, 0.1, 1.0)  # |d| = 0.35 and 4.5x: out
     assert bench._band(0.76, 0.1, 2.0)      # adj 0.38 -> floor saves
     assert bench._band(8.0, 2.1, 4.0)       # adj 2.0 < 2.1 * 1.6
+
+
+def test_rebase_ratio_rescales_history_units():
+    """ADVICE r09: when min-convergence improves calib_ref, committed
+    history rows (recorded as warm/factor against the OLD ref) must
+    shift into the new ref's units by exactly the geomean of the
+    per-probe ref ratios — otherwise one trailing-5 list mixes units
+    and the gate medians skew."""
+    old = {"scan_agg": 0.4, "shuffle_agg": 0.8, "cpu_hash": 0.3}
+    # uniformly 20% faster best-known window
+    new = {k: v * 0.8 for k, v in old.items()}
+    r = bench._rebase_ratio(old, new)
+    assert abs(r - 0.8) < 1e-9
+    # consistency with the factor: a window measured at `cur` reads
+    # factor_old against old and factor_new against new, and
+    # factor_new == factor_old / r (unclamped) — so multiplying rows
+    # by r is exactly the unit shift the factor normalization applies
+    cur = {k: v * 2 for k, v in old.items()}
+    raw_old, _ = bench._vm_speed_factor(cur, old)
+    raw_new, _ = bench._vm_speed_factor(cur, new)
+    assert abs(raw_new - raw_old / r) < 1e-6
+    # no-op cases: identical refs, no shared probes
+    assert bench._rebase_ratio(old, dict(old)) == 1.0
+    assert bench._rebase_ratio(old, {"other": 1.0}) == 1.0
+    assert bench._rebase_ratio({}, new) == 1.0
+    # non-uniform improvement: geomean, matching _vm_speed_factor's
+    # aggregation
+    new2 = dict(old)
+    new2["scan_agg"] = old["scan_agg"] / 2  # one probe halves
+    import math
+    assert abs(bench._rebase_ratio(old, new2)
+               - math.exp(math.log(0.5) / 3)) < 1e-9
+
+
+def test_calib_broken_threshold_matches_clamp():
+    """ADVICE r09: past the gating clamp the ref itself is suspect —
+    med*factor would report a value below anything measurable in the
+    throttled session. bench.main escalates everything and stops
+    history writes when factor_raw exceeds the clamp; pin that the
+    threshold is exactly the clamp constant and that the gating value
+    saturates there."""
+    ref = {"scan_agg": 0.4, "shuffle_agg": 0.8, "cpu_hash": 0.3}
+    at_clamp = {k: v * bench._CALIB_CLAMP_HI for k, v in ref.items()}
+    raw, gate = bench._vm_speed_factor(at_clamp, ref)
+    assert raw <= bench._CALIB_CLAMP_HI + 1e-6  # boundary: NOT broken
+    beyond = {k: v * (bench._CALIB_CLAMP_HI + 1) for k, v in ref.items()}
+    raw2, gate2 = bench._vm_speed_factor(beyond, ref)
+    assert raw2 > bench._CALIB_CLAMP_HI and gate2 == bench._CALIB_CLAMP_HI
+    # the in-main decision is `factor_raw > _CALIB_CLAMP_HI`; the
+    # source is pinned so a refactor can't silently drop the gate
+    import inspect
+    src = inspect.getsource(bench.main)
+    assert "calib_broken = factor_raw > _CALIB_CLAMP_HI" in src
+    assert "if not calib_broken:" in src
+
+
+def test_bench_records_are_fresh_for_every_registered_entry():
+    """VERDICT r09 item 6: the bench of record must track the registry
+    the way COVERAGE.md does — BENCH_DETAIL.json is rewritten
+    wholesale by every bench run, so a registered entry with no row
+    means the bench has not run since the entry was added (stale bench
+    of record), and an entry with no bench_history median at the
+    detail's sf means the tiering gate has nothing to gate with
+    post-reseed (e.g. a calib-broken window suppressed writes). Both
+    fail loudly here instead of surfacing as an unexplained hole in
+    the round's BENCH_r{N}.json."""
+    import json
+    import os
+
+    from nba_spurs_etl_spark.plans.registry import queries
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    detail = json.load(open(os.path.join(root, "BENCH_DETAIL.json")))
+    qs = set(queries())
+    detail_q = set(detail["queries"])
+    assert not qs - detail_q, (
+        "registered entries missing from BENCH_DETAIL (run bench.py): "
+        f"{sorted(qs - detail_q)[:10]}"
+    )
+    assert not detail_q - qs, (
+        "BENCH_DETAIL rows for entries no longer registered (stale "
+        f"bench of record; run bench.py): {sorted(detail_q - qs)[:10]}"
+    )
+    hist = json.load(open(os.path.join(root, "bench_history.json")))
+    warm = hist.get("warm", {}).get(str(detail["sf"]), {})
+    nohist = {q for q in qs if not warm.get(q)}
+    assert not nohist, (
+        "entries with no committed bench_history median at sf="
+        f"{detail['sf']} (reseed via bench.py): {sorted(nohist)[:10]}"
+    )

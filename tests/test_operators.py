@@ -1581,6 +1581,105 @@ def test_decode_image_degenerate_dimensions():
         decode_image(blob2)
 
 
+def _tiny_png(pixels: bytes, w: int, h: int) -> bytes:
+    """Minimal valid grayscale PNG built by hand (no Pillow needed):
+    signature + IHDR + one zlib IDAT of filter-0 scanlines + IEND."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[r * w:(r + 1) * w] for r in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_image_real_codec_path(monkeypatch):
+    """VERDICT r09 item 4: compressed formats decode through Pillow
+    when it is installed, through the SAME decode_image contract as
+    FIMG. Env-gated half: where PIL exists, a hand-built 2x2 grayscale
+    PNG must decode to its exact pixels (pixel-stat parity on an
+    embedded-bytes fixture). Seam-tested half (runs everywhere): the
+    PIL branch's tuple contract, corrupt-bitstream normalization to
+    ValueError, and degenerate-dimension guard, via a stub codec on
+    the _pil_module import seam."""
+    from nba_spurs_etl_spark.operators import multimodal as M
+
+    px = bytes([10, 20, 30, 40])
+    png = _tiny_png(px, 2, 2)
+
+    if M._pil_module() is not None:
+        assert M.decode_image(png) == (2, 2, px)
+    else:
+        with pytest.raises(NotImplementedError, match="png"):
+            M.decode_image(png)
+
+    # stub codec through the import seam: same contract, no Pillow
+    class _Img:
+        def __init__(self, size, data):
+            self.size = size
+            self._d = data
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def tobytes(self):
+            return self._d
+
+    class _StubPIL:
+        nxt = _Img((2, 2), px)
+
+        @staticmethod
+        def open(bio):
+            if _StubPIL.nxt is None:
+                raise OSError("cannot identify image file")
+            return _StubPIL.nxt
+
+    monkeypatch.setattr(M, "_pil_module", lambda: _StubPIL)
+    assert M.decode_image(png) == (2, 2, px)
+    # JPEG magic routes through the same branch
+    assert M.decode_image(b"\xff\xd8\xff" + png[3:]) == (2, 2, px)
+    # corrupt bitstream -> ValueError (the FIMG malformed contract),
+    # never a raw codec exception that would fail the whole task
+    _StubPIL.nxt = None
+    with pytest.raises(ValueError, match="corrupt png"):
+        M.decode_image(png)
+    # degenerate dimensions and short pixel buffers also normalize
+    _StubPIL.nxt = _Img((0, 2), b"")
+    with pytest.raises(ValueError, match="degenerate"):
+        M.decode_image(png)
+    _StubPIL.nxt = _Img((2, 2), px[:3])
+    with pytest.raises(ValueError, match="mismatch"):
+        M.decode_image(png)
+    # FIMG blobs never touch the codec seam
+    from nba_spurs_etl_spark.operators.multimodal import encode_fake_image
+
+    monkeypatch.setattr(
+        M, "_pil_module",
+        lambda: (_ for _ in ()).throw(AssertionError("FIMG hit codec")),
+    )
+    w, h, _ = M.decode_image(encode_fake_image(3, 2, "s"))
+    assert (w, h) == (3, 2)
+
+
 def test_weighted_sample_exact_k_matches_model(spark):
     """A-ES exact-k sampling must select exactly the k rows a direct
     Python model of key = ln(u)/w picks (well-separated fixture:
@@ -2005,6 +2104,40 @@ def test_rrf_fuse_duplicate_candidate_rows_reduce_to_best_rank(spark):
     # doc 11: 1/62 + 1/61 beats doc 10's 1/61 (rank 1, not 1/63)
     assert rows[11]["fused_rank"] == 1
     assert rows[10]["fused_rank"] == 2
+
+
+def test_rrf_fuse_strict_mode_raises_on_duplicate_candidates(spark):
+    """VERDICT r09 item 8: strict mode turns the silent min-rank
+    reduction into a loud, named contract error (the r09a fuzz find
+    surfaced only because the reduction changed a result — strict
+    makes the next producer bug visible immediately). Unique inputs
+    must behave identically with strict on or off."""
+    import pytest
+
+    from nba_spurs_etl_spark.operators.search import rrf_fuse
+
+    dup = spark.createDataFrame(
+        [(1, 10, 3), (1, 10, 1), (1, 11, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    sem = spark.createDataFrame(
+        [(1, 11, 1)], "query_id long, doc_id long, rank int"
+    )
+    with pytest.raises(Exception) as ei:
+        rrf_fuse(dup, sem, k=10, strict=True).collect()
+    assert "rrf_fuse strict" in str(ei.value)
+    # duplicate on the OTHER side trips too
+    with pytest.raises(Exception):
+        rrf_fuse(sem, dup, k=10, strict=True).collect()
+    # unique inputs: strict is a behavioral no-op
+    uniq = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank int"
+    )
+    loose = sorted(tuple(r) for r in rrf_fuse(uniq, sem, k=10).collect())
+    tight = sorted(
+        tuple(r) for r in rrf_fuse(uniq, sem, k=10, strict=True).collect()
+    )
+    assert loose == tight
 
 
 def test_mislabel_flags_detects_planted_outlier(spark):

@@ -873,3 +873,25 @@ def test_recommendations_single_broadcast(spark, catalog):
     assert re.search(r"SortMergeJoin \[player_id", plan), plan
     assert not re.search(r"BroadcastHashJoin \[player_id", plan), plan
     assert re.search(r"BroadcastHashJoin \[weakness_type", plan), plan
+
+
+def test_tws_registration_tracks_protobuf_capability():
+    """VERDICT r09 item 7: stream_user_profile_tws registers itself
+    exactly when transformWithStateInPandas is usable (its Python
+    state-server protocol needs google.protobuf, absent from this
+    container). Membership must track the probe in BOTH directions so
+    a future env change flips the catalog automatically — and the
+    probe must be honest about the actual import state. (If the env
+    ever grows protobuf, regenerate docs/COVERAGE.md and re-run
+    bench.py — the freshness gates will demand both.)"""
+    from nba_spurs_etl_spark.plans import stream_queries as sq
+    from nba_spurs_etl_spark.plans.registry import queries
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        have = True
+    except ImportError:
+        have = False
+    assert sq.tws_available() == have
+    assert ("stream_user_profile_tws" in queries()) == sq.tws_available()
