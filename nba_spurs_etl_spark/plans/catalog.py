@@ -99,65 +99,78 @@ ENTRY_QUERY = "summary_rank"
 # vs DuckDB at sf0.01 before rotation; everything rotated out keeps
 # its full parity test in tests/test_parity.py.
 #
-# Round-10 rotation queue: the remaining 34 r05 greens
-# (corpus_decontaminate_bloom/_neardup excl. picks below — see
-# CORRECTNESS union), then the r06 greens, plus any entry whose plan
-# changes in r10 and any new r10 entries.
+# ROTATED round 10 (VERDICT r09 item 3): slots 1-2 are the two
+# entries whose PLANS AND ORACLES changed this round and must
+# re-prove — search_bm25_topk / search_hybrid_rrf_topk (split-once
+# tokenization, idf*(impact/den) association fix, and the ADAPTIVE
+# champion-bind decision mirrored in the bindflag CTE). Slots 3-36
+# are ALL 34 remaining r05 greens (the stalest evidence in the
+# union, computed from CORRECTNESS_r01..r09). Slots 37-50 are 14 of
+# the oldest r06 greens chosen for family breadth (sampling,
+# curation, dedup, text chunking, embedding centroids, SCD2,
+# sessionize, tumbling-agg batch twin, TPC-H filters/joins, graph,
+# multimodal, streaming dedup). After this rotation no oracled
+# entry's last driver-green is older than r06. All 50 verified
+# side-by-side MATCH vs DuckDB at sf0.01 before rotation; everything
+# rotated out keeps its full parity test in tests/test_parity.py.
+#
+# Round-11 rotation queue: the remaining 35 r06 greens, then the r07
+# greens, plus any entry whose plan changes in r11 and any new
+# entries.
 set_priority([
-    # ---- plans changed in r09 (re-prove under new plans) ----
-    "search_hybrid_rrf_topk",
+    # ---- plans + oracles changed in r10 (re-prove) ----
     "search_bm25_topk",
-    "geo_radius_join_grid",
-    "approx_sketches",
-    "events_hll_daily_rollup",
-    # ---- last green r03 (stalest oracled evidence; all 20) ----
-    "asof_purchase_click",
-    "corpus_decontaminate",
-    "events_funnel",
-    "events_props_json",
-    "hypertable_rollup_1h",
-    "join_semi_anti",
-    "merge_cdc_orders",
-    "outlier_orders_zscore",
-    "q18_large_orders",
-    "q21_waiting_supplier",
-    "q6_forecast_revenue",
-    "range_join_user_windows",
-    "rollup_orders",
-    "salted_two_phase_agg",
-    "semantic_dedup_corpus",
-    "similarity_topk_bruteforce",
-    "stats_linear_fit",
-    "table_profile_orders",
-    "text_c4_filters",
-    "text_profile",
-    # ---- last green r04 (all 16) ----
-    "dedup_incremental_batch",
-    "dedup_simhash_banded",
-    "dedup_substring_spans_winnowed",
-    "events_concurrency_hourly",
-    "events_path_trigrams",
-    "fuzzy_match_customers_d2",
-    "global_rank_topk",
-    "orders_running_revenue",
-    "orders_sample_aes_per_priority",
-    "quality_assertions",
-    "split_part_extract",
-    "streaks_gaps_islands",
-    "stream_dedup_lsh_index",
-    "stream_session_agg",
-    "top1_per_group",
-    "union_topk_branches",
-    # ---- oldest r05 greens (breadth fill) ----
-    "corpus_decontaminate_bloom",
-    "dedup_components_star",
-    "dedup_substring_spans",
-    "events_markov_transitions",
-    "graph_label_propagation",
-    "lineitem_median_twophase",
-    "orders_salted_skew_join",
-    "scd2_asof_enrich",
-    "stream_scd2_apply",
+    "search_hybrid_rrf_topk",
+    # ---- last green r05 (stalest oracled evidence; all 34) ----
+    "corpus_decontaminate_neardup",
+    "corpus_ngram_novelty",
+    "customer_entity_resolution",
+    "dedup_containment",
+    "events_bigram_lift",
+    "events_countmin_estimate",
+    "events_cumulative_users",
+    "events_cusum_changepoint",
+    "events_gap_log2_histogram",
+    "events_last_touch_attribution",
+    "events_seasonal_anomaly",
+    "events_sliding_distinct_users",
+    "events_wow_change",
+    "fd_violation_audit",
+    "fuzzy_match_customers",
+    "join_skew_planner",
+    "orders_abc_classification",
+    "orders_bootstrap_ci",
+    "orders_bootstrap_ci_by_priority",
+    "orders_equidepth_price_histogram",
+    "orders_hhi_concentration",
+    "orders_ks_statistic",
+    "orders_sample_aes_topk",
+    "orders_skyline_pareto",
+    "orders_winsorized_stats",
+    "part_copurchase_kcore",
+    "part_copurchase_lift",
+    "stream_incremental_agg",
+    "stream_markov_transitions",
+    "stream_novelty_index",
+    "text_bpe_merges",
+    "text_feature_hashing",
+    "text_winnow_fingerprints",
+    "top1_per_group_maxby",
+    # ---- oldest r06 greens (breadth fill, 14) ----
+    "balanced_class_sample",
+    "corpus_mixture_sample",
+    "dedup_filtered_corpus",
+    "doc_chunks",
+    "embedding_label_centroids",
+    "events_scd2_intervals",
+    "events_sessionize",
+    "events_tumbling_agg",
+    "filter_in_like",
+    "graph_pagerank_dups",
+    "join_three_way_geo",
+    "multimodal_resize_plan",
+    "q5_local_supplier_volume",
+    "stream_dedup",
 ])
 
 
