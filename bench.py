@@ -524,7 +524,15 @@ def main() -> int:
         )
 
     def _always_double(name: str) -> bool:
-        return name.startswith(("gold_", "summary_rank", "pricing_summary"))
+        # gold/flagship = the BASELINE.md comparison set; the hybrid
+        # is the r09/r10 headline perf item (adaptive champion bind —
+        # VERDICT r09 item 1's ≤3.6 s warm bar), so the bench of
+        # record always carries a TRUE warm run for it rather than a
+        # single-run cold bound
+        return name.startswith(
+            ("gold_", "summary_rank", "pricing_summary",
+             "search_hybrid_rrf_topk")
+        )
 
     def _in_refresh_slice(name: str) -> bool:
         return (zlib.crc32(name.encode()) + run_counter) % 5 == 0

@@ -478,3 +478,154 @@ def rrf_fuse(
         .filter(F.col("fused_rank") <= k)
         .select("query_id", "doc_id", "fused_rank", a_flag, b_flag)
     )
+
+
+def jaccard_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    n: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, doc, rank): top-k docs per query by word n-gram
+    Jaccard similarity — the character/ngram retrieval tower that
+    catches near-verbatim overlap BM25 underweights (stopword-heavy
+    quotes) and embeddings miss (OOV strings). Standard third ranker
+    in multi-tower RRF fusion.
+
+    Shingling mirrors dedup_ngram_jaccard's: DISTINCT word n-grams per
+    side, similarity = |A∩B| / (|A|+|B|-|A∩B|). Both counts are exact
+    integers, so the single IEEE division is bit-reproducible
+    cross-engine (house ulp discipline: the double never leaves the
+    operator; ranks tie-break on doc id THEN similarity is already a
+    total order per (sim, doc)).
+
+    Scale shape: query shingles are workload-sized and BROADCAST; the
+    corpus shingle stream is semi-pruned to query shingles map-side
+    before the intersection aggregation (the same only-hits-shuffle
+    kernel as bm25_topk), so candidate work scales with hits, not
+    |corpus| x |queries|. Self-matches (query retrieving its own doc
+    id) are excluded, matching the cosine tower's convention.
+    """
+    from .dedup import shingles_from_tokens
+
+    def side(df: DataFrame, ident, txt: str, out_id: str):
+        # two-step projection: shingles_from_tokens must see a
+        # MATERIALIZED token array — an inline split re-tokenizes per
+        # gram under interpreted HOF evaluation, O(words^2) per doc
+        # (operators/dedup.py:49)
+        toks = df.select(
+            ident.alias(out_id), F.split(F.col(txt), " ").alias("_w")
+        )
+        return toks.select(
+            out_id,
+            F.explode(shingles_from_tokens(F.col("_w"), n)).alias("sh"),
+        ).distinct()
+
+    qs = side(queries, F.col(query_id_col), query_text_col, "query_id")
+    ds = side(docs, F.col(id_col), text_col, "doc")
+    q_sizes = qs.groupBy("query_id").agg(F.count(F.lit(1)).alias("qn"))
+    d_sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("dn"))
+    inter = (
+        ds.join(F.broadcast(qs), "sh")
+        .filter(F.col("doc") != F.col("query_id"))
+        .groupBy("query_id", "doc")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        inter.join(F.broadcast(q_sizes), "query_id")
+        .join(d_sizes, "doc")
+        .select(
+            "query_id",
+            "doc",
+            (
+                F.col("c").cast("double")
+                / (F.col("qn") + F.col("dn") - F.col("c"))
+            ).alias("sim"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc", "rank")
+    )
+
+
+def rrf_fuse_n(
+    rankers: list,
+    k: int = 10,
+    k0: int = 60,
+) -> DataFrame:
+    """N-way reciprocal-rank fusion: (query_id, doc_id, fused_rank,
+    in_<name>...) — the generalization rrf_fuse's docstring specifies
+    but deliberately does not compute (nesting binary fusions scores
+    1/(k0+fused_rank) of an intermediate, not the sum of the original
+    reciprocal ranks).
+
+    ``rankers`` is a list of (name, frame) pairs, each frame
+    (query_id, doc_id, rank). Fused score = sum over retrieving
+    rankers of 1/(k0 + rank). With MORE THAN TWO addends a float sum's
+    value depends on addend order (IEEE addition is commutative but
+    not associative), and Spark's aggregation order follows partition
+    arrival — so each addend is quantized to 45 fractional bits
+    (bm25_topk's exact-cents idiom; addends are <= 1/(k0+1), sums of N
+    rankers stay far inside int64) and the SUM is an exact integer:
+    order-free, map-combinable, bit-identical in the oracle. Ranks
+    tie-break on doc_id. Per-ranker duplicate (query_id, doc_id) rows
+    reduce to their best rank first (same defensive contract as
+    rrf_fuse).
+
+    Shape: inputs are k-bounded per query by construction, so the
+    union + aggregation + per-query window run on |Q| x O(N*k) rows —
+    nothing corpus-sized.
+    """
+    if len(rankers) < 2:
+        raise ValueError("rrf_fuse_n needs at least two rankers")
+    names = [nm for nm, _ in rankers]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate ranker names: {names}")
+    tagged = None
+    for i, (nm, df) in enumerate(rankers):
+        t = (
+            df.groupBy("query_id", "doc_id")
+            .agg(F.min("rank").alias("rank"))
+            .select(
+                "query_id",
+                "doc_id",
+                "rank",
+                F.lit(i).alias("_tag"),
+            )
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    fused = tagged.groupBy("query_id", "doc_id").agg(
+        F.sum(
+            F.floor(
+                F.lit(1.0) / (F.lit(float(k0)) + F.col("rank"))
+                * F.lit(_FP45)
+                + 0.5
+            ).cast("long")
+        ).alias("_score"),
+        *[
+            F.max((F.col("_tag") == i).cast("boolean")).alias(
+                f"in_{nm}"
+            )
+            for i, nm in enumerate(names)
+        ],
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            "query_id", "doc_id", "fused_rank",
+            *[f"in_{nm}" for nm in names],
+        )
+    )

@@ -99,14 +99,15 @@ ENTRY_QUERY = "summary_rank"
 # vs DuckDB at sf0.01 before rotation; everything rotated out keeps
 # its full parity test in tests/test_parity.py.
 #
-# ROTATED round 10 (VERDICT r09 item 3): slots 1-2 are the two
+# ROTATED round 10 (VERDICT r09 item 3): slots 1-3 are the two
 # entries whose PLANS AND ORACLES changed this round and must
 # re-prove — search_bm25_topk / search_hybrid_rrf_topk (split-once
 # tokenization, idf*(impact/den) association fix, and the ADAPTIVE
-# champion-bind decision mirrored in the bindflag CTE). Slots 3-36
-# are ALL 34 remaining r05 greens (the stalest evidence in the
-# union, computed from CORRECTNESS_r01..r09). Slots 37-50 are 14 of
-# the oldest r06 greens chosen for family breadth (sampling,
+# champion-bind decision mirrored in the bindflag CTE) — plus the
+# NEW r10 entry search_rrf_fuse_3 (N-way RRF + jaccard tower).
+# Slots 4-37 are ALL 34 remaining r05 greens (the stalest evidence
+# in the union, computed from CORRECTNESS_r01..r09). Slots 38-50 are
+# 13 of the oldest r06 greens chosen for family breadth (sampling,
 # curation, dedup, text chunking, embedding centroids, SCD2,
 # sessionize, tumbling-agg batch twin, TPC-H filters/joins, graph,
 # multimodal, streaming dedup). After this rotation no oracled
@@ -118,9 +119,10 @@ ENTRY_QUERY = "summary_rank"
 # greens, plus any entry whose plan changes in r11 and any new
 # entries.
 set_priority([
-    # ---- plans + oracles changed in r10 (re-prove) ----
+    # ---- plans + oracles changed in r10 (re-prove) + new r10 entry ----
     "search_bm25_topk",
     "search_hybrid_rrf_topk",
+    "search_rrf_fuse_3",
     # ---- last green r05 (stalest oracled evidence; all 34) ----
     "corpus_decontaminate_neardup",
     "corpus_ngram_novelty",
@@ -169,7 +171,6 @@ set_priority([
     "graph_pagerank_dups",
     "join_three_way_geo",
     "multimodal_resize_plan",
-    "q5_local_supplier_volume",
     "stream_dedup",
 ])
 

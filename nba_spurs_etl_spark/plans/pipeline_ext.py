@@ -3030,6 +3030,138 @@ def search_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_rrf_fuse_3",
+    group="ext-search hybrid nway",
+    oracle=f"""
+WITH {_bm25_lex_ctes(10)},
+sbase AS (SELECT vec_id, embedding AS v FROM embeddings
+          WHERE {_dot_sql("embedding", "embedding")} > 0),
+sq AS (SELECT vec_id AS query_id, v AS qv FROM sbase WHERE vec_id % 100 = 0),
+sc AS (SELECT vec_id AS cand_id, v AS cv FROM sbase),
+sscored AS (
+  SELECT query_id, cand_id, {_cos_sql("qv", "cv")} AS cos_sim
+  FROM sc JOIN sq ON sc.cand_id != sq.query_id
+),
+sem AS (
+  SELECT query_id, cand_id, CAST(rn AS INT) AS rnk FROM (
+    SELECT query_id, cand_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rn
+    FROM sscored
+  ) WHERE rn <= 10
+),{_SHINGLES_CTE},
+-- word-3-gram jaccard tower (operators/search.py::jaccard_topk):
+-- query shingles are the %100 docs' own shingles; similarity is
+-- |A∩B| / (|A|+|B|-|A∩B|) over DISTINCT shingles — both counts exact
+-- integers, one IEEE division, bit-reproducible
+jqs AS (SELECT doc AS query_id, shingle FROM shingle_pairs
+        WHERE doc % 100 = 0),
+jsizes AS (SELECT doc, COUNT(*) AS n FROM shingle_pairs GROUP BY doc),
+jinter AS (
+  SELECT q.query_id, p.doc, COUNT(*) AS c
+  FROM shingle_pairs p JOIN jqs q
+    ON p.shingle = q.shingle AND p.doc != q.query_id
+  GROUP BY 1, 2
+),
+jscored AS (
+  SELECT i.query_id, i.doc,
+    CAST(i.c AS DOUBLE) / (qs.n + ds.n - i.c) AS sim
+  FROM jinter i
+  JOIN jsizes qs ON qs.doc = i.query_id
+  JOIN jsizes ds ON ds.doc = i.doc
+),
+jac AS (
+  SELECT query_id, doc, CAST(rn AS INT) AS rank FROM (
+    SELECT query_id, doc, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, doc ASC) AS rn
+    FROM jscored
+  ) WHERE rn <= 10
+),
+-- N-way RRF (operators/search.py::rrf_fuse_n): per-ranker min-rank
+-- reduction (same defensive contract as the binary fuse), then ONE
+-- aggregation whose addends are 45-bit-quantized — with three addends
+-- a float sum's value depends on addend order, so the sum is an exact
+-- integer, order-free and map-combinable, mirrored here bit-for-bit
+lexu AS (SELECT query_id, doc AS doc_id, MIN(rank) AS rank
+         FROM lex GROUP BY 1, 2),
+semu AS (SELECT query_id, cand_id AS doc_id, MIN(rnk) AS rank
+         FROM sem GROUP BY 1, 2),
+jacu AS (SELECT query_id, doc AS doc_id, MIN(rank) AS rank
+         FROM jac GROUP BY 1, 2),
+allr AS (
+  SELECT query_id, doc_id, rank, 0 AS tag FROM lexu
+  UNION ALL SELECT query_id, doc_id, rank, 1 FROM semu
+  UNION ALL SELECT query_id, doc_id, rank, 2 FROM jacu
+),
+fusedn AS (
+  SELECT query_id, doc_id,
+    SUM(CAST(floor(CAST(1 AS DOUBLE) / (60 + rank)
+        * 35184372088832.0 + 0.5) AS BIGINT)) AS score,
+    bool_or(tag = 0) AS in_lex,
+    bool_or(tag = 1) AS in_sem,
+    bool_or(tag = 2) AS in_jac
+  FROM allr GROUP BY 1, 2
+)
+SELECT query_id, doc_id, CAST(rn AS INT) AS fused_rank,
+       in_lex, in_sem, in_jac
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM fusedn
+) WHERE rn <= 10
+""",
+    doc="THREE-tower reciprocal-rank fusion (k0=60): exact BM25 "
+    "(lexical), exact cosine (semantic), and word-3-gram Jaccard "
+    "top-10 (near-verbatim overlap — catches stopword-heavy quotes "
+    "BM25 underweights and OOV strings embeddings miss) fused by "
+    "operators/search.py::rrf_fuse_n — the N-way generalization the "
+    "binary rrf_fuse's docstring specifies but deliberately does not "
+    "compute (nested binary fusion scores an intermediate, not the "
+    "sum of original reciprocal ranks). With three addends a float "
+    "RRF sum is order-dependent, so each 1/(k0+rank) addend is "
+    "quantized to 45 fractional bits and summed as an exact integer "
+    "— order-free, map-combinable, bit-identical in the oracle. All "
+    "three towers are k-bounded per query, so fusion runs on "
+    "|Q| x O(3k) rows; the jaccard tower broadcasts query shingles "
+    "and semi-prunes the corpus shingle stream map-side (the bm25 "
+    "only-hits-shuffle kernel).",
+)
+def search_rrf_fuse_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import search, similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    qt = (
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(F.split(F.col("text"), " "), 1, 3)).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    lex = search.bm25_topk(docs, qt, "doc_id", "text", k=10).select(
+        "query_id", F.col("doc").alias("doc_id"), "rank"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = similarity.brute_force_topk_arrow(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), "vec_id",
+        "embedding", k=10,
+    ).select(
+        "query_id", F.col("cand_id").alias("doc_id"),
+        F.col("rnk").alias("rank"),
+    )
+    jq = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    jac = search.jaccard_topk(docs, jq, "doc_id", "text", k=10).select(
+        "query_id", F.col("doc").alias("doc_id"), "rank"
+    )
+    return search.rrf_fuse_n(
+        [("lex", lex), ("sem", sem), ("jac", jac)], k=10
+    )
+
+
+@register(
     "orders_sample_aes_per_priority",
     group="ext-sampling weighted",
     oracle=f"""

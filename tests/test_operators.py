@@ -3454,3 +3454,111 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     for i in range(13, 41):
         assert rows[i]["component"] == i
         assert rows[i]["split"] == plain[i]
+
+
+def test_rrf_fuse_n_math_flags_and_contracts(spark):
+    """N-way RRF (rrf_fuse_n): fused order matches a hand-computed
+    3-ranker model (overlap beats any single tower, ties break on
+    doc_id), per-tower flags are exact, per-ranker duplicate rows
+    reduce to best rank first, and the named contract errors fire
+    (<2 rankers, duplicate names)."""
+    import pytest
+
+    from nba_spurs_etl_spark.operators.search import rrf_fuse_n
+
+    def fr(rows):
+        return spark.createDataFrame(
+            rows, "query_id long, doc_id long, rank int"
+        )
+
+    a = fr([(1, 10, 1), (1, 11, 2)])
+    b = fr([(1, 11, 1), (1, 12, 2)])
+    c = fr([(1, 11, 3), (1, 13, 1)])
+    out = {r["doc_id"]: r for r in rrf_fuse_n(
+        [("a", a), ("b", b), ("c", c)], k=10
+    ).collect()}
+    # doc 11: 1/62 + 1/61 + 1/63 (all three) — clear winner
+    assert out[11]["fused_rank"] == 1
+    assert (out[11]["in_a"], out[11]["in_b"], out[11]["in_c"]) == (
+        True, True, True,
+    )
+    # docs 10 and 13 both have a single rank-1 addend (1/61): exact
+    # fixed-point tie -> doc_id ASC tiebreak
+    assert out[10]["fused_rank"] == 2 and out[13]["fused_rank"] == 3
+    # doc 12: single 1/62
+    assert out[12]["fused_rank"] == 4
+    assert (out[12]["in_a"], out[12]["in_b"], out[12]["in_c"]) == (
+        False, True, False,
+    )
+    # python model of the quantized sum reproduces the exact order
+    fp = float(1 << 45)
+    model = {
+        10: int(1.0 / 61 * fp + 0.5),
+        11: int(1.0 / 62 * fp + 0.5) + int(1.0 / 61 * fp + 0.5)
+        + int(1.0 / 63 * fp + 0.5),
+        12: int(1.0 / 62 * fp + 0.5),
+        13: int(1.0 / 61 * fp + 0.5),
+    }
+    want = sorted(model, key=lambda d: (-model[d], d))
+    got = [d for d, _ in sorted(
+        ((r["doc_id"], r["fused_rank"]) for r in out.values()),
+        key=lambda t: t[1],
+    )]
+    assert got == want
+    # duplicate rows inside one ranker reduce to best rank
+    dup = fr([(1, 10, 5), (1, 10, 1)])
+    out2 = {r["doc_id"]: r for r in rrf_fuse_n(
+        [("a", dup), ("b", fr([(1, 10, 1)]))], k=10
+    ).collect()}
+    one = {r["doc_id"]: r for r in rrf_fuse_n(
+        [("a", fr([(1, 10, 1)])), ("b", fr([(1, 10, 1)]))], k=10
+    ).collect()}
+    assert out2[10]["fused_rank"] == one[10]["fused_rank"] == 1
+    with pytest.raises(ValueError, match="at least two"):
+        rrf_fuse_n([("a", a)])
+    with pytest.raises(ValueError, match="duplicate ranker names"):
+        rrf_fuse_n([("a", a), ("a", b)])
+
+
+def test_jaccard_topk_matches_brute_force(spark):
+    """jaccard_topk equals a python brute-force model (distinct word
+    3-gram shingles, |A∩B|/|A∪B|, sim DESC then doc ASC, self
+    excluded, short docs shingle to nothing)."""
+    from nba_spurs_etl_spark.operators.search import jaccard_topk
+
+    texts = {
+        0: "a b c d e f",
+        1: "a b c d x y",
+        2: "x y z a b c",
+        3: "p q r s t u",
+        4: "a b",            # < 3 words: no shingles
+        5: "c d e f g h",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    qdf = spark.createDataFrame(
+        [(0, texts[0]), (3, texts[3])], "query_id long, text string"
+    )
+
+    def sh(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    want = {}
+    for q in (0, 3):
+        sims = []
+        for d, t in texts.items():
+            if d == q or not sh(t):
+                continue
+            inter = len(sh(texts[q]) & sh(t))
+            if inter == 0:
+                continue
+            sims.append((-inter / len(sh(texts[q]) | sh(t)), d))
+        if sims:  # a query with no overlapping doc emits no rows
+            want[q] = [d for _, d in sorted(sims)]
+    got = {}
+    for r in jaccard_topk(docs, qdf, "doc_id", "text", k=10).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc"]))
+    got = {q: [d for _, d in sorted(v)] for q, v in got.items()}
+    assert got == want
