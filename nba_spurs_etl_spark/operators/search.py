@@ -629,3 +629,120 @@ def rrf_fuse_n(
             *[f"in_{nm}" for nm in names],
         )
     )
+
+
+def query_likelihood_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id_col: str = "query_id",
+    query_terms_col: str = "term",
+    k: int = 10,
+    mu: float = 2000.0,
+) -> DataFrame:
+    """(query_id, doc, rank): top-k docs per query by Dirichlet-
+    smoothed query likelihood (Zhai & Lafferty, SIGIR'01) — the
+    language-modeling complement to BM25's probabilistic ranking;
+    the two disagree most on long documents and rare terms, which is
+    why retrieval suites ship both.
+
+    Score decomposition (the standard sparse form):
+    ``sum_t ln(1 + tf/(mu*P(t|C))) + |q| * ln(mu/(dlen+mu))`` where
+    ``P(t|C) = cf_t/|C|`` (collection term frequency over total corpus
+    tokens). The first sum has addends only for MATCHED terms, so the
+    candidate set stays the only-hits set — same broadcast + map-side
+    prune kernel as bm25_topk; the second part depends only on the
+    doc's length and the query's term count. CONTRACT: candidates are
+    docs matching >= 1 query term (the zero-match score
+    ``|q|*ln(mu/(dlen+mu))`` would otherwise rank every short doc for
+    every query, turning top-k into a corpus-wide sort for no
+    retrieval value).
+
+    House ulp discipline: collection stats are exact-integer
+    SUM/COUNT; each per-term addend AND the per-doc length part are
+    quantized to 45 fractional bits before the (order-free, integer,
+    map-combinable) sum — with |q| > 2 addends a float sum's order
+    follows partition arrival. The raw double never leaves the
+    operator; ties break on doc id. Oracle mirrors every literal and
+    the quantization (plans/pipeline_ext.py).
+    """
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_terms_col).alias("term"),
+    ).distinct()
+    # per-query term counts (the |q| of the length part): distinct
+    # terms, mirroring qt's grain
+    qsz = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("qn"))
+
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    )
+    tokens = base.select(
+        "doc",
+        F.size("_w").alias("dlen"),
+        F.explode("_w").alias("term"),
+    )
+    matched = (
+        tokens.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("doc", "term", "dlen")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # collection frequency per query term (sum of tf over the pruned
+    # hit stream — pruning to query terms loses nothing) and total
+    # corpus token count |C| over the DISTINCT (doc, dlen) set (same
+    # duplicate-row discipline as bm25's stats)
+    cfreq = matched.groupBy("term").agg(F.sum("tf").alias("cf"))
+    stats = base.select(
+        F.col("doc").alias("_id"),
+        F.size("_w").alias("_dlen"),
+    ).distinct().agg(
+        F.sum("_dlen").cast("double").alias("n_tokens"),
+    )
+
+    contrib = (
+        matched.join(F.broadcast(qt), "term")
+        .join(F.broadcast(cfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc",
+            "dlen",
+            F.log(
+                F.lit(1.0)
+                + F.col("tf")
+                / (F.lit(mu) * (F.col("cf") / F.col("n_tokens")))
+            ).alias("s"),
+        )
+    )
+    scored = (
+        contrib.groupBy("query_id", "doc", "dlen")
+        .agg(
+            F.sum(
+                F.floor(F.col("s") * F.lit(_FP45) + 0.5).cast("long")
+            ).alias("match_part")
+        )
+        .join(F.broadcast(qsz), "query_id")
+        .select(
+            "query_id",
+            "doc",
+            (
+                F.col("match_part")
+                + F.col("qn")
+                * F.floor(
+                    F.log(F.lit(mu) / (F.col("dlen") + F.lit(mu)))
+                    * F.lit(_FP45)
+                    + 0.5
+                ).cast("long")
+            ).alias("score"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc", "rank")
+    )

@@ -99,17 +99,18 @@ ENTRY_QUERY = "summary_rank"
 # vs DuckDB at sf0.01 before rotation; everything rotated out keeps
 # its full parity test in tests/test_parity.py.
 #
-# ROTATED round 10 (VERDICT r09 item 3): slots 1-3 are the two
+# ROTATED round 10 (VERDICT r09 item 3): slots 1-2 are the two
 # entries whose PLANS AND ORACLES changed this round and must
 # re-prove — search_bm25_topk / search_hybrid_rrf_topk (split-once
 # tokenization, idf*(impact/den) association fix, and the ADAPTIVE
 # champion-bind decision mirrored in the bindflag CTE) — plus the
-# NEW r10 entry search_rrf_fuse_3 (N-way RRF + jaccard tower).
-# Slots 4-37 are ALL 34 remaining r05 greens (the stalest evidence
-# in the union, computed from CORRECTNESS_r01..r09). Slots 38-50 are
-# 13 of the oldest r06 greens chosen for family breadth (sampling,
+# NEW r10 entries search_rrf_fuse_3 (N-way RRF + jaccard tower) and
+# search_qld_topk (Dirichlet query likelihood) in slots 3-4.
+# Slots 5-38 are ALL 34 remaining r05 greens (the stalest evidence
+# in the union, computed from CORRECTNESS_r01..r09). Slots 39-50 are
+# 12 of the oldest r06 greens chosen for family breadth (sampling,
 # curation, dedup, text chunking, embedding centroids, SCD2,
-# sessionize, tumbling-agg batch twin, TPC-H filters/joins, graph,
+# sessionize, tumbling-agg batch twin, TPC-H joins, graph,
 # multimodal, streaming dedup). After this rotation no oracled
 # entry's last driver-green is older than r06. All 50 verified
 # side-by-side MATCH vs DuckDB at sf0.01 before rotation; everything
@@ -123,6 +124,7 @@ set_priority([
     "search_bm25_topk",
     "search_hybrid_rrf_topk",
     "search_rrf_fuse_3",
+    "search_qld_topk",
     # ---- last green r05 (stalest oracled evidence; all 34) ----
     "corpus_decontaminate_neardup",
     "corpus_ngram_novelty",
@@ -167,7 +169,6 @@ set_priority([
     "events_scd2_intervals",
     "events_sessionize",
     "events_tumbling_agg",
-    "filter_in_like",
     "graph_pagerank_dups",
     "join_three_way_geo",
     "multimodal_resize_plan",

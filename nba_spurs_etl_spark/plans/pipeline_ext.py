@@ -3033,7 +3033,7 @@ def search_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "search_rrf_fuse_3",
     group="ext-search hybrid nway",
     oracle=f"""
-WITH {_bm25_lex_ctes(10)},
+WITH {_bm25_lex_ctes(10, max_postings=512)},
 sbase AS (SELECT vec_id, embedding AS v FROM embeddings
           WHERE {_dot_sql("embedding", "embedding")} > 0),
 sq AS (SELECT vec_id AS query_id, v AS qv FROM sbase WHERE vec_id % 100 = 0),
@@ -3109,8 +3109,10 @@ FROM (
   FROM fusedn
 ) WHERE rn <= 10
 """,
-    doc="THREE-tower reciprocal-rank fusion (k0=60): exact BM25 "
-    "(lexical), exact cosine (semantic), and word-3-gram Jaccard "
+    doc="THREE-tower reciprocal-rank fusion (k0=60): champion-list "
+    "BM25 with the ADAPTIVE bind (P=512 — the hybrid entry's scale "
+    "path composed into N-way fusion; exact plan at fixture scale, "
+    "pruned at 10x+), exact cosine (semantic), and word-3-gram Jaccard "
     "top-10 (near-verbatim overlap — catches stopword-heavy quotes "
     "BM25 underweights and OOV strings embeddings miss) fused by "
     "operators/search.py::rrf_fuse_n — the N-way generalization the "
@@ -3139,9 +3141,9 @@ def search_rrf_fuse_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("term") != "")
     )
-    lex = search.bm25_topk(docs, qt, "doc_id", "text", k=10).select(
-        "query_id", F.col("doc").alias("doc_id"), "rank"
-    )
+    lex = search.bm25_topk(
+        docs, qt, "doc_id", "text", k=10, max_postings_per_term=512
+    ).select("query_id", F.col("doc").alias("doc_id"), "rank")
     emb = load_table(spark, sf_dir, "embeddings")
     sem = similarity.brute_force_topk_arrow(
         emb, emb.filter(F.col("vec_id") % 100 == 0), "vec_id",
@@ -3159,6 +3161,87 @@ def search_rrf_fuse_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.rrf_fuse_n(
         [("lex", lex), ("sem", sem), ("jac", jac)], k=10
     )
+
+
+@register(
+    "search_qld_topk",
+    group="ext-search",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+dl AS (SELECT DISTINCT doc_id AS doc, len(w) AS dlen FROM d),
+post AS (SELECT doc_id AS doc, t AS term, COUNT(*) AS tf
+         FROM d, UNNEST(w) AS u(t) GROUP BY 1, 2),
+qt AS (SELECT DISTINCT doc_id AS query_id, t AS term
+       FROM (SELECT doc_id, UNNEST(w[1:3]) AS t FROM d WHERE doc_id % 100 = 0)
+       WHERE t <> ''),
+qsz AS (SELECT query_id, COUNT(*) AS qn FROM qt GROUP BY 1),
+-- collection term frequency over the hit-pruned stream (pruning to
+-- query terms loses nothing) and total corpus tokens |C| over the
+-- DISTINCT (doc, dlen) set — bm25's duplicate-row discipline
+cf AS (SELECT term, SUM(tf) AS cf FROM post
+       WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+stats AS (SELECT CAST(SUM(dlen) AS DOUBLE) AS n_tokens FROM dl),
+contrib AS (
+  -- mu = 2000 written CAST(2000 AS DOUBLE): exact integer, identical
+  -- after cast in both engines; association mirrors the operator's
+  -- tf / (mu * (cf/n_tokens)) exactly
+  SELECT qt.query_id, post.doc, dl.dlen,
+    ln(1.0 + post.tf
+       / (CAST(2000 AS DOUBLE) * (cf.cf / stats.n_tokens))) AS s
+  FROM qt
+  JOIN post ON post.term = qt.term
+  JOIN dl ON dl.doc = post.doc
+  JOIN cf ON cf.term = qt.term
+  CROSS JOIN stats
+),
+scored AS (
+  -- 45-bit fixed-point addends (the bm25 exact-cents idiom): with
+  -- |q| > 2 addends a float sum is order-dependent; the doc-length
+  -- part ln(mu/(dlen+mu)) is quantized identically and added qn
+  -- times (dlen and qn are constants of the group — MIN is the SQL
+  -- spelling of 'the value')
+  SELECT c.query_id, c.doc,
+    SUM(CAST(floor(c.s * 35184372088832.0 + 0.5) AS BIGINT))
+    + MIN(q.qn) * CAST(floor(
+        ln(CAST(2000 AS DOUBLE) / (MIN(c.dlen) + CAST(2000 AS DOUBLE)))
+        * 35184372088832.0 + 0.5) AS BIGINT) AS score
+  FROM contrib c JOIN qsz q ON q.query_id = c.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, doc, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, doc, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+    doc="Dirichlet-smoothed query-likelihood retrieval (Zhai & "
+    "Lafferty, mu=2000) — the language-modeling ranker beside BM25's "
+    "probabilistic one; the two disagree most on long docs and rare "
+    "terms, so retrieval suites ship both. Same only-hits-shuffle "
+    "kernel as bm25_topk (query terms broadcast, corpus token stream "
+    "pruned map-side, collection stats as exact-integer SUM/COUNT); "
+    "candidates are docs matching >= 1 query term by contract (the "
+    "zero-match score depends only on dlen and would turn top-k into "
+    "a corpus-wide sort). Score = sum_t ln(1 + tf/(mu*cf_t/|C|)) + "
+    "|q|*ln(mu/(dlen+mu)), every addend 45-bit-quantized so the "
+    ">2-addend sum is order-free, map-combinable, and bit-identical "
+    "in the oracle (operators/search.py::query_likelihood_topk).",
+)
+def search_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import search
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(F.split(F.col("text"), " "), 1, 3)).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    return search.query_likelihood_topk(docs, q, "doc_id", "text", k=10)
 
 
 @register(

@@ -11,14 +11,21 @@ catalog entries (expression-ID counters advance between builds, the
 same variance a new session produces) and asserts the normalized
 fingerprint is identical.
 
-Known-unstable, by design: q21_waiting_supplier — its two
-count(DISTINCT) aggregates go through RewriteDistinctAggregates, whose
-Expand `gid` labels are assigned in hash-set order (seeded by expr
-IDs), permuting the projection list text between builds. Identical
-physical work; the only cost of the mismatch is that q21 always runs
-bench's full warm protocol (conservative, never wrong). A full-catalog
-sweep found no other unstable entry; if one appears here, normalize it
-in bench._FP_VOLATILE rather than widening this allowlist.
+Known-unstable, by design: q21_waiting_supplier and (r10)
+table_profile_orders — their multi-count(DISTINCT) aggregates go
+through RewriteDistinctAggregates, whose Expand `gid` labels are
+assigned in hash-set order (seeded by expr IDs), permuting the
+projection list text, the grouping-key order, AND the Expand struct
+rows between builds (diffed live in r10: value_str/value_num swap
+gid 1<->2). Identical physical work; the only cost of the mismatch is
+that these entries always run bench's full warm protocol
+(conservative, never wrong). A text-level normalization would need a
+nested-bracket parser to sort Expand rows without conflating
+genuinely different aggregate sets — under-discrimination (stale
+history gating changed code) is the dangerous failure mode, so the
+gid class stays on the conservative side. Any NEW unstable entry
+outside this class should get a normalization rule in
+bench._FP_VOLATILE rather than widening this allowlist.
 """
 
 from __future__ import annotations

@@ -3562,3 +3562,56 @@ def test_jaccard_topk_matches_brute_force(spark):
         got.setdefault(r["query_id"], []).append((r["rank"], r["doc"]))
     got = {q: [d for _, d in sorted(v)] for q, v in got.items()}
     assert got == want
+
+
+def test_query_likelihood_dirichlet_semantics(spark):
+    """QLD pins against a hand-computed Dirichlet model (mu=2000):
+    higher tf wins within equal length, and between docs with EQUAL
+    matched tf the SHORTER doc wins (the length-normalization part
+    ln(mu/(dlen+mu)) — the behavior that most distinguishes QLD from
+    BM25's tf saturation). Zero-match docs are not candidates."""
+    import math
+
+    from nba_spurs_etl_spark.operators.search import (
+        _FP45,
+        query_likelihood_topk,
+    )
+
+    texts = {
+        1: "alpha beta gamma delta",                  # tf(alpha)=1, len 4
+        2: "alpha alpha beta gamma",                  # tf(alpha)=2, len 4
+        3: "alpha beta gamma delta epsilon zeta "
+           "eta theta iota kappa",                    # tf=1, len 10
+        4: "omega psi chi",                           # no match
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    q = spark.createDataFrame(
+        [(7, "alpha")], "query_id long, term string"
+    )
+    got = [
+        (r["rank"], r["doc"])
+        for r in query_likelihood_topk(
+            docs, q, "doc_id", "text", k=10
+        ).collect()
+    ]
+    # python model (same fixed-point arithmetic)
+    mu = 2000.0
+    n_tokens = float(sum(len(t.split()) for t in texts.values()))
+    cf = sum(t.split().count("alpha") for t in texts.values())
+    def score(doc):
+        tf = texts[doc].split().count("alpha")
+        dlen = len(texts[doc].split())
+        return (
+            math.floor(math.log(1.0 + tf / (mu * (cf / n_tokens)))
+                       * _FP45 + 0.5)
+            + 1 * math.floor(math.log(mu / (dlen + mu)) * _FP45 + 0.5)
+        )
+    want = sorted((d for d in texts if "alpha" in texts[d]),
+                  key=lambda d: (-score(d), d))
+    assert [d for _, d in sorted(got)] == want
+    # and the model's qualitative claims hold on this fixture
+    assert want[0] == 2                       # tf wins
+    assert want.index(1) < want.index(3)      # shorter doc wins at tf=1
+    assert 4 not in want                      # zero-match excluded
