@@ -522,6 +522,35 @@ def main() -> int:
             f"{_CALIB_CLAMP_HI}; full protocol, history writes off",
             file=sys.stderr,
         )
+        # recovery path (r10 review find): min-convergence can never
+        # RAISE the ref, so a single spuriously-fast committed probe
+        # (timer glitch) would otherwise leave calib_broken sticky
+        # forever — full protocol every run, history frozen, no way
+        # back without hand-editing. One over-clamp window is treated
+        # as a genuinely throttled VM (conservative); THREE
+        # consecutive ones mean the committed ref, not the machine, is
+        # the outlier (a real throttle lifts between runs), so the ref
+        # re-seeds to the current probes and committed history rows
+        # rescale into the new units (the same geomean shift as the
+        # improvement re-base above). Tiering resumes next run.
+        streak = int(history.get("calib_broken_streak", 0)) + 1
+        history["calib_broken_streak"] = streak
+        if streak >= 3 and tiering_enabled:
+            rebase = _rebase_ratio(calib_ref, calib_start)
+            for k, v in calib_start.items():
+                calib_ref[k] = v
+            for _n in list(sf_hist):
+                sf_hist[_n] = [
+                    round(r * rebase, 4) for r in sf_hist[_n]
+                ]
+            history["calib_broken_streak"] = 0
+            print(
+                "bench: 3 consecutive over-clamp windows — "
+                f"re-seeded calib_ref (history rescaled x{rebase:.3f})",
+                file=sys.stderr,
+            )
+    else:
+        history["calib_broken_streak"] = 0
 
     def _always_double(name: str) -> bool:
         # gold/flagship = the BASELINE.md comparison set; the hybrid

@@ -42,6 +42,54 @@ _FP45 = float(1 << 45)
 _BIND_MEMO: dict = {}
 
 
+def _hit_stream(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id_col: str,
+    query_terms_col: str,
+):
+    """The retrieval kernel every lexical tower shares: returns
+    ``(qt, base, matched)`` — the distinct (query_id, term) workload,
+    the split-once (doc, _w) projection, and the per-(doc, term, dlen)
+    term frequencies over query-term hits only. One definition so the
+    scorers (BM25, query likelihood) can never desynchronize on the
+    tokenization/pruning discipline (r10 review find: the kernel had
+    been duplicated verbatim).
+
+    - The query term set is tiny by construction and BROADCAST; the
+      corpus TOKEN stream is filtered to query terms map-side BEFORE
+      any aggregation, so the only rows that ever shuffle are token
+      hits — tf is one linear map-combinable groupBy over those hits.
+    - Split ONCE, below the explode: projecting size(split(text))
+      ABOVE a Generate re-splits the full text once per OUTPUT TOKEN
+      (O(len^2) per doc — measured 0.8 s of the 2.8 s sf0.1 exact
+      bm25 path); with the array materialized in the Generate's child
+      the post-explode size(_w) is O(1) per row and the whole stage
+      stays in one codegen span.
+    """
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_terms_col).alias("term"),
+    ).distinct()
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    )
+    tokens = base.select(
+        "doc",
+        F.size("_w").alias("dlen"),
+        F.explode("_w").alias("term"),
+    )
+    matched = (
+        tokens.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("doc", "term", "dlen")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return qt, base, matched
+
+
 def _impact(tf, dlen, avgdl, k1: float, b: float):
     """The per-posting tf-part of the BM25 contribution —
     ``tf*(k1+1) / (tf + k1*(1-b+b*dlen/avgdl))`` — as a Column. The
@@ -116,34 +164,8 @@ def bm25_topk(
     result-CHANGING in general (a per-query candidate set can bind
     even when the global union does not), so the branch condition is
     part of the contract, not a pure optimization."""
-    qt = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_terms_col).alias("term"),
-    ).distinct()
-
-    # prune the corpus TOKEN stream to query terms map-side
-    # (broadcast), THEN aggregate: tf per (doc, term) is one linear
-    # groupBy over token hits only — nothing corpus-sized ever
-    # shuffles, and per-doc work is O(len), not O(distinct x len).
-    # Split ONCE, below the explode: projecting size(split(text))
-    # ABOVE a Generate re-splits the full text once per OUTPUT TOKEN
-    # (O(len^2) per doc — measured 0.8 s of the 2.8 s sf0.1 exact
-    # path); with the array materialized in the Generate's child the
-    # post-explode size(w) is O(1) per row and the whole stage stays
-    # in one codegen span.
-    base = docs.select(
-        F.col(id_col).alias("doc"),
-        F.split(F.col(text_col), " ").alias("_w"),
-    )
-    tokens = base.select(
-        "doc",
-        F.size("_w").alias("dlen"),
-        F.explode("_w").alias("term"),
-    )
-    matched = (
-        tokens.join(F.broadcast(qt.select("term").distinct()), "term")
-        .groupBy("doc", "term", "dlen")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    qt, base, matched = _hit_stream(
+        docs, queries, id_col, text_col, query_id_col, query_terms_col
     )
     dfreq = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # avgdl as exact-integer SUM / COUNT, not F.avg: a float mean's
@@ -185,24 +207,25 @@ def bm25_topk(
         # aggregates): two sequential .count() jobs cost ~0.7 s of
         # scheduler round-trips at sf0.1 — most of what the adaptive
         # skip is trying to save. The decision is additionally
-        # memoized per (docs plan, qt plan, files+mtimes+sizes, P) —
-        # the same corpus-snapshot key discipline as the ANN index
-        # cache (operators/similarity.py::_index_cache_key), so
-        # repeated builds of the same entry (bench warm protocol,
-        # composed retrieval pipelines) skip the decision job
-        # entirely; any data or workload change misses.
+        # memoized with the ANN index cache's corpus-snapshot key
+        # discipline, applied to BOTH frames: docs AND qt each
+        # contribute (plan hash, input files, mtimes+sizes). Keying
+        # the workload side by its own _index_cache_key — not just a
+        # canon string — matters because a LocalRelation canonicalizes
+        # WITHOUT its data (two different createDataFrame query sets
+        # with one schema print identically), which would let a stale
+        # bind decision survive a workload change and silently diverge
+        # from the oracle's bindflag (r10 review find). File-less
+        # query frames therefore never memoize; the decision is
+        # recomputed (cheap, exact) instead.
         from .similarity import _index_cache_key
 
-        _qt_canon = "?"
-        try:
-            _qt_canon = (
-                qt._jdf.queryExecution().logical().canonicalized()
-                .toString()
-            )
-        except Exception:
-            pass
-        _memo_key = _index_cache_key(
-            docs, "bm25_bind", _qt_canon, int(max_postings_per_term)
+        _dk = _index_cache_key(docs, "bm25_bind_docs")
+        _qk = _index_cache_key(qt, "bm25_bind_qt")
+        _memo_key = (
+            (_dk, _qk, int(max_postings_per_term))
+            if _dk is not None and _qk is not None
+            else None
         )
         prune_binds = _BIND_MEMO.get(_memo_key) if _memo_key else None
         if prune_binds is None:
@@ -242,19 +265,13 @@ def bm25_topk(
         # negligible in the checkpoint, projected away downstream.
         import hashlib
 
-        def _canon(df: DataFrame) -> str:
-            try:
-                return (
-                    df._jdf.queryExecution()
-                    .logical()
-                    .canonicalized()
-                    .toString()
-                )
-            except Exception:
-                return "?"
+        from .similarity import canon_plan_str
 
         _lin = hashlib.sha256(
-            (_canon(matched) + _canon(stats)).encode()
+            (
+                (canon_plan_str(matched) or "?")
+                + (canon_plan_str(stats) or "?")
+            ).encode()
         ).hexdigest()[:12]
         matched = matched.withColumn(
             f"_lineage_{_lin}", F.lit(1).cast("tinyint")
@@ -667,28 +684,12 @@ def query_likelihood_topk(
     operator; ties break on doc id. Oracle mirrors every literal and
     the quantization (plans/pipeline_ext.py).
     """
-    qt = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_terms_col).alias("term"),
-    ).distinct()
+    qt, base, matched = _hit_stream(
+        docs, queries, id_col, text_col, query_id_col, query_terms_col
+    )
     # per-query term counts (the |q| of the length part): distinct
     # terms, mirroring qt's grain
     qsz = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("qn"))
-
-    base = docs.select(
-        F.col(id_col).alias("doc"),
-        F.split(F.col(text_col), " ").alias("_w"),
-    )
-    tokens = base.select(
-        "doc",
-        F.size("_w").alias("dlen"),
-        F.explode("_w").alias("term"),
-    )
-    matched = (
-        tokens.join(F.broadcast(qt.select("term").distinct()), "term")
-        .groupBy("doc", "term", "dlen")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
     # collection frequency per query term (sum of tf over the pruned
     # hit stream — pruning to query terms loses nothing) and total
     # corpus token count |C| over the DISTINCT (doc, dlen) set (same
@@ -716,12 +717,21 @@ def query_likelihood_topk(
             ).alias("s"),
         )
     )
+    # score grain is (query_id, doc) — NOT (query_id, doc, dlen): an
+    # out-of-contract corpus (duplicated doc id with two different
+    # texts, i.e. two dlens) must still emit ONE row per (query, doc)
+    # so the engine and the oracle agree on the row set (r10 review
+    # find — the oracle's GROUP BY query_id, doc with MIN(dlen) would
+    # otherwise see one row where the engine emitted two). MIN is the
+    # deterministic pick of the group's dlen; on in-contract corpora
+    # dlen is constant per doc and MIN is the value.
     scored = (
-        contrib.groupBy("query_id", "doc", "dlen")
+        contrib.groupBy("query_id", "doc")
         .agg(
             F.sum(
                 F.floor(F.col("s") * F.lit(_FP45) + 0.5).cast("long")
-            ).alias("match_part")
+            ).alias("match_part"),
+            F.min("dlen").alias("dlen"),
         )
         .join(F.broadcast(qsz), "query_id")
         .select(

@@ -903,6 +903,26 @@ _SAMPLE_CACHE_MAX = 64
 _DISK_CACHE_MAX_FILES = 128
 
 
+def canon_plan_str(df: DataFrame):
+    """Canonicalized logical-plan STRING, or None when it cannot be
+    produced. The one shared spelling of the idiom (r10 review: three
+    hand-rolled copies had drifted on the failure fallback): the
+    string is cross-process stable — verified by diffing separate
+    JVMs — while ``semanticHash()`` mixes relation object state and
+    changes per process. NOTE for cache keys: a LocalRelation
+    (createDataFrame) canonicalizes WITHOUT its data (only the output
+    schema prints), so a canon string alone never identifies
+    in-memory data — pair it with input-file stamps
+    (:func:`_index_cache_key`) and treat file-less sources as
+    uncacheable."""
+    try:
+        return (
+            df._jdf.queryExecution().logical().canonicalized().toString()
+        )
+    except Exception:
+        return None
+
+
 def _index_cache_key(candidates: DataFrame, *params):
     try:
         files = tuple(sorted(candidates.inputFiles()))
@@ -925,23 +945,15 @@ def _index_cache_key(candidates: DataFrame, *params):
             return None
         return (st.st_mtime, st.st_size)
 
-    try:
-        # sha256 of the canonicalized-plan STRING, not semanticHash():
-        # the string is cross-process stable (verified by diffing
-        # separate JVMs) while the Java hashCode mixes in relation
-        # object state and changes per process — which would silently
-        # defeat the persisted sidecar tier below
-        import hashlib
+    # sha256 of the canonicalized-plan STRING, not semanticHash() (see
+    # canon_plan_str) — a hash mismatch would silently defeat the
+    # persisted sidecar tier below
+    import hashlib
 
-        canon = (
-            candidates._jdf.queryExecution()
-            .logical()
-            .canonicalized()
-            .toString()
-        )
-        plan_id = hashlib.sha256(canon.encode()).hexdigest()[:16]
-    except Exception:
+    canon = canon_plan_str(candidates)
+    if canon is None:
         return None
+    plan_id = hashlib.sha256(canon.encode()).hexdigest()[:16]
     return (plan_id, files, tuple(stamp(f) for f in files), params)
 
 

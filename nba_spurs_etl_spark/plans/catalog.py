@@ -160,7 +160,7 @@ set_priority([
     "text_feature_hashing",
     "text_winnow_fingerprints",
     "top1_per_group_maxby",
-    # ---- oldest r06 greens (breadth fill, 14) ----
+    # ---- oldest r06 greens (breadth fill, 12) ----
     "balanced_class_sample",
     "corpus_mixture_sample",
     "dedup_filtered_corpus",

@@ -217,11 +217,20 @@ def test_calib_broken_threshold_matches_clamp():
     raw2, gate2 = bench._vm_speed_factor(beyond, ref)
     assert raw2 > bench._CALIB_CLAMP_HI and gate2 == bench._CALIB_CLAMP_HI
     # the in-main decision is `factor_raw > _CALIB_CLAMP_HI`; the
-    # source is pinned so a refactor can't silently drop the gate
+    # source is pinned so a refactor can't silently drop the gate —
+    # or its RECOVERY path (r10 review: min-convergence can never
+    # raise the ref, so without the 3-streak re-seed a single
+    # spuriously-fast committed probe would leave calib_broken sticky
+    # forever)
     import inspect
     src = inspect.getsource(bench.main)
     assert "calib_broken = factor_raw > _CALIB_CLAMP_HI" in src
     assert "if not calib_broken:" in src
+    assert "calib_broken_streak" in src
+    assert "if streak >= 3 and tiering_enabled:" in src
+    # and the re-seed direction is the upward re-base (old ref ->
+    # current probes), the inverse shift of the improvement re-base
+    assert "_rebase_ratio(calib_ref, calib_start)" in src
 
 
 def test_bench_records_are_fresh_for_every_registered_entry():

@@ -3615,3 +3615,72 @@ def test_query_likelihood_dirichlet_semantics(spark):
     assert want[0] == 2                       # tf wins
     assert want.index(1) < want.index(3)      # shorter doc wins at tf=1
     assert 4 not in want                      # zero-match excluded
+
+
+def test_bm25_bind_memo_is_workload_and_data_keyed(spark, tmp_path):
+    """r10 review find: a LocalRelation canonicalizes WITHOUT its data
+    (two different createDataFrame query sets with one schema print
+    identically), so the adaptive-bind memo must refuse to cache
+    file-less workloads — a stale bind decision diverges from the
+    oracle's bindflag. Pins: (a) in-memory query frames never
+    memoize and each gets its own fresh (correct) decision; (b) a
+    file-backed workload does memoize."""
+    from nba_spurs_etl_spark.operators import search as S
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(6)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+    S._BIND_MEMO.clear()
+
+    def plan(qdf):
+        df = S.bm25_topk(docs, qdf, "doc_id", "text", k=3,
+                         max_postings_per_term=2)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    qa = spark.createDataFrame(
+        [(1, "alpha"), (1, "beta")], "query_id long, term string"
+    )  # 2 terms x P=2 = 4 < 6 -> binds
+    qb = spark.createDataFrame(
+        [(1, "alpha"), (1, "beta"), (1, "gamma"), (1, "delta")],
+        "query_id long, term string",
+    )  # 4 x 2 = 8 >= 6 -> skip
+    assert "_q45" in plan(qa)
+    assert "_q45" not in plan(qb)  # a memo hit would wrongly prune
+    assert S._BIND_MEMO == {}  # in-memory workloads never cached
+
+    # file-backed workload: decision memoizes (one entry, reused)
+    qsrc = str(tmp_path / "q.parquet")
+    qb.write.parquet(qsrc)
+    qf = spark.read.parquet(qsrc)
+    assert "_q45" not in plan(qf)
+    assert len(S._BIND_MEMO) == 1
+    key = next(iter(S._BIND_MEMO))
+    plan(qf)
+    assert list(S._BIND_MEMO) == [key]
+
+
+def test_query_likelihood_one_row_per_doc_on_duplicate_ids(spark):
+    """r10 review find: the score grain is (query_id, doc) — an
+    out-of-contract corpus (one doc id, two different texts, two
+    dlens) must still emit ONE candidate row per (query, doc), the
+    same row set the oracle's GROUP BY query_id, doc produces (the
+    engine previously grouped by dlen too, emitting two rank slots)."""
+    from nba_spurs_etl_spark.operators.search import query_likelihood_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (1, "alpha alpha alpha alpha alpha delta epsilon"),
+            (2, "alpha zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(9, "alpha")], "query_id long, term string"
+    )
+    rows = query_likelihood_topk(docs, q, "doc_id", "text", k=10).collect()
+    assert sorted(r["doc"] for r in rows) == [1, 2]
+    assert sorted(r["rank"] for r in rows) == [1, 2]
