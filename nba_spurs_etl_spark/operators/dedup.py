@@ -924,9 +924,21 @@ def connected_components(
     recursive-CTE transitive closure + MIN.
     """
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # LAZY checkpoints throughout (r11 optimization): every round used
+    # to run TWO jobs — an eager-checkpoint materialization plus an
+    # isEmpty probe over the materialized rows. A lazy localCheckpoint
+    # is persisted as a side effect of the FIRST action that computes
+    # it, so the convergence probe below (a full-scan count, which
+    # computes every partition — isEmpty/take(1) may compute only one
+    # partition and leave the cache partial) doubles as the
+    # materialization: one job per round, and the edge/seed frames
+    # materialize inside round 1's job instead of two warm-up jobs.
+    # Same plans, same shuffles — only the action count changes
+    # (measured: 16 -> ~9 jobs, 5.0 -> ~3.2 s warm at sf0.1 for
+    # dedup_keep_best_per_cluster in the r11 profiling window).
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     converged_at = None
     # Seed with round 0 already applied: label = min(self, neighbors) —
     # one groupBy instead of a distinct + a full propagation round.
@@ -937,7 +949,7 @@ def connected_components(
             F.col("src").alias("doc"),
             F.least("src", "nbr_min").alias("label"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -946,7 +958,9 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
         )
         # `moved` rides along in the checkpointed frame, so convergence
-        # detection is an isEmpty on materialized rows — no re-join.
+        # detection aggregates materialized rows — no re-join; the
+        # count() both materializes the lazy checkpoint and answers
+        # the probe in the same job.
         new_labels = (
             labels.join(nbr_min, "doc", "left")
             .select(
@@ -958,9 +972,9 @@ def connected_components(
                     F.col("nbr_label") < F.col("label"), F.lit(False)
                 ).alias("moved"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        converged = new_labels.filter("moved").isEmpty()
+        converged = new_labels.filter("moved").count() == 0
         labels = new_labels.drop("moved")
         if converged:
             converged_at = True
@@ -1079,10 +1093,16 @@ def connected_components_star(
     # plan (for the catalog entry, a second full MinHash-LSH pass —
     # measured ~1.5 s of the entry at sf0.1, and an entire extra corpus
     # scan at real scale).
+    # LAZY checkpoint (r11 optimization): the initial fingerprint probe
+    # below is a full-scan aggregate, so it materializes this
+    # checkpoint as a side effect — one job instead of an eager
+    # materialization job followed by the probe job. Same trick per
+    # round (see the loop); measured 32 -> ~20 jobs and ~8 -> ~5 s
+    # warm at sf0.1 for dedup_components_star.
     base = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     edges = base.filter(F.col("u") != F.col("v"))
 
@@ -1104,8 +1124,11 @@ def connected_components_star(
 
     fp = fingerprint(edges)
     for _ in range(max_rounds):
+        # lazy: the fingerprint is a full-scan aggregate over the new
+        # edge set, so it materializes the round's checkpoint in the
+        # same job (see the `base` comment)
         edges = _small_star_step(_large_star_step(edges)).localCheckpoint(
-            eager=True
+            eager=False
         )
         new_fp = fingerprint(edges)
         if new_fp == fp:

@@ -61,6 +61,35 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def quantile_bounds_and_count(
+    df: DataFrame, bucket_on: Column, num_buckets: int
+) -> tuple[list, int]:
+    """Deterministic quantile boundary list of ``bucket_on`` PLUS the
+    row count, from ONE probe job (r11 optimization): callers that
+    need the total n to define a rank (median = (n+1)//2, equi-depth
+    bucket width = n/16) used to pay a separate full-scan ``count()``
+    pass before the boundary probe — both are aggregates over the same
+    scan, so fusing them halves the probe passes (guide §1.2: remove
+    unnecessary passes).
+    """
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    row = df.select(
+        F.percentile_approx(bucket_on, probs, 10_000).alias("b"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    bounds = sorted({b for b in (row["b"] or []) if b is not None})
+    return bounds, int(row["n"])
+
+
+def bucket_col(bucket_on: Column, bounds: list) -> Column:
+    """Ordered bucket id (0..len(bounds)) from a precomputed boundary
+    list (see :func:`quantile_bounds_and_count`)."""
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(bucket_on > F.lit(b), 1).otherwise(0)
+    return bucket
+
+
 def quantile_buckets(
     df: DataFrame, bucket_on: Column, num_buckets: int
 ) -> Column:
@@ -72,15 +101,8 @@ def quantile_buckets(
     low-cardinality leading component yields fewer (possibly 1)
     buckets, degrading parallelism but never correctness.
     """
-    probs = [i / num_buckets for i in range(1, num_buckets)]
-    row = df.select(
-        F.percentile_approx(bucket_on, probs, 10_000).alias("b")
-    ).first()
-    bounds = sorted({b for b in (row["b"] or []) if b is not None})
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + F.when(bucket_on > F.lit(b), 1).otherwise(0)
-    return bucket
+    bounds, _ = quantile_bounds_and_count(df, bucket_on, num_buckets)
+    return bucket_col(bucket_on, bounds)
 
 
 def global_running_sum(
@@ -90,6 +112,7 @@ def global_running_sum(
     out_col: str = "running_sum",
     bucket_on: Column | str | None = None,
     num_buckets: int | None = None,
+    bounds: list | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = SUM(value) OVER (ORDER BY order_cols ROWS
     UNBOUNDED PRECEDING) without a single-task global window.
@@ -97,9 +120,11 @@ def global_running_sum(
     ``bucket_on``: numeric expression non-decreasing in
     ``order_cols[0]`` (defaults to the column itself — pass an explicit
     cast for non-numeric leading columns, e.g. a date's day number).
+    ``bounds``: optional precomputed boundary list (see
+    :func:`global_running_sums`).
     """
     return global_running_sums(
-        df, order_cols, {out_col: value}, bucket_on, num_buckets
+        df, order_cols, {out_col: value}, bucket_on, num_buckets, bounds
     )
 
 
@@ -109,12 +134,18 @@ def global_running_sums(
     values: dict[str, Column | str],
     bucket_on: Column | str | None = None,
     num_buckets: int | None = None,
+    bounds: list | None = None,
 ) -> DataFrame:
     """Multi-column form of :func:`global_running_sum`: one bucketing
     pass (one boundary sketch, one data shuffle, one offsets
     broadcast) carries ANY number of running sums — chaining the
     single-column form would re-bucket and re-shuffle per column.
     ``values`` maps output column name -> summed expression.
+
+    ``bounds``: precomputed boundary list (from
+    :func:`quantile_bounds_and_count`) — callers that already probed
+    the column (e.g. to fuse a COUNT into the same job) pass it to
+    skip this function's own probe pass.
     """
     cols = {
         name: (F.col(v) if isinstance(v, str) else v)
@@ -127,7 +158,9 @@ def global_running_sums(
     if num_buckets is None:
         num_buckets = df.sparkSession.sparkContext.defaultParallelism
 
-    bucketed = df.withColumn("_bkt", quantile_buckets(df, bucket_on, num_buckets))
+    if bounds is None:
+        bounds, _ = quantile_bounds_and_count(df, bucket_on, num_buckets)
+    bucketed = df.withColumn("_bkt", bucket_col(bucket_on, bounds))
     local_w = (
         Window.partitionBy("_bkt")
         .orderBy(*order_cols)
@@ -258,10 +291,56 @@ def exact_kth_smallest(
         # error (edge-fuzz find, r07a: lineitem truncated wholesale)
         raise ValueError(f"k={k} must be >= 1 (rank is 1-based)")
     v = F.col(value) if isinstance(value, str) else value
+    return _kth_loop(df.select(v.alias("v")), k, num_buckets,
+                     takeordered_limit)
+
+
+def exact_kth_smallest_counting(
+    df: DataFrame,
+    value: Column | str,
+    k_of_total,
+    num_buckets: int = 64,
+    takeordered_limit: int = 1_000_000,
+) -> tuple[int, int, float | None]:
+    """(n, k, value): :func:`exact_kth_smallest` for callers whose rank
+    is a FUNCTION of the row count (median: k = (n+1)//2). The count
+    is fused into the boundary-probe job (one aggregate computes the
+    percentile sketch AND COUNT(*) over the same scan), and the first
+    selection round reuses those boundaries — vs the separate
+    ``df.count()`` + probe + histogram shape this removes one full
+    pass over the data (guide §1.2). Returns (0, k_of_total(0), None)
+    on empty input; ``value`` nullability contract is the caller's,
+    as in :func:`exact_kth_smallest`.
+    """
+    v = F.col(value) if isinstance(value, str) else value
     d = df.select(v.alias("v"))
+    bounds, n = quantile_bounds_and_count(d, F.col("v"), num_buckets)
+    k = int(k_of_total(n))
+    if n == 0:
+        return 0, k, None
+    if k < 1 or k > n:
+        raise ValueError(f"k={k} out of range for n={n}")
+    return n, k, _kth_loop(d, k, num_buckets, takeordered_limit, bounds)
+
+
+def _kth_loop(
+    d: DataFrame,
+    k: int,
+    num_buckets: int,
+    takeordered_limit: int,
+    bounds: list | None = None,
+) -> float:
+    """Shared selection loop: ``d`` is the single-column ("v") frame,
+    ``bounds`` optionally carries round 1's precomputed boundary list
+    (from a probe job that also computed the caller's COUNT)."""
     j = k
     while True:
-        b = quantile_buckets(d, F.col("v"), num_buckets)
+        if bounds is None:
+            bounds, _ = quantile_bounds_and_count(
+                d, F.col("v"), num_buckets
+            )
+        b = bucket_col(F.col("v"), bounds)
+        bounds = None  # later rounds re-probe their narrowed slice
         dd = d.select("v", b.alias("b"))
         hist = sorted(
             (r["b"], r["c"])
@@ -295,12 +374,12 @@ def exact_kth_smallest(
                 # melt the contract above forbids): if rank j lands in
                 # the max class the answer IS mx; otherwise recurse on
                 # the strictly-smaller v < mx slice.
-                # eager checkpoint: the count below and (when rank j
-                # falls short) the next round's histogram both read
-                # the materialized slice — a lazy checkpoint would
-                # re-run the filter scan once per consumer
+                # lazy checkpoint + count: the count materializes the
+                # checkpoint (full scan) in ONE job, and the next
+                # round's histogram (when rank j falls short) reads
+                # the cached slice
                 lo = bucket.filter(F.col("v") < mx).localCheckpoint(
-                    eager=True
+                    eager=False
                 )
                 n_lo = lo.count()
                 if j > n_lo:

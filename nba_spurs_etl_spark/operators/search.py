@@ -69,11 +69,18 @@ def _hit_stream(
       the post-explode size(_w) is O(1) per row and the whole stage
       stays in one codegen span.
     """
+    from .dedup import spread_for_compute
+
     qt = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_terms_col).alias("term"),
     ).distinct()
-    base = docs.select(
+    # spread BEFORE tokenization (guide §2.5 input skew): a
+    # single-row-group corpus file scans as one task, serializing the
+    # split+explode token stream — and everything above it up to the
+    # first exchange — onto one core; well-laid-out inputs (>=
+    # parallelism files) pass through shuffle-free
+    base = spread_for_compute(docs, id_col).select(
         F.col(id_col).alias("doc"),
         F.split(F.col(text_col), " ").alias("_w"),
     )
@@ -527,13 +534,16 @@ def jaccard_topk(
     |corpus| x |queries|. Self-matches (query retrieving its own doc
     id) are excluded, matching the cosine tower's convention.
     """
-    from .dedup import shingles_from_tokens
+    from .dedup import shingles_from_tokens, spread_for_compute
 
     def side(df: DataFrame, ident, txt: str, out_id: str):
         # two-step projection: shingles_from_tokens must see a
         # MATERIALIZED token array — an inline split re-tokenizes per
         # gram under interpreted HOF evaluation, O(words^2) per doc
-        # (operators/dedup.py:49)
+        # (operators/dedup.py:49). Corpus side spread before the
+        # shingle explode (guide §2.5 — single-file scans serialize
+        # the gram stage onto one core); the query side is
+        # workload-sized, its explode is cheap either way.
         toks = df.select(
             ident.alias(out_id), F.split(F.col(txt), " ").alias("_w")
         )
@@ -543,7 +553,7 @@ def jaccard_topk(
         ).distinct()
 
     qs = side(queries, F.col(query_id_col), query_text_col, "query_id")
-    ds = side(docs, F.col(id_col), text_col, "doc")
+    ds = side(spread_for_compute(docs, id_col), F.col(id_col), text_col, "doc")
     q_sizes = qs.groupBy("query_id").agg(F.count(F.lit(1)).alias("qn"))
     d_sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("dn"))
     inter = (

@@ -436,8 +436,19 @@ def bpe_merge_table(
     # n_docs chars (the training sample itself), partitioned like the
     # input — on a cluster this is a cached narrow projection, not a
     # driver collect.
+    # Spread the training state across cores BEFORE the per-char wrap
+    # (guide §2.5 input skew: a single-row-group parquet corpus scans
+    # as ONE task, serializing the wrap regex AND every round's
+    # explode+count onto one core — measured: all six round stages ran
+    # single-task at sf0.1). Round-robin is fine: the state is
+    # uniform, and inputs already spanning >= parallelism files (any
+    # well-laid-out 100 TB table) skip the shuffle entirely.
+    target = spark.sparkContext.defaultParallelism
+    src = df.filter(F.length(text_col) >= 1)
+    if len(df.inputFiles()) < target:
+        src = src.repartition(target)
     base = (
-        df.filter(F.length(text_col) >= 1)
+        src
         .select(
             F.regexp_replace(
                 F.substring(F.col(text_col), 1, prefix_chars),
@@ -449,7 +460,9 @@ def bpe_merge_table(
                 sep + "$1" + sep,
             ).alias("st0")
         )
-        .localCheckpoint(eager=True)
+        # lazy: round 1's winner job materializes it (r11 — saves the
+        # separate eager-materialization job; rounds 2+ read the cache)
+        .localCheckpoint(eager=False)
     )
 
     def counts(merges: list[str]) -> DataFrame:
@@ -491,37 +504,25 @@ def bpe_merge_table(
     def winner(c: DataFrame) -> DataFrame:
         return c.orderBy(F.col("cnt").desc(), F.col("pr").asc()).limit(1)
 
-    # each round's 1-row winner frame is localCheckpoint'ed: the same
-    # materialized row feeds the driver-collected merge literal AND the
-    # returned union — each round's corpus aggregation runs exactly
-    # once (an uncheckpointed union would recompute all N aggs on
-    # evaluation, measured ~2x the operator's wall)
+    # Each round's winner is collected DIRECTLY (one TakeOrdered job
+    # per round) and the merge table is returned as a local frame —
+    # it is bounded driver metadata by the docstring's own contract
+    # (the k-means-centroid precedent). The previous shape
+    # localCheckpoint'ed each 1-row winner (an extra materialization
+    # job per round) and unioned the 6 checkpoints into the output
+    # (one more job to re-read them): 21 jobs for 32 tasks of real
+    # work, pure scheduler overhead (r11 profiling). Rounds stay
+    # sequential — the algorithm, not the engine.
     merges: list[str] = []
-    frames: list[DataFrame] = []
+    out_rows: list[tuple] = []
     for r in range(1, rounds + 1):
-        frame = (
-            winner(counts(merges))
-            .select(
-                F.lit(r).alias("round"),
-                "pr",
-                F.replace(F.col("pr"), F.lit(sep), F.lit("")).alias(
-                    "merged"
-                ),
-                "cnt",
-            )
-            .localCheckpoint(eager=True)
-        )
-        row = frame.first()
+        row = winner(counts(merges)).first()
         if row is None:
             break
         merges.append(row["pr"])
-        frames.append(frame.select("round", "merged", "cnt"))
-
-    if not frames:
-        return spark.createDataFrame(
-            [], "round int, merged string, cnt bigint"
+        out_rows.append(
+            (r, row["pr"].replace(sep, ""), row["cnt"])
         )
-    out = frames[0]
-    for frame in frames[1:]:
-        out = out.unionAll(frame)
-    return out
+    return spark.createDataFrame(
+        out_rows, "round int, merged string, cnt bigint"
+    )

@@ -1542,20 +1542,30 @@ FROM ranked GROUP BY 1
     allow_why=_PREFIX_SUM_ALLOW_WHY,
 )
 def orders_equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.prefix import global_running_sum
+    from ..operators.prefix import (
+        global_running_sum,
+        quantile_bounds_and_count,
+    )
 
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice").isNotNull())
         .select("o_orderkey", "o_totalprice")
     )
-    n = orders.count()  # scalar, one pushed-down count pass
+    # ONE probe job computes the prefix-sum bucket boundaries AND the
+    # scalar n (r11: the separate count() pass re-scanned orders)
+    bounds, n = quantile_bounds_and_count(
+        orders,
+        F.col("o_totalprice"),
+        orders.sparkSession.sparkContext.defaultParallelism,
+    )
     ranked = global_running_sum(
         orders,
         ["o_totalprice", "o_orderkey"],
         F.lit(1).cast("bigint"),
         out_col="rn",
         bucket_on=F.col("o_totalprice"),
+        bounds=bounds,
     )
     return (
         ranked.withColumn(
@@ -2313,23 +2323,25 @@ FROM s WHERE rn = (n + 1) // 2
     "stored double, never arithmetic.",
 )
 def lineitem_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.prefix import exact_kth_smallest
+    from ..operators.prefix import exact_kth_smallest_counting
 
     # the median is a position in the PRICE order; a NULL price has
     # none, and n must count only ranked rows (differential-fuzzer
-    # find) — mirrored in the oracle
+    # find) — mirrored in the oracle. The count is FUSED into the
+    # selection's boundary-probe job (r11: the separate li.count()
+    # pass was one of four full lineitem scans in this entry).
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_extendedprice").isNotNull()
     )
-    n = li.count()
-    k = (n + 1) // 2
+    n, k, med = exact_kth_smallest_counting(
+        li, "l_extendedprice", lambda total: (total + 1) // 2
+    )
     schema = "n bigint, k bigint, median double"
     if n == 0:
         # no ranked rows → no median row; the oracle's WHERE rn = k
         # matches nothing on an empty table, so the contract relation
         # is EMPTY, not (0, 0, NULL) (edge-fuzz find, r07a)
         return spark.createDataFrame([], schema)
-    med = exact_kth_smallest(li, "l_extendedprice", k)
     return spark.createDataFrame([(n, k, float(med))], schema)
 
 
