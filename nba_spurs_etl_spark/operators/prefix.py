@@ -61,23 +61,36 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def quantile_bounds_and_count(
-    df: DataFrame, bucket_on: Column, num_buckets: int
-) -> tuple[list, int]:
-    """Deterministic quantile boundary list of ``bucket_on`` PLUS the
-    row count, from ONE probe job (r11 optimization): callers that
-    need the total n to define a rank (median = (n+1)//2, equi-depth
-    bucket width = n/16) used to pay a separate full-scan ``count()``
-    pass before the boundary probe — both are aggregates over the same
-    scan, so fusing them halves the probe passes (guide §1.2: remove
-    unnecessary passes).
+def quantile_bounds_and_aggs(
+    df: DataFrame,
+    bucket_on: Column,
+    num_buckets: int,
+    aggs: dict[str, Column],
+):
+    """Deterministic quantile boundary list of ``bucket_on`` PLUS any
+    caller-supplied scalar aggregates, from ONE probe job (r11
+    optimization): callers needing a scalar of the same frame (total
+    row count for a rank, a grand total for a share denominator) used
+    to pay a separate full-scan pass — all are aggregates over the
+    same scan, so fusing them removes whole passes (guide §1.2).
+    Returns (bounds, row) with the aggregates under their dict keys.
     """
     probs = [i / num_buckets for i in range(1, num_buckets)]
     row = df.select(
         F.percentile_approx(bucket_on, probs, 10_000).alias("b"),
-        F.count(F.lit(1)).alias("n"),
+        *[c.alias(k) for k, c in aggs.items()],
     ).first()
     bounds = sorted({b for b in (row["b"] or []) if b is not None})
+    return bounds, row
+
+
+def quantile_bounds_and_count(
+    df: DataFrame, bucket_on: Column, num_buckets: int
+) -> tuple[list, int]:
+    """(bounds, COUNT(*)) — see :func:`quantile_bounds_and_aggs`."""
+    bounds, row = quantile_bounds_and_aggs(
+        df, bucket_on, num_buckets, {"n": F.count(F.lit(1))}
+    )
     return bounds, int(row["n"])
 
 

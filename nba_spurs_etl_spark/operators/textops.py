@@ -436,19 +436,14 @@ def bpe_merge_table(
     # n_docs chars (the training sample itself), partitioned like the
     # input — on a cluster this is a cached narrow projection, not a
     # driver collect.
-    # Spread the training state across cores BEFORE the per-char wrap
-    # (guide §2.5 input skew: a single-row-group parquet corpus scans
-    # as ONE task, serializing the wrap regex AND every round's
-    # explode+count onto one core — measured: all six round stages ran
-    # single-task at sf0.1). Round-robin is fine: the state is
-    # uniform, and inputs already spanning >= parallelism files (any
-    # well-laid-out 100 TB table) skip the shuffle entirely.
-    target = spark.sparkContext.defaultParallelism
-    src = df.filter(F.length(text_col) >= 1)
-    if len(df.inputFiles()) < target:
-        src = src.repartition(target)
+    # NOT spread (r11, measured): a paired A/B at sf0.1 found a
+    # repartitioned training state no faster (plain 5.0 s vs spread
+    # 5.9 s median in the same window) — each round is bounded by the
+    # sequential round structure and per-job latency, not by the
+    # single-task explode, and the extra exchange pays for itself
+    # nowhere. At real scale the corpus arrives multi-file anyway.
     base = (
-        src
+        df.filter(F.length(text_col) >= 1)
         .select(
             F.regexp_replace(
                 F.substring(F.col(text_col), 1, prefix_chars),

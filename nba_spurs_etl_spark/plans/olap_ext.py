@@ -2478,22 +2478,34 @@ FROM run CROSS JOIN tot
     allow_why=_PREFIX_SUM_ALLOW_WHY,
 )
 def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.prefix import global_running_sum
+    from ..operators.prefix import global_running_sum, quantile_bounds_and_aggs
 
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
     )
+    neg = rev.withColumn("neg_r", -F.col("r"))
+    # ONE probe job yields the prefix-sum bucket boundaries AND the
+    # grand total (r11: the total previously attached as a 1-row
+    # broadcast whose subtree re-aggregated lineitem, one more full
+    # pass). The total is a literal of the SAME decimal type the agg
+    # produced, so the share division is bit-identical.
+    bounds, row = quantile_bounds_and_aggs(
+        neg, F.col("neg_r"),
+        neg.sparkSession.sparkContext.defaultParallelism,
+        {"t": F.sum("r")},
+    )
     ranked = global_running_sum(
-        rev.withColumn("neg_r", -F.col("r")),
+        neg,
         ["neg_r", "l_partkey"],
         "r",
         out_col="c",
+        bounds=bounds,
     )
-    tot = rev.agg(F.sum("r").alias("t"))
-    share = F.col("c").cast("double") / F.col("t").cast("double")
+    tot_lit = F.lit(row["t"]).cast("decimal(28,2)")
+    share = F.col("c").cast("double") / tot_lit.cast("double")
     return (
-        ranked.crossJoin(F.broadcast(tot))
+        ranked
         .select(
             "l_partkey",
             F.col("r").cast("double").alias("revenue"),
@@ -2724,19 +2736,33 @@ def orders_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a").alias("c1"),
         (F.count(F.lit(1)) - F.sum("a")).alias("c2"),
     )
-    r = global_running_sums(g, ["p"], {"cum1": "c1", "cum2": "c2"})
-    t = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    # ONE probe job yields the prefix-sum bucket boundaries AND the
+    # two sample sizes (r11: n1/n2 previously attached as a 1-row
+    # broadcast whose subtree re-ran the per-price aggregation — one
+    # more pass; both are exact integers, so the literals divide
+    # bit-identically to the broadcast columns)
+    from ..operators.prefix import quantile_bounds_and_aggs
+
+    bounds, row = quantile_bounds_and_aggs(
+        g, F.col("p"), g.sparkSession.sparkContext.defaultParallelism,
+        {"n1": F.sum("c1"), "n2": F.sum("c2")},
+    )
+    r = global_running_sums(
+        g, ["p"], {"cum1": "c1", "cum2": "c2"}, bounds=bounds
+    )
+    n1 = F.lit(row["n1"]).cast("long")
+    n2 = F.lit(row["n2"]).cast("long")
     return (
-        r.crossJoin(F.broadcast(t))
-        .groupBy("n1", "n2")
-        .agg(
-            F.max(
-                F.abs(
-                    F.col("cum1").cast("double") / F.col("n1")
-                    - F.col("cum2").cast("double") / F.col("n2")
-                )
-            ).alias("ks")
+        r.select(
+            n1.alias("n1"),
+            n2.alias("n2"),
+            F.abs(
+                F.col("cum1").cast("double") / n1
+                - F.col("cum2").cast("double") / n2
+            ).alias("_d"),
         )
+        .groupBy("n1", "n2")
+        .agg(F.max("_d").alias("ks"))
     )
 
 

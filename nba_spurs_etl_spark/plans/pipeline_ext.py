@@ -1363,6 +1363,12 @@ FROM (
 def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # NOT spread (r11, measured): a paired A/B at sf0.1 put the
+    # spread_for_compute variant at 2.91 s median vs 2.57 s plain —
+    # the pre-shuffle filter work is cheaper than the extra full-text
+    # exchange here, and at real scale a well-laid-out input
+    # parallelizes the scan anyway. The single data-scale exchange
+    # stays the content-hash dedup window.
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "_w", textops.words("text")
     )

@@ -28,14 +28,24 @@ def _work_dir(tag: str, sf_dir: str) -> str:
     """Deterministic scratch dir per (query, source dir), CLEARED on
     each invocation: mkdtemp here leaked one changelog/snapshot/index
     copy per invocation (bench + parity re-run these entries many
-    times per round), growing /tmp without bound."""
+    times per round), growing /tmp without bound.
+
+    On tmpfs (/dev/shm) where available (r11): the changelog files,
+    versioned snapshot parquets, and stream checkpoints these entries
+    write are EPHEMERAL per-invocation scratch, and their fsync/disk
+    cost is a fixed per-micro-batch tax unrelated to the computation —
+    the same rationale as the memory-sink drain checkpoints
+    (streaming/events.py::_drain_checkpoint_dir, ~0.4 s/query
+    measured). Production deployments pass their own durable roots to
+    the snapshot classes; nothing here changes those paths."""
     import hashlib
     import os
     import shutil
     import tempfile
 
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     work = os.path.join(
-        tempfile.gettempdir(),
+        base,
         f"spark_stream_{tag}_"
         + hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12],
     )

@@ -235,14 +235,26 @@ def test_linear_fit_single_pass(spark, catalog):
 
 def test_kmeans_assignment_is_narrow(spark):
     """A single Lloyd assignment round (literal centroids) must be a
-    pure narrow map over the corpus: zero exchanges."""
+    pure narrow map over the corpus — no aggregation/join exchanges.
+    Allowed: ONLY the conditional spread_for_compute repartition (r11,
+    guide §2.5 — fires when the input has fewer files than cores, as
+    in the single-file smoke layout; a well-laid-out table gets zero
+    exchanges). A RoundRobin/hash repartition is distribution, not a
+    plan widening: the assignment itself must stay join/agg-free."""
     from nba_spurs_etl_spark.operators.clustering import kmeans_lloyd
     from nba_spurs_etl_spark.sources.catalog import load_table
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
     plan = fmt_plan(kmeans_lloyd(emb, "vec_id", "embedding", k=4, iters=1))
+    # r11: the corpus base is spread (conditional, §2.5) and lazily
+    # localCheckpoint'ed once for all Lloyd actions, so the final
+    # assignment plan reads the cached RDD — the assignment itself
+    # must still be a pure narrow map: zero exchanges, no join/agg.
     assert count_nodes(plan, "Exchange") == 0, plan
-    assert count_nodes(plan, "Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert count_nodes(plan, "HashAggregate") == 0, plan
+    assert "Scan ExistingRDD" in plan or count_nodes(
+        plan, "Scan parquet") == 1, plan
 
 
 def test_decontaminate_broadcasts_benchmark_grams(spark, catalog):
