@@ -119,60 +119,72 @@ ENTRY_QUERY = "summary_rank"
 # Round-11 rotation queue: the remaining 35 r06 greens, then the r07
 # greens, plus any entry whose plan changes in r11 and any new
 # entries.
+# ROTATED round 11 (optimization round): slots 1-17 are the entries
+# whose PHYSICAL PLANS changed in the r11 performance work (search
+# kernel spread, prefix-sum probe fusion, iterative-operator lazy
+# checkpoints, kmeans cached base, BPE winner collection) — the
+# driver must re-prove the oracles under the new plans; the rest is
+# the r11 queue (the 33 stalest r06 greens; split_assign,
+# stratified_sample, key_skew_profile stay queued for r12 alongside
+# the r07 greens). Everything rotated out keeps its full
+# DuckDB-oracle parity test in tests/test_parity.py.
+#
+# Round-12 rotation queue: split_assign, stratified_sample,
+# key_skew_profile, then the r07 greens, plus any entry whose plan
+# changes in r12.
 set_priority([
-    # ---- plans + oracles changed in r10 (re-prove) + new r10 entry ----
+    # ---- plans changed in r11 (re-prove under the new plans) ----
     "search_bm25_topk",
     "search_hybrid_rrf_topk",
     "search_rrf_fuse_3",
     "search_qld_topk",
-    # ---- last green r05 (stalest oracled evidence; all 34) ----
-    "corpus_decontaminate_neardup",
-    "corpus_ngram_novelty",
-    "customer_entity_resolution",
-    "dedup_containment",
-    "events_bigram_lift",
-    "events_countmin_estimate",
-    "events_cumulative_users",
-    "events_cusum_changepoint",
-    "events_gap_log2_histogram",
-    "events_last_touch_attribution",
-    "events_seasonal_anomaly",
-    "events_sliding_distinct_users",
-    "events_wow_change",
-    "fd_violation_audit",
-    "fuzzy_match_customers",
-    "join_skew_planner",
-    "orders_abc_classification",
-    "orders_bootstrap_ci",
-    "orders_bootstrap_ci_by_priority",
+    "lineitem_median_twophase",
     "orders_equidepth_price_histogram",
-    "orders_hhi_concentration",
+    "orders_abc_classification",
     "orders_ks_statistic",
-    "orders_sample_aes_topk",
-    "orders_skyline_pareto",
-    "orders_winsorized_stats",
-    "part_copurchase_kcore",
-    "part_copurchase_lift",
-    "stream_incremental_agg",
-    "stream_markov_transitions",
-    "stream_novelty_index",
-    "text_bpe_merges",
-    "text_feature_hashing",
-    "text_winnow_fingerprints",
-    "top1_per_group_maxby",
-    # ---- oldest r06 greens (breadth fill, 12) ----
-    "balanced_class_sample",
-    "corpus_mixture_sample",
+    "dedup_components_star",
+    "dedup_minhash_components",
+    "dedup_keep_best_per_cluster",
+    "corpus_split_leakage_safe",
+    "semantic_dedup_corpus",
+    "customer_entity_resolution",
     "dedup_filtered_corpus",
-    "doc_chunks",
-    "embedding_label_centroids",
-    "events_scd2_intervals",
-    "events_sessionize",
-    "events_tumbling_agg",
-    "graph_pagerank_dups",
-    "join_three_way_geo",
-    "multimodal_resize_plan",
-    "stream_dedup",
+    "embedding_kmeans_lloyd",
+    "text_bpe_merges",
+    # ---- last green r06 (stalest oracled evidence, 33 of 36) ----
+    "contrastive_negatives",
+    "corpus_pack_bins",
+    "corpus_quality_floor",
+    "corpus_shard_plan",
+    "corpus_source_quota",
+    "events_drift_chi2",
+    "events_ohlc_hourly",
+    "events_rfm_segments",
+    "events_sliding_agg",
+    "events_twap",
+    "events_user_profile_batch",
+    "events_value_mad",
+    "filter_in_like",
+    "graph_triangles_dups",
+    "join_dim_broadcast",
+    "priority_class_split",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q16_supplier_breadth",
+    "q2_min_price_supplier",
+    "q4_late_shipments",
+    "q5_local_supplier_volume",
+    "scalar_snapshot",
+    "similarity_topk_lsh_multi",
+    "stream_dedup_within_watermark",
+    "stream_sliding_agg",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "stream_user_profile",
+    "text_chargram_dist",
+    "text_pii_redact",
+    "text_top_terms",
 ])
 
 
