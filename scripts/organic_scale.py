@@ -109,7 +109,7 @@ def build_organic(spark, dst: str, k: int) -> None:
         # length 10..100, matching the testdata envelope
         .withColumn(
             "n_words",
-            (F.abs(F.xxhash64(F.col("doc_id"), F.lit("len"))) % 91 + 10)
+            (F.pmod(F.xxhash64(F.col("doc_id"), F.lit("len")), F.lit(91)) + 10)
             .cast("int"),
         )
         .withColumn(
@@ -120,8 +120,10 @@ def build_organic(spark, dst: str, k: int) -> None:
                     lambda i: F.element_at(
                         va,
                         (
-                            F.abs(F.xxhash64(F.col("doc_id"), i))
-                            % F.lit(len(vocab))
+                            F.pmod(
+                                F.xxhash64(F.col("doc_id"), i),
+                                F.lit(len(vocab)),
+                            )
                             + 1
                         ).cast("int"),
                     ),
@@ -133,16 +135,16 @@ def build_organic(spark, dst: str, k: int) -> None:
             "lang",
             F.element_at(
                 la,
-                (F.abs(F.xxhash64(F.col("doc_id"), F.lit("lang")))
-                 % F.lit(len(langs)) + 1).cast("int"),
+                (F.pmod(F.xxhash64(F.col("doc_id"), F.lit("lang")),
+                        F.lit(len(langs))) + 1).cast("int"),
             ),
         )
         .withColumn(
             "source",
             F.element_at(
                 sa,
-                (F.abs(F.xxhash64(F.col("doc_id"), F.lit("src")))
-                 % F.lit(len(sources)) + 1).cast("int"),
+                (F.pmod(F.xxhash64(F.col("doc_id"), F.lit("src")),
+                        F.lit(len(sources))) + 1).cast("int"),
             ),
         )
         .withColumn("n_chars", F.length("text"))
@@ -162,14 +164,14 @@ def build_organic(spark, dst: str, k: int) -> None:
         )
         .withColumn(
             "c_nationkey",
-            (F.abs(F.xxhash64(F.col("c_custkey"), F.lit("nat"))) % 25)
+            (F.pmod(F.xxhash64(F.col("c_custkey"), F.lit("nat")), F.lit(25)))
             .cast("int"),
         )
         .withColumn(
             "c_acctbal",
             F.round(
-                (F.abs(F.xxhash64(F.col("c_custkey"), F.lit("bal")))
-                 % 1_000_000) / 100.0,
+                F.pmod(F.xxhash64(F.col("c_custkey"), F.lit("bal")),
+                       F.lit(1_000_000)) / 100.0,
                 2,
             ),
         )
@@ -177,8 +179,8 @@ def build_organic(spark, dst: str, k: int) -> None:
             "c_mktsegment",
             F.element_at(
                 sega,
-                (F.abs(F.xxhash64(F.col("c_custkey"), F.lit("seg")))
-                 % F.lit(len(segs)) + 1).cast("int"),
+                (F.pmod(F.xxhash64(F.col("c_custkey"), F.lit("seg")),
+                        F.lit(len(segs))) + 1).cast("int"),
             ),
         )
     )
