@@ -75,12 +75,19 @@ def quantile_bounds_and_aggs(
     same scan, so fusing them removes whole passes (guide §1.2).
     Returns (bounds, row) with the aggregates under their dict keys.
     """
+    if "__qb_bounds" in aggs:
+        raise ValueError("agg name '__qb_bounds' is reserved")
     probs = [i / num_buckets for i in range(1, num_buckets)]
     row = df.select(
-        F.percentile_approx(bucket_on, probs, 10_000).alias("b"),
+        # collision-proof internal alias: a caller agg named like the
+        # bounds column would win the duplicate-name Row lookup and
+        # silently swap results (r11 review find)
+        F.percentile_approx(bucket_on, probs, 10_000).alias("__qb_bounds"),
         *[c.alias(k) for k, c in aggs.items()],
     ).first()
-    bounds = sorted({b for b in (row["b"] or []) if b is not None})
+    bounds = sorted(
+        {b for b in (row["__qb_bounds"] or []) if b is not None}
+    )
     return bounds, row
 
 

@@ -442,7 +442,7 @@ def bpe_merge_table(
     # sequential round structure and per-job latency, not by the
     # single-task explode, and the extra exchange pays for itself
     # nowhere. At real scale the corpus arrives multi-file anyway.
-    base = (
+    pre = (
         df.filter(F.length(text_col) >= 1)
         .select(
             F.regexp_replace(
@@ -455,9 +455,34 @@ def bpe_merge_table(
                 sep + "$1" + sep,
             ).alias("st0")
         )
-        # lazy: round 1's winner job materializes it (r11 — saves the
-        # separate eager-materialization job; rounds 2+ read the cache)
-        .localCheckpoint(eager=False)
+    )
+    # lazy: round 1's winner job materializes it (r11 — saves the
+    # separate eager-materialization job; rounds 2+ read the cache)
+    base = pre.localCheckpoint(eager=False)
+    # Fingerprint lineage (r11 review find): the output below is a
+    # LOCAL relation, which prints only its schema in the optimized
+    # plan — bench.py's plan fingerprint would go blind to upstream
+    # changes (tokenization, prefix_chars, round count) and stale
+    # timing medians could gate new code. Same hazard class as the
+    # bm25 pruned-path checkpoint (operators/search.py): embed a hash
+    # of the PRE-checkpoint sample plan + the round count as a marker
+    # COLUMN NAME on an empty checkpointed sentinel unioned into the
+    # result — LogicalRDD leaves keep their attribute names in the
+    # plan string, and the empty union changes no rows.
+    import hashlib
+
+    from .similarity import canon_plan_str
+
+    _lin = hashlib.sha256(
+        ((canon_plan_str(pre) or "?") + f"|rounds={rounds}").encode()
+    ).hexdigest()[:12]
+    out_schema = "round int, merged string, cnt bigint"
+    sentinel = (
+        spark.createDataFrame(
+            [], out_schema + f", _lineage_{_lin} tinyint"
+        )
+        .localCheckpoint(eager=True)
+        .drop(f"_lineage_{_lin}")
     )
 
     def counts(merges: list[str]) -> DataFrame:
@@ -518,6 +543,6 @@ def bpe_merge_table(
         out_rows.append(
             (r, row["pr"].replace(sep, ""), row["cnt"])
         )
-    return spark.createDataFrame(
-        out_rows, "round int, merged string, cnt bigint"
+    return spark.createDataFrame(out_rows, out_schema).unionByName(
+        sentinel
     )

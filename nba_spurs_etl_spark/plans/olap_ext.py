@@ -2472,8 +2472,10 @@ FROM run CROSS JOIN tot
     "part)) — |parts| is key-cardinality, which at 100 TB is far too "
     "big for the naive single-task global window; the share is one "
     "division of two exact decimals per row and the class thresholds "
-    "compare identically on both engines. The scalar total attaches "
-    "as a 1-row broadcast.",
+    "compare identically on both engines. The scalar total rides the "
+    "boundary-probe job and inlines as an exact-typed literal (r11 — "
+    "previously a 1-row broadcast whose subtree re-ran the revenue "
+    "aggregation).",
     advisor_allow={"SINGLE_PARTITION_DATA"},
     allow_why=_PREFIX_SUM_ALLOW_WHY,
 )

@@ -43,7 +43,20 @@ def _work_dir(tag: str, sf_dir: str) -> str:
     import shutil
     import tempfile
 
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    def _shm_usable() -> bool:
+        # containers commonly mount /dev/shm at 64 MB: require
+        # headroom for the changelog + versioned snapshots these
+        # entries write (a few hundred MB at 10x), else fall back to
+        # the TMPDIR-honoring default (r11 review find)
+        if not os.path.isdir("/dev/shm"):
+            return False
+        try:
+            st = os.statvfs("/dev/shm")
+            return st.f_bavail * st.f_frsize >= 2 << 30
+        except OSError:
+            return False
+
+    base = "/dev/shm" if _shm_usable() else tempfile.gettempdir()
     work = os.path.join(
         base,
         f"spark_stream_{tag}_"

@@ -11,6 +11,13 @@ status tracker (scheduling overhead shows up as job count x fixed
 cost), and optionally dumps ``explain("formatted")`` to
 ``<plans-out>/<name>.txt`` for the before/after evidence the round
 deliverables require.
+
+NOTE: the session + warm-up block below deliberately MIRRORS
+bench.py's protocol (repack, table/silver warm-ups, summary_rank noop,
+python-worker fork, cpu_hash probe shape) so per-entry numbers are
+comparable to bench results — keep the two in sync when the bench
+protocol changes (they are separate because bench.py's warm-up is
+inline in its main() and the bench file is driver-contract-sensitive).
 """
 
 from __future__ import annotations

@@ -548,8 +548,9 @@ def test_abc_classification_uses_two_phase_prefix_sum(spark, catalog):
     """The ABC running share ranks |parts| keys — key-cardinality, so
     the cumulative sum must go through the bucketed two-phase path
     (local windows partitioned by _bkt), never an unpartitioned
-    data-scale window; the only SinglePartition exchanges are the
-    |buckets|-row offsets window and the 1-row revenue total."""
+    data-scale window; the only SinglePartition exchange is the
+    |buckets|-row offsets window (r11: the revenue total now rides
+    the boundary-probe job as a literal, not a 1-row broadcast)."""
     plan = fmt_plan(catalog["orders_abc_classification"](spark, SF_SMOKE))
     win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert any("_bkt" in s for s in win_specs), win_specs
