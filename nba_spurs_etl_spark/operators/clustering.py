@@ -100,6 +100,22 @@ def _assign(
     )
 
 
+def _kmeans_base_pre(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """The pre-checkpoint Lloyd feature frame (NULL-filtered, spread,
+    projected) — exposed so plan tests can assert the base stays a
+    narrow scan+spread (the localCheckpoint in kmeans_lloyd hides it
+    behind a LogicalRDD leaf in the final plan, which would otherwise
+    let an accidental upstream join/agg go unnoticed — ADVICE r11)."""
+    from .dedup import spread_for_compute
+
+    return spread_for_compute(
+        df.filter(F.col(vec_col).isNotNull()), id_col
+    ).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+
 def kmeans_lloyd(
     df: DataFrame,
     id_col: str,
@@ -117,8 +133,6 @@ def kmeans_lloyd(
     poison the centroid update and land at engine-dependent rank
     positions in the oracle (differential-fuzzer find).
     """
-    from .dedup import spread_for_compute
-
     # Spread before the per-row work (guide §2.5): a single-row-group
     # embeddings file scans as ONE task, serializing the k x dim
     # argmin fold (interpreted HOF — no codegen) and the posexplode
@@ -137,18 +151,13 @@ def kmeans_lloyd(
     # pre-checkpoint plan as a marker COLUMN NAME so upstream changes
     # still evict timing history (the bm25 pruned-path idiom,
     # operators/search.py).
-    import hashlib
+    from .similarity import lineage_token
 
-    from .similarity import canon_plan_str
-
-    pre = spread_for_compute(
-        df.filter(F.col(vec_col).isNotNull()), id_col
-    ).select(
-        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    _lin = hashlib.sha256(
-        (canon_plan_str(pre) or "?").encode()
-    ).hexdigest()[:12]
+    pre = _kmeans_base_pre(df, id_col, vec_col)
+    # lineage_token degrades to a per-call UNIQUE value (always-evict)
+    # when canonicalization fails — a constant fallback would freeze
+    # the fingerprint and stop evicting stale medians (ADVICE r11)
+    _lin = lineage_token(pre)
     base = pre.withColumn(
         f"_lineage_{_lin}", F.lit(1).cast("tinyint")
     ).localCheckpoint(eager=False).drop(f"_lineage_{_lin}")

@@ -469,13 +469,12 @@ def bpe_merge_table(
     # COLUMN NAME on an empty checkpointed sentinel unioned into the
     # result — LogicalRDD leaves keep their attribute names in the
     # plan string, and the empty union changes no rows.
-    import hashlib
+    from .similarity import lineage_token
 
-    from .similarity import canon_plan_str
-
-    _lin = hashlib.sha256(
-        ((canon_plan_str(pre) or "?") + f"|rounds={rounds}").encode()
-    ).hexdigest()[:12]
+    # lineage_token degrades to a per-call UNIQUE value (always-evict)
+    # when canonicalization fails — a constant fallback would freeze
+    # the fingerprint and stop evicting stale medians (ADVICE r11)
+    _lin = lineage_token(pre, extra=f"rounds={rounds}")
     out_schema = "round int, merged string, cnt bigint"
     sentinel = (
         spark.createDataFrame(

@@ -43,27 +43,68 @@ def _work_dir(tag: str, sf_dir: str) -> str:
     import shutil
     import tempfile
 
+    name = (
+        f"spark_stream_{tag}_"
+        + hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
+    )
+    tmp_default = tempfile.gettempdir()
+
     def _shm_usable() -> bool:
+        # an EXPLICIT scratch choice wins over the tmpfs fast path
+        # (ADVICE r11): TMPDIR is the documented way to redirect
+        # scratch, and SPARK_GRAFT_NO_SHM is the dedicated opt-out
+        if os.environ.get("TMPDIR") or os.environ.get("SPARK_GRAFT_NO_SHM"):
+            return False
         # containers commonly mount /dev/shm at 64 MB: require
         # headroom for the changelog + versioned snapshots these
-        # entries write (a few hundred MB at 10x), else fall back to
-        # the TMPDIR-honoring default (r11 review find)
+        # entries write — O(source data), so the requirement SCALES
+        # with the input (a fixed 2 GiB floor covers the 10x bench
+        # layout but would ENOSPC mid-run on larger SFs — ADVICE r11)
         if not os.path.isdir("/dev/shm"):
             return False
         try:
             st = os.statvfs("/dev/shm")
-            return st.f_bavail * st.f_frsize >= 2 << 30
+            free = st.f_bavail * st.f_frsize
         except OSError:
             return False
+        return free >= max(2 << 30, 4 * _dir_size(sf_dir))
 
-    base = "/dev/shm" if _shm_usable() else tempfile.gettempdir()
-    work = os.path.join(
-        base,
-        f"spark_stream_{tag}_"
-        + hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12],
-    )
-    shutil.rmtree(work, ignore_errors=True)
-    return work
+    # clear BOTH candidate bases, not just the one selected now: the
+    # headroom probe re-runs each invocation, so a flip (shm filling
+    # between calls) must not strand the previous few-hundred-MB
+    # scratch copy in tmpfs RAM until reboot (ADVICE r11)
+    for b in {"/dev/shm", tmp_default}:
+        shutil.rmtree(os.path.join(b, name), ignore_errors=True)
+    base = "/dev/shm" if _shm_usable() else tmp_default
+    return os.path.join(base, name)
+
+
+_DIR_SIZE_MEMO: dict = {}
+
+
+def _dir_size(path: str) -> int:
+    """Total byte size of a source directory tree, memoized — the
+    scratch headroom guard above calls this once per (stream entry,
+    invocation) and the layouts are immutable within a run."""
+    import os
+
+    hit = _DIR_SIZE_MEMO.get(path)
+    if hit is not None:
+        return hit
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.stat(os.path.join(root, f)).st_size
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    if len(_DIR_SIZE_MEMO) >= 32:
+        _DIR_SIZE_MEMO.clear()
+    _DIR_SIZE_MEMO[path] = total
+    return total
 
 
 @register(

@@ -255,6 +255,17 @@ def test_kmeans_assignment_is_narrow(spark):
     assert count_nodes(plan, "HashAggregate") == 0, plan
     assert "Scan ExistingRDD" in plan or count_nodes(
         plan, "Scan parquet") == 1, plan
+    # The checkpoint hides everything upstream behind the LogicalRDD
+    # leaf, so also pin the PRE-checkpoint base (ADVICE r11): one
+    # parquet scan, at most the conditional spread exchange, and no
+    # join/agg may sneak into the feature-frame build.
+    from nba_spurs_etl_spark.operators.clustering import _kmeans_base_pre
+
+    pre_plan = fmt_plan(_kmeans_base_pre(emb, "vec_id", "embedding"))
+    assert count_nodes(pre_plan, "Scan parquet") == 1, pre_plan
+    assert count_nodes(pre_plan, "Exchange") <= 1, pre_plan
+    assert "Join" not in pre_plan, pre_plan
+    assert count_nodes(pre_plan, "HashAggregate") == 0, pre_plan
 
 
 def test_decontaminate_broadcasts_benchmark_grams(spark, catalog):
