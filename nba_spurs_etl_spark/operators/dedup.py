@@ -924,21 +924,21 @@ def connected_components(
     recursive-CTE transitive closure + MIN.
     """
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    # LAZY checkpoints throughout (r11 optimization): every round used
-    # to run TWO jobs — an eager-checkpoint materialization plus an
-    # isEmpty probe over the materialized rows. A lazy localCheckpoint
-    # is persisted as a side effect of the FIRST action that computes
-    # it, so the convergence probe below (a full-scan count, which
-    # computes every partition — isEmpty/take(1) may compute only one
-    # partition and leave the cache partial) doubles as the
-    # materialization: one job per round, and the edge/seed frames
-    # materialize inside round 1's job instead of two warm-up jobs.
-    # Same plans, same shuffles — only the action count changes
-    # (measured: 16 -> ~9 jobs, 5.0 -> ~3.2 s warm at sf0.1 for
-    # dedup_keep_best_per_cluster in the r11 profiling window).
+    # EAGER checkpoints + isEmpty probe (r12 adjudication of the r11
+    # lazy+count fusion, VERDICT r11 item 1): the lazy variant ran one
+    # job per round instead of two, but the driver's r11 PERF measured
+    # three consumer entries 15-30% slower, and the repo's interleaved
+    # paired A/B (scripts/ab_cc.py, 6 ABBA pairs per entry, one
+    # session) confirmed it — lazy+count medians were 1.04-1.13x the
+    # eager+isEmpty shape on 6 of 7 consumer entries. The fused probe
+    # is a full-scan count() whose aggregate sits on the critical
+    # path every round; the eager shape's extra job is an isEmpty
+    # over already-materialized rows (~one empty task) and the
+    # materialization job itself pipelines better. Fewer jobs did NOT
+    # mean less wall-clock here; reverted on measurement.
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     converged_at = None
     # Seed with round 0 already applied: label = min(self, neighbors) —
     # one groupBy instead of a distinct + a full propagation round.
@@ -949,7 +949,7 @@ def connected_components(
             F.col("src").alias("doc"),
             F.least("src", "nbr_min").alias("label"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -958,9 +958,7 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
         )
         # `moved` rides along in the checkpointed frame, so convergence
-        # detection aggregates materialized rows — no re-join; the
-        # count() both materializes the lazy checkpoint and answers
-        # the probe in the same job.
+        # detection is an isEmpty on materialized rows — no re-join.
         new_labels = (
             labels.join(nbr_min, "doc", "left")
             .select(
@@ -972,9 +970,9 @@ def connected_components(
                     F.col("nbr_label") < F.col("label"), F.lit(False)
                 ).alias("moved"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        converged = new_labels.filter("moved").count() == 0
+        converged = new_labels.filter("moved").isEmpty()
         labels = new_labels.drop("moved")
         if converged:
             converged_at = True
@@ -1093,16 +1091,19 @@ def connected_components_star(
     # plan (for the catalog entry, a second full MinHash-LSH pass —
     # measured ~1.5 s of the entry at sf0.1, and an entire extra corpus
     # scan at real scale).
-    # LAZY checkpoint (r11 optimization): the initial fingerprint probe
-    # below is a full-scan aggregate, so it materializes this
-    # checkpoint as a side effect — one job instead of an eager
-    # materialization job followed by the probe job. Same trick per
-    # round (see the loop); measured 32 -> ~20 jobs and ~8 -> ~5 s
-    # warm at sf0.1 for dedup_components_star.
+    # EAGER checkpoints (r12 adjudication, VERDICT r11 item 1): the
+    # r11 lazy variant piggybacked materialization on the fingerprint
+    # probe (one job per round instead of two), but the driver
+    # measured dedup_components_star 0.70x and the repo's interleaved
+    # paired A/B (scripts/ab_cc.py) confirmed lazy+fused-probe medians
+    # 1.08x this eager shape — the full-scan fingerprint aggregate on
+    # the critical path costs more than the extra cheap probe job.
+    # Reverted on measurement; see connected_components for the full
+    # adjudication note.
     base = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     edges = base.filter(F.col("u") != F.col("v"))
 
@@ -1124,11 +1125,8 @@ def connected_components_star(
 
     fp = fingerprint(edges)
     for _ in range(max_rounds):
-        # lazy: the fingerprint is a full-scan aggregate over the new
-        # edge set, so it materializes the round's checkpoint in the
-        # same job (see the `base` comment)
         edges = _small_star_step(_large_star_step(edges)).localCheckpoint(
-            eager=False
+            eager=True
         )
         new_fp = fingerprint(edges)
         if new_fp == fp:
